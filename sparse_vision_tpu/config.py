@@ -1,0 +1,231 @@
+"""Typed run configuration + sweep expansion.
+
+Replaces the reference's positional 24-field CSV schema (specify_parameters.py:250-293,
+main.py:86-111, execute_project.py:40-65 — including ``eval("True")`` string-to-bool)
+with a typed dataclass, while keeping a loss-free conversion to/from the legacy line
+format so sweeps written for the reference still run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import json
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Sequence
+
+# Field order of a legacy parameters.txt line (specify_parameters.py:250-272 + the
+# trailing sae_checkpoint_epoch appended at :287-293).
+LEGACY_FIELDS = (
+    "model_name",
+    "sae_model_name",
+    "sae_layer",
+    "directory_path",
+    "wandb_status",
+    "model_epochs",
+    "model_learning_rate",
+    "batch_size",
+    "model_optimizer_name",
+    "sae_epochs",
+    "sae_learning_rate",
+    "sae_optimizer_name",
+    "sae_batch_size",
+    "sae_lambda_sparse",
+    "sae_expansion_factor",
+    "dataset_name",
+    "training",
+    "original_model",
+    "model_criterion_name",
+    "sae_criterion_name",
+    "dead_neurons_steps",
+    "mis",
+    "compute_ie",
+    "sae_checkpoint_epoch",
+)
+
+
+def _parse_bool(s: str) -> bool:
+    # The reference uses eval("True") (execute_project.py:40-64); we parse strictly.
+    if s in ("True", "true", "1"):
+        return True
+    if s in ("False", "false", "0"):
+        return False
+    raise ValueError(f"Not a boolean literal: {s!r}")
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """One run of the pipeline — the typed equivalent of one parameters.txt line."""
+
+    # --- reference-parity fields ---
+    model_name: str = "custom_mlp_9"
+    sae_model_name: str = "sae_mlp"
+    sae_layer: str = "fc1"
+    directory_path: str = "runs"
+    wandb_status: bool = False
+    model_epochs: int = 1
+    model_learning_rate: float = 1e-3
+    batch_size: int = 64
+    model_optimizer_name: str = "adam"
+    sae_epochs: int = 1
+    sae_learning_rate: float = 1e-3
+    sae_optimizer_name: str = "constrained_adam"
+    sae_batch_size: int = 64
+    sae_lambda_sparse: float = 0.1
+    sae_expansion_factor: int = 2
+    dataset_name: str = "mnist"
+    training: bool = True
+    original_model: bool = False
+    model_criterion_name: str = "cross_entropy"
+    sae_criterion_name: str = "sae_loss"
+    dead_neurons_steps: int = 200
+    mis: str = "0"  # "0" | "1" (collect indices) | "2" (score)
+    compute_ie: str = "0"  # "0" | "1" | "2" | "3" | "4i" (i indexes the threshold grid)
+    sae_checkpoint_epoch: int = 0
+
+    # --- TPU-native extensions (no reference equivalent) ---
+    data_dir: str = ""  # where dataset files live; "" -> synthetic data
+    mesh_shape: tuple = ()  # e.g. (8,) for 1-D data-parallel; () -> all devices on 'data'
+    compute_dtype: str = "float32"  # or "bfloat16" for MXU-friendly compute
+    seed: int = 0
+    use_pallas: bool = True  # use fused Pallas SAE kernels where available
+    log_every: int = 100  # console log cadence (reference: utils.py:1259)
+
+    @property
+    def use_sae(self) -> bool:
+        return not self.original_model
+
+    # ---- legacy conversion -------------------------------------------------
+    @classmethod
+    def from_legacy_line(cls, line: str, **overrides: Any) -> "RunConfig":
+        """Parse one comma-separated parameters.txt line (reference: main.py:86-111)."""
+        values = [v.strip() for v in line.strip().split(",")]
+        if len(values) != len(LEGACY_FIELDS):
+            raise ValueError(
+                f"Expected {len(LEGACY_FIELDS)} fields, got {len(values)}: {line!r}"
+            )
+        raw = dict(zip(LEGACY_FIELDS, values))
+        kwargs: dict[str, Any] = dict(
+            model_name=raw["model_name"],
+            sae_model_name=raw["sae_model_name"],
+            sae_layer=raw["sae_layer"],
+            directory_path=raw["directory_path"],
+            wandb_status=_parse_bool(raw["wandb_status"]),
+            model_epochs=int(raw["model_epochs"]),
+            model_learning_rate=float(raw["model_learning_rate"]),
+            batch_size=int(raw["batch_size"]),
+            model_optimizer_name=raw["model_optimizer_name"],
+            sae_epochs=int(raw["sae_epochs"]),
+            sae_learning_rate=float(raw["sae_learning_rate"]),
+            sae_optimizer_name=raw["sae_optimizer_name"],
+            sae_batch_size=int(raw["sae_batch_size"]),
+            sae_lambda_sparse=float(raw["sae_lambda_sparse"]),
+            sae_expansion_factor=int(raw["sae_expansion_factor"]),
+            dataset_name=raw["dataset_name"],
+            training=_parse_bool(raw["training"]),
+            original_model=_parse_bool(raw["original_model"]),
+            model_criterion_name=raw["model_criterion_name"],
+            sae_criterion_name=raw["sae_criterion_name"],
+            dead_neurons_steps=int(raw["dead_neurons_steps"]),
+            mis=raw["mis"],
+            compute_ie=raw["compute_ie"],
+            sae_checkpoint_epoch=int(raw["sae_checkpoint_epoch"]),
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    def to_legacy_line(self) -> str:
+        def fmt(v: Any) -> str:
+            if isinstance(v, bool):
+                return "True" if v else "False"
+            return str(v)
+
+        return ",".join(fmt(getattr(self, f)) for f in LEGACY_FIELDS)
+
+    # ---- json --------------------------------------------------------------
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["mesh_shape"] = list(self.mesh_shape)
+        return json.dumps(d, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RunConfig":
+        d = json.loads(s)
+        d["mesh_shape"] = tuple(d.get("mesh_shape", ()))
+        return cls(**d)
+
+
+@dataclass
+class Sweep:
+    """Cartesian-product sweep over RunConfig fields.
+
+    Typed replacement for specify_parameters.py (reference: :250-293); validation rules
+    mirrored from :222-236 (e.g. MIS/IE only meaningful with a frozen SAE, not during
+    original-model training).
+    """
+
+    axes: dict = field(default_factory=dict)  # field name -> list of values
+    base: RunConfig = field(default_factory=RunConfig)
+
+    def __iter__(self) -> Iterator[RunConfig]:
+        names = list(self.axes)
+        for combo in itertools.product(*(self.axes[n] for n in names)):
+            cfg = dataclasses.replace(self.base, **dict(zip(names, combo)))
+            self.validate(cfg)
+            yield cfg
+
+    @staticmethod
+    def validate(cfg: RunConfig) -> None:
+        if cfg.original_model and cfg.compute_ie != "0":
+            # reference guard: specify_parameters.py:229-230
+            raise ValueError("IE can only be computed for the SAE model, not the original model.")
+        if cfg.compute_ie != "0" and cfg.training:
+            raise ValueError("IE is computed on a frozen SAE, not during training.")
+        if cfg.mis != "0" and cfg.training:
+            raise ValueError("MIS is computed on a frozen SAE, not during training.")
+
+    def write_jsonl(self, path: str) -> int:
+        n = 0
+        with open(path, "w") as f:
+            for cfg in self:
+                f.write(cfg.to_json() + "\n")
+                n += 1
+        return n
+
+    def write_legacy(self, path: str) -> int:
+        n = 0
+        with open(path, "w") as f:
+            for cfg in self:
+                f.write(cfg.to_legacy_line() + "\n")
+                n += 1
+        return n
+
+
+def read_jsonl(path: str) -> list[RunConfig]:
+    with open(path) as f:
+        return [RunConfig.from_json(line) for line in f if line.strip()]
+
+
+# Image sizes per dataset, stored channels-last (reference get_img_size, utils.py:139-149,
+# stores them channels-first).
+IMG_SIZES = {
+    "tiny_imagenet": (64, 64, 3),
+    "cifar_10": (32, 32, 3),
+    "mnist": (28, 28, 1),
+    "imagenet": (224, 224, 3),
+    "synthetic": (28, 28, 1),
+}
+
+NUM_CLASSES = {
+    "tiny_imagenet": 200,
+    "cifar_10": 10,
+    "mnist": 10,
+    "imagenet": 1000,
+    "synthetic": 10,
+}
+
+
+def get_img_size(dataset_name: str) -> tuple:
+    if dataset_name not in IMG_SIZES:
+        raise ValueError(f"Unsupported dataset: {dataset_name}")
+    return IMG_SIZES[dataset_name]

@@ -1,0 +1,103 @@
+"""Loss functions as pure jitted-friendly functions.
+
+Parity targets (semantics, not code) in the reference:
+- SparseLoss / compute_rmse_nrmse        losses/sparse_loss.py:4-61
+- GatedSAELoss                            losses/sparse_loss.py:64-75
+- total-loss assembly                     utils.py:2467-2475
+- CustomCrossEntropyLoss (NLL on already-softmaxed outputs)  utils.py:99-125
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rmse_nrmse(decoded: jax.Array, targets: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-dimension RMSE over the batch axis, and range-normalized NRMSE.
+
+    Matches reference compute_rmse_nrmse (losses/sparse_loss.py:4-21): MSE per output
+    dimension over axis 0, normalized by (max-min) per dimension, then averaged.
+    """
+    sq = jnp.square(decoded - targets)
+    sample_mse = jnp.mean(sq, axis=0)
+    sample_range = jnp.max(targets, axis=0) - jnp.min(targets, axis=0)
+    sample_rmse = jnp.sqrt(sample_mse)
+    nrmse = jnp.mean(sample_rmse / sample_range)
+    rmse = jnp.mean(sample_rmse)
+    return rmse, nrmse
+
+
+def sae_loss_terms(
+    encoded: jax.Array, decoded: jax.Array, targets: jax.Array, lambda_sparse: float
+) -> dict:
+    """ReLU-SAE loss: MSE reconstruction + mean(|encoded|) L1, plus RMSE/NRMSE metrics.
+
+    total = rec + lambda * l1 (reference: utils.py:2467-2470).
+    """
+    rec = jnp.mean(jnp.square(decoded - targets))
+    l1 = jnp.mean(jnp.abs(encoded))
+    rmse, nrmse = rmse_nrmse(decoded, targets)
+    total = rec + lambda_sparse * l1
+    return {
+        "loss": total,
+        "rec_loss": rec,
+        "l1_loss": l1,
+        "nrmse_loss": nrmse,
+        "rmse_loss": rmse,
+        "aux_loss": jnp.zeros((), decoded.dtype),
+    }
+
+
+def gated_sae_loss_terms(
+    relu_pi_gate: jax.Array,
+    via_gate: jax.Array,
+    decoded: jax.Array,
+    targets: jax.Array,
+    lambda_sparse: float,
+) -> dict:
+    """Gated-SAE loss (Rajamanoharan et al.): rec + lambda*mean|relu(pi_gate)| + aux MSE.
+
+    total = rec + lambda * l1 + aux (reference: losses/sparse_loss.py:64-75 assembled at
+    utils.py:2471-2473). ``via_gate`` is relu(pi_gate) through the FROZEN decoder.
+    """
+    rec = jnp.mean(jnp.square(decoded - targets))
+    l1 = jnp.mean(jnp.abs(relu_pi_gate))
+    aux = jnp.mean(jnp.square(via_gate - targets))
+    rmse, nrmse = rmse_nrmse(decoded, targets)
+    total = rec + lambda_sparse * l1 + aux
+    return {
+        "loss": total,
+        "rec_loss": rec,
+        "l1_loss": l1,
+        "nrmse_loss": nrmse,
+        "rmse_loss": rmse,
+        "aux_loss": aux,
+    }
+
+
+def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Mean softmax cross-entropy over integer labels (torch nn.CrossEntropyLoss)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
+
+
+def negative_log_likelihood(probs: jax.Array, targets: jax.Array) -> jax.Array:
+    """NLL over ALREADY-SOFTMAXED outputs: -log(p[target] + 1e-40), averaged.
+
+    The reference introduced this (utils.py:99-125) because its tracing tool choked on
+    an assert inside CrossEntropyLoss; we keep it for parity with IE runs that feed
+    softmaxed model outputs.
+    """
+    p = jnp.take_along_axis(probs, targets[:, None], axis=-1)[:, 0]
+    return jnp.mean(-jnp.log(p + 1e-40))
+
+
+def get_criterion(name: str):
+    """Criterion factory (reference: utils.py:127-137)."""
+    if name == "cross_entropy":
+        return cross_entropy
+    if name == "negative_log_likelihood":
+        return negative_log_likelihood
+    raise ValueError(f"Unsupported criterion: {name}")
