@@ -1,0 +1,231 @@
+"""Sparse-autoencoder variants as pure functions over explicit parameter pytrees.
+
+Three variants, matching the reference's capability set:
+- ReLU-MLP SAE   (reference: models/sae_mlp.py:42-53)
+- Gated SAE      (reference: models/gated_sae.py:33-56, Rajamanoharan et al.)
+- Conv SAE       (reference: models/sae_conv.py — dead in the reference's main path,
+                  implemented properly here)
+
+Parameter layout (math convention, NOT torch's transposed nn.Linear storage):
+  W_enc [d, h]   encode: pre = (x - b_dec) @ W_enc + b_enc
+  W_dec [h, d]   decode: recon = relu(pre) @ W_dec + b_dec; row j of W_dec is latent j's
+                 direction (the reference's decoder-weight COLUMN, sae_mlp.py:35-40),
+                 initialized and maintained at unit norm.
+
+Token convention: conv feature maps [B, H, W, C] are flattened to [B*H*W, C] tokens
+(reference: utils.py:2448-2451 does (b c h w) -> (b h w) c) — same token set, free
+relayout in NHWC.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# init helpers
+# ---------------------------------------------------------------------------
+
+def kaiming_uniform(key: jax.Array, shape: tuple, fan_in: int, dtype=jnp.float32) -> jax.Array:
+    """torch.nn.init.kaiming_uniform_ default (a=0, fan_in, leaky_relu):
+    U(-sqrt(6/fan_in), sqrt(6/fan_in))."""
+    bound = (6.0 / fan_in) ** 0.5
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _unit_rows(w: jax.Array) -> jax.Array:
+    return w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# ReLU-MLP SAE
+# ---------------------------------------------------------------------------
+
+def init_sae_mlp(key: jax.Array, d: int, expansion_factor: int, dtype=jnp.float32) -> dict:
+    """Kaiming-uniform encoder, zero biases, unit-norm decoder rows
+    (reference: sae_mlp.py:26-40)."""
+    h = int(d * expansion_factor)
+    k_enc, k_dec = jax.random.split(key)
+    # torch encoder weight is [h, d] with fan_in=d; ours is its transpose
+    w_enc = kaiming_uniform(k_enc, (h, d), fan_in=d, dtype=dtype).T
+    # torch decoder weight is [d, h] with fan_in=h, column-normalized; ours is transpose
+    w_dec = kaiming_uniform(k_dec, (d, h), fan_in=h, dtype=dtype).T
+    w_dec = _unit_rows(w_dec)
+    return {
+        "W_enc": w_enc,
+        "b_enc": jnp.zeros((h,), dtype),
+        "W_dec": w_dec,
+        "b_dec": jnp.zeros((d,), dtype),
+    }
+
+
+def sae_mlp_apply(params: dict, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (encoded, decoded, pre_relu) on token input [T, d]
+    (reference: sae_mlp.py:42-53)."""
+    x_cent = x - params["b_dec"]
+    pre = x_cent @ params["W_enc"] + params["b_enc"]
+    post = jax.nn.relu(pre)
+    recon = post @ params["W_dec"] + params["b_dec"]
+    return post, recon, pre
+
+
+# ---------------------------------------------------------------------------
+# Gated SAE
+# ---------------------------------------------------------------------------
+
+def init_gated_sae(key: jax.Array, d: int, expansion_factor: int, dtype=jnp.float32) -> dict:
+    """reference: gated_sae.py:8-30 (kaiming W_gate, zero b_gate/b_mag/r_mag,
+    unit-norm decoder)."""
+    h = int(d * expansion_factor)
+    k_gate, k_dec = jax.random.split(key)
+    w_gate = kaiming_uniform(k_gate, (h, d), fan_in=d, dtype=dtype).T
+    w_dec = kaiming_uniform(k_dec, (d, h), fan_in=h, dtype=dtype).T
+    w_dec = _unit_rows(w_dec)
+    return {
+        "W_gate": w_gate,
+        "b_gate": jnp.zeros((h,), dtype),
+        "b_mag": jnp.zeros((h,), dtype),
+        "r_mag": jnp.zeros((h,), dtype),
+        "W_dec": w_dec,
+        "b_dec": jnp.zeros((d,), dtype),
+    }
+
+
+def gated_sae_apply(params: dict, x: jax.Array) -> tuple:
+    """Returns (encoded, decoded, relu_pi_gate, via_gate) (reference: gated_sae.py:33-56).
+
+    - binary gate: detached heaviside with value 0.5 at exactly 0
+    - weight sharing: W_mag = exp(r_mag) ⊙ W_gate (per-latent rescale)
+    - via_gate: relu(pi_gate) through the FROZEN (stop-gradient) decoder
+    """
+    x_cent = x - params["b_dec"]
+    pi_gate = x_cent @ params["W_gate"] + params["b_gate"]
+    f_gate = jax.lax.stop_gradient(
+        jnp.where(pi_gate > 0, 1.0, jnp.where(pi_gate == 0, 0.5, 0.0)).astype(x.dtype)
+    )
+    w_mag = params["W_gate"] * jnp.exp(params["r_mag"])[None, :]
+    f_mag = jax.nn.relu(x_cent @ w_mag + params["b_mag"])
+    encoded = f_gate * f_mag
+    decoded = encoded @ params["W_dec"] + params["b_dec"]
+    relu_pi_gate = jax.nn.relu(pi_gate)
+    via_gate = relu_pi_gate @ jax.lax.stop_gradient(params["W_dec"]) + jax.lax.stop_gradient(
+        params["b_dec"]
+    )
+    return encoded, decoded, relu_pi_gate, via_gate
+
+
+# ---------------------------------------------------------------------------
+# Conv SAE (NHWC)
+# ---------------------------------------------------------------------------
+
+def init_sae_conv(key: jax.Array, c: int, expansion_factor: int, dtype=jnp.float32) -> dict:
+    """3x3 conv encoder/decoder with channel expansion (reference: sae_conv.py:25-35;
+    torch Conv2d default init: kaiming_uniform a=sqrt(5) => U(±1/sqrt(fan_in)),
+    bias U(±1/sqrt(fan_in)))."""
+    ck = c * expansion_factor
+    keys = jax.random.split(key, 4)
+
+    def conv_init(k, kb, cin, cout):
+        fan_in = cin * 9
+        bound = 1.0 / fan_in**0.5
+        w = jax.random.uniform(k, (3, 3, cin, cout), dtype, -bound, bound)
+        b = jax.random.uniform(kb, (cout,), dtype, -bound, bound)
+        return w, b
+
+    w_enc, b_enc = conv_init(keys[0], keys[1], c, ck)
+    w_dec, b_dec = conv_init(keys[2], keys[3], ck, c)
+    return {"W_enc": w_enc, "b_enc": b_enc, "W_dec": w_dec, "b_dec": b_dec}
+
+
+def _conv3x3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b
+
+
+def sae_conv_apply(params: dict, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Returns (encoded, decoded) on NHWC input (reference: sae_conv.py:37-42 —
+    ReLU after BOTH encoder and decoder convs)."""
+    encoded = jax.nn.relu(_conv3x3(x, params["W_enc"], params["b_enc"]))
+    decoded = jax.nn.relu(_conv3x3(encoded, params["W_dec"], params["b_dec"]))
+    return encoded, decoded
+
+
+# ---------------------------------------------------------------------------
+# factory + splice helper
+# ---------------------------------------------------------------------------
+
+def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int, dtype=jnp.float32) -> dict:
+    if name == "sae_mlp":
+        return init_sae_mlp(key, d_or_c, expansion_factor, dtype)
+    if name == "gated_sae":
+        return init_gated_sae(key, d_or_c, expansion_factor, dtype)
+    if name == "sae_conv":
+        return init_sae_conv(key, d_or_c, expansion_factor, dtype)
+    raise ValueError(f"Unknown SAE model name {name}.")
+
+
+def tokens_from_act(act: jax.Array) -> tuple[jax.Array, bool]:
+    """[B, H, W, C] -> [B*H*W, C] tokens (reference reshape_tensor, utils.py:2770-2774)."""
+    if act.ndim == 4:
+        b, h, w, c = act.shape
+        return act.reshape(b * h * w, c), True
+    return act, False
+
+
+def act_from_tokens(tok: jax.Array, like_shape: tuple) -> jax.Array:
+    b, h, w, _ = like_shape
+    return tok.reshape(b, h, w, tok.shape[-1])
+
+
+def sae_inference_and_loss(
+    sae_model_name: str,
+    params: dict,
+    act: jax.Array,
+    lambda_sparse: float,
+) -> dict:
+    """SAE splice helper: reshape conv taps to tokens, run the SAE, compute all loss
+    terms, reshape outputs back (reference: utils.py:2448-2482 sae_inference_and_loss).
+
+    Returns a dict with loss terms plus 'encoded', 'encoded_pre' (None for gated),
+    'decoded' — 'encoded*' in NHWC if the input was 4-D, matching the reference's
+    rearrange of encoder outputs back to feature-map layout (utils.py:2463-2466).
+    """
+    from sparse_vision_tpu.ops import losses  # local import to avoid cycles
+
+    if sae_model_name == "sae_conv":
+        encoded, decoded = sae_conv_apply(params, act)
+        flat_d = decoded.reshape(decoded.shape[0], -1)
+        flat_t = act.reshape(act.shape[0], -1)
+        terms = losses.sae_loss_terms(encoded, flat_d, flat_t, lambda_sparse)
+        terms.update(encoded=encoded, encoded_pre=None, decoded=decoded)
+        return terms
+
+    tok, transformed = tokens_from_act(act)
+    if sae_model_name == "sae_mlp":
+        encoded, decoded, pre = sae_mlp_apply(params, tok)
+        terms = losses.sae_loss_terms(encoded, decoded, tok, lambda_sparse)
+    elif sae_model_name == "gated_sae":
+        encoded, decoded, relu_pi_gate, via_gate = gated_sae_apply(params, tok)
+        pre = None
+        terms = losses.gated_sae_loss_terms(relu_pi_gate, via_gate, decoded, tok, lambda_sparse)
+    else:
+        raise ValueError(f"Unknown SAE model name {sae_model_name}.")
+
+    if transformed:
+        encoded = act_from_tokens(encoded, act.shape)
+        decoded = act_from_tokens(decoded, act.shape)
+        if pre is not None:
+            pre = act_from_tokens(pre, act.shape)
+    terms.update(encoded=encoded, encoded_pre=pre, decoded=decoded)
+    return terms
+
+
+def intervene_on_decoder_weights(params: dict, unit_index: int, value) -> dict:
+    """Set latent ``unit_index``'s decoder direction to ``value``
+    (reference: sae_mlp.py:187-199). Pure: returns new params."""
+    w = params["W_dec"].at[unit_index, :].set(value)
+    return {**params, "W_dec": w}

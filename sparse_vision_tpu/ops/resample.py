@@ -1,0 +1,117 @@
+"""Dead-neuron resampling as a pure function, plus the resample/reset schedule.
+
+Reference semantics (sae_mlp.py:79-184 reset_encoder_weights + model_pipeline.py:771-794
+schedule): with n = dead_neurons_steps and i = 1-based train step,
+- resample at i where (i-1) % n == 0, ((i-1)//n) % 2 == 0, i != 1  (i.e. 2n+1, 4n+1, ...)
+- reset the dead-neuron measurement (without resampling) at i = n, 3n, 5n, ...
+so the SAE alternates n measured steps -> resample -> n burn-in steps -> ...
+
+The reference mutates parameter rows/columns and Adam moment slices in place; here the
+whole surgery is a pure jnp.where over the latent axis, executable under jit/lax.cond
+and trivially correct under sharding (each chip rewrites its local latent rows).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sparse_vision_tpu.models.sae import kaiming_uniform
+
+
+def should_resample(step: jax.Array, dead_neurons_steps: int) -> jax.Array:
+    """1-based train step i: true at i = 2n+1, 4n+1, ... (model_pipeline.py:771-775)."""
+    i = step
+    n = dead_neurons_steps
+    return ((i - 1) % n == 0) & (((i - 1) // n) % 2 == 0) & (i - 1 != 0)
+
+
+def should_reset_measurement(step: jax.Array, dead_neurons_steps: int) -> jax.Array:
+    """True at i = n, 3n, 5n, ... (model_pipeline.py:786-788): clear the dead-neuron
+    accumulator without resampling."""
+    i = step
+    n = dead_neurons_steps
+    return (i == n) | ((i > n) & (i % n == 0) & ((i // n) % 2 == 1))
+
+
+def resample_dead_neurons(
+    params: dict,
+    opt_state,
+    dead_mask: jax.Array,  # bool [h], True = dead
+    key: jax.Array,
+) -> tuple[dict, object]:
+    """Re-initialize dead latents of an sae_mlp and zero their Adam moments.
+
+    Faithful to reference sae_mlp.py:103-176 including its quirks:
+    - new encoder rows: Kaiming-uniform, row-normalized to the mean L2 norm of the LIVE
+      encoder rows (torch rows [h, d] == our W_enc columns [d, h]).
+    - new decoder entries: Kaiming-uniform draw whose rows (torch dim=1) are normalized
+      to the mean of ``norm(W_dec[:, live], dim=1)`` — the reference's quirk of norming
+      the act-axis rows ACROSS live latents (sae_mlp.py:118-120, which its own comment
+      questions); dead columns are then spliced in and ALL columns renormalized to unit
+      norm, so only the direction mix (not the scale) survives — replicated exactly.
+    - b_enc[dead] = mean(|b_enc[live]|)  (sae_mlp.py:122-130)
+    - Adam exp_avg / exp_avg_sq slices of dead latents are zeroed for W_enc, b_enc,
+      W_dec (sae_mlp.py:148-176). Adam's step count is NOT reset (reference keeps it).
+    If there are no live latents the norms fall back to 1 to avoid NaN.
+    """
+    w_enc, b_enc, w_dec = params["W_enc"], params["b_enc"], params["W_dec"]
+    d, h = w_enc.shape
+    live = ~dead_mask
+    n_live = jnp.maximum(jnp.sum(live), 1)
+
+    k_enc, k_dec = jax.random.split(key)
+
+    # --- encoder weights: our W_enc[d, h] columns are torch's rows ---
+    enc_norms = jnp.linalg.norm(w_enc, axis=0)  # [h]
+    avg_l2_enc = jnp.where(
+        jnp.any(live), jnp.sum(jnp.where(live, enc_norms, 0.0)) / n_live, 1.0
+    )
+    new_enc_t = kaiming_uniform(k_enc, (h, d), fan_in=d, dtype=w_enc.dtype)  # torch layout
+    new_enc_t = new_enc_t / jnp.linalg.norm(new_enc_t, axis=1, keepdims=True) * avg_l2_enc
+    new_w_enc = jnp.where(dead_mask[None, :], new_enc_t.T, w_enc)
+
+    # --- encoder bias ---
+    avg_abs_b = jnp.where(
+        jnp.any(live), jnp.sum(jnp.where(live, jnp.abs(b_enc), 0.0)) / n_live, 0.0
+    )
+    new_b_enc = jnp.where(dead_mask, avg_abs_b, b_enc)
+
+    # --- decoder weights: our W_dec[h, d] rows are torch's columns ---
+    # reference quirk: mean over act-axis rows of norms across LIVE latents (dim=1 of
+    # torch W_dec[:, live]) — i.e. per-act-dim norms over the live-latent axis.
+    dec_live = jnp.where(live[:, None], w_dec, 0.0)  # [h, d]
+    quirk_norms = jnp.linalg.norm(dec_live, axis=0)  # [d] — norm across live latents
+    avg_l2_dec = jnp.where(jnp.any(live), jnp.mean(quirk_norms), 1.0)
+    new_dec_t = kaiming_uniform(k_dec, (d, h), fan_in=h, dtype=w_dec.dtype)  # torch [d, h]
+    new_dec_t = new_dec_t / jnp.linalg.norm(new_dec_t, axis=1, keepdims=True) * avg_l2_dec
+    new_w_dec = jnp.where(dead_mask[:, None], new_dec_t.T, w_dec)
+    # renormalize ALL latent directions to unit norm (sae_mlp.py:141-143)
+    new_w_dec = new_w_dec / jnp.linalg.norm(new_w_dec, axis=1, keepdims=True)
+
+    new_params = dict(params)
+    new_params.update(W_enc=new_w_enc, b_enc=new_b_enc, W_dec=new_w_dec)
+
+    # --- zero Adam moments of the dead slices ---
+    def zero_dead_moments(moments: dict) -> dict:
+        out = dict(moments)
+        if "W_enc" in out:
+            out["W_enc"] = jnp.where(dead_mask[None, :], 0.0, out["W_enc"])
+        if "b_enc" in out:
+            out["b_enc"] = jnp.where(dead_mask, 0.0, out["b_enc"])
+        if "W_dec" in out:
+            out["W_dec"] = jnp.where(dead_mask[:, None], 0.0, out["W_dec"])
+        return out
+
+    def fix_state(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=s.count, mu=zero_dead_moments(s.mu), nu=zero_dead_moments(s.nu)
+            )
+        return s
+
+    new_opt_state = jax.tree.map(
+        fix_state, opt_state, is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState)
+    )
+    return new_params, new_opt_state
