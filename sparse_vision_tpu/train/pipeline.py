@@ -1,0 +1,338 @@
+"""Run orchestration: the TPU-native equivalent of the reference's ModelPipeline +
+ExecuteProject (model_pipeline.py:24-1425, execute_project.py:8-235).
+
+Five run modes, dispatched from RunConfig exactly like deploy_model
+(model_pipeline.py:1288-1425):
+  1. train original model      (original_model=True,  training=True)
+  2. eval original model       (original_model=True,  training=False)
+  3. train SAE                 (original_model=False, training=True)
+  4. eval modified model       (original_model=False, training=False, mis="0")
+  5. MIS collection            (mis="1": eval-style epoch on TRAIN data storing
+                                per-unit max/min sample indices)
+  (compute_ie != "0" dispatches to the circuit tier, interp/ie.py.)
+
+Epoch loop parity (deploy_model:1306-1335): eval before the first train epoch, then
+train/eval alternating; per-epoch checkpoint of {params, opt_state, step, dead_acc}
+(model_pipeline.py:1266-1280); resume restores optimizer state and the train step
+counter so the dead-neuron schedule continues (model_pipeline.py:234-263).
+
+The reference's first-batch `break` debug leftover (model_pipeline.py:631-633) is NOT
+replicated: epochs iterate all batches.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_vision_tpu.config import RunConfig, get_img_size
+from sparse_vision_tpu.data.datasets import load_data
+from sparse_vision_tpu.data.prefetch import device_put_batch
+from sparse_vision_tpu.eval_tools import results as results_store
+from sparse_vision_tpu.models.backbone import (
+    get_sae_input_size,
+    init_backbone,
+    make_backbone,
+)
+from sparse_vision_tpu.models.sae import init_sae
+from sparse_vision_tpu.ops import optim
+from sparse_vision_tpu.ops.topk import TopKState, init_topk, update_topk
+from sparse_vision_tpu.parallel.mesh import data_sharding, make_mesh
+from sparse_vision_tpu.train import checkpoint as ckpt
+from sparse_vision_tpu.train.steps import (
+    ModelTrainState,
+    SAETrainState,
+    init_sae_train_state,
+    make_model_eval_step,
+    make_model_train_step,
+    make_sae_eval_step,
+    make_sae_train_step,
+)
+from sparse_vision_tpu.ops.losses import get_criterion
+from sparse_vision_tpu.utils.logging import RunLogger
+from sparse_vision_tpu.utils.paths import folder_paths, run_id, sae_params_no_epochs
+
+
+class Pipeline:
+    def __init__(self, cfg: RunConfig, mesh=None, logger: Optional[RunLogger] = None):
+        self.cfg = cfg
+        self.paths = folder_paths(cfg)
+        self.run_id = run_id(cfg)
+        self.logger = logger or RunLogger(
+            self.run_id, use_wandb=cfg.wandb_status, log_every=cfg.log_every
+        )
+        self.mesh = mesh if mesh is not None else (
+            make_mesh(cfg.mesh_shape) if cfg.mesh_shape else None
+        )
+        self.batch_sharding = data_sharding(self.mesh) if self.mesh else None
+
+        self.net = make_backbone(cfg.model_name, cfg.dataset_name)
+        self.train_ds, self.val_ds, self.category_names, self.img_size = load_data(cfg)
+        self.criterion = get_criterion(cfg.model_criterion_name)
+
+        key = jax.random.key(cfg.seed)
+        k_model, self.k_sae = jax.random.split(key)
+        self.frozen_params, self.net_state = init_backbone(
+            self.net, k_model, cfg.dataset_name
+        )
+        # frozen backbone weights: load the trained original model when available
+        # (reference: load_pretrained_model, utils.py:197-225)
+        model_ckpt_dir = self.paths["model_weights"]
+        last = ckpt.latest_epoch(model_ckpt_dir)
+        if last is not None:
+            restored = ckpt.load_checkpoint(
+                model_ckpt_dir, last,
+                like={"params": self.frozen_params, "net_state": self.net_state},
+            )
+            self.frozen_params = restored["params"]
+            self.net_state = restored["net_state"]
+            print(f"Loaded original-model weights from epoch {last}.")
+
+        if cfg.use_sae:
+            self.sae_input_size = get_sae_input_size(
+                self.net, cfg.dataset_name, cfg.sae_layer
+            )
+            self.sae_params = init_sae(
+                cfg.sae_model_name, self.k_sae, self.sae_input_size,
+                cfg.sae_expansion_factor,
+            )
+            self.num_units = self._num_latents()
+            self.tx = optim.get_optimizer(cfg.sae_optimizer_name, cfg.sae_learning_rate)
+            self.ts = init_sae_train_state(
+                self.sae_params, self.tx, self.num_units, seed=cfg.seed
+            )
+            if cfg.sae_checkpoint_epoch > 0:
+                self._restore_sae(cfg.sae_checkpoint_epoch)
+        else:
+            self.tx = optim.get_optimizer(
+                cfg.model_optimizer_name, cfg.model_learning_rate
+            )
+            self.mts = ModelTrainState(
+                params=self.frozen_params,
+                net_state=self.net_state,
+                opt_state=self.tx.init(self.frozen_params),
+                step=jnp.zeros((), jnp.int32),
+            )
+
+    # ------------------------------------------------------------------
+    def _num_latents(self) -> int:
+        cfg = self.cfg
+        if cfg.sae_model_name == "sae_conv":
+            return self.sae_input_size * cfg.sae_expansion_factor
+        return int(self.sae_input_size * cfg.sae_expansion_factor)
+
+    def _sae_ckpt_dir(self) -> str:
+        name = f"{self.cfg.sae_layer}_" + "_".join(
+            str(v) for v in sae_params_no_epochs(self.cfg).values()
+        )
+        return os.path.join(self.paths["checkpoints"], name)
+
+    def _restore_sae(self, epoch: int) -> None:
+        like = {
+            "params": self.ts.params,
+            "opt_state": self.ts.opt_state,
+            "step": self.ts.step,
+            "dead_acc": self.ts.dead_acc,
+        }
+        restored = ckpt.load_checkpoint(self._sae_ckpt_dir(), epoch, like=like)
+        self.ts = SAETrainState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]),
+            dead_acc=jnp.asarray(restored["dead_acc"]),
+            rng=self.ts.rng,
+        )
+        print(f"Resumed SAE from checkpoint epoch {epoch} (train step {int(self.ts.step)}).")
+
+    def _put(self, batch):
+        return device_put_batch(batch, self.batch_sharding)
+
+    # ------------------------------------------------------------------
+    # mode dispatch (deploy_model, model_pipeline.py:1288-1425)
+    # ------------------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        if cfg.compute_ie != "0":
+            from sparse_vision_tpu.interp.ie import run_ie
+
+            return run_ie(self, cfg.compute_ie)
+        if cfg.mis == "1":
+            return self.mis_epoch()
+        if cfg.mis == "2":
+            from sparse_vision_tpu.interp.mis import compute_mis_for_run
+
+            return compute_mis_for_run(self)
+        if cfg.use_sae and cfg.training:
+            return self.train_sae()
+        if cfg.use_sae:
+            return self.eval_modified(epoch=cfg.sae_checkpoint_epoch)
+        if cfg.training:
+            return self.train_original()
+        return self.eval_original()
+
+    # ------------------------------------------------------------------
+    # SAE training (mode 3)
+    # ------------------------------------------------------------------
+    def train_sae(self):
+        cfg = self.cfg
+        step_fn = make_sae_train_step(
+            self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
+            self.tx, cfg.dead_neurons_steps, cfg.sae_expansion_factor, self.criterion,
+        )
+        start = cfg.sae_checkpoint_epoch
+        last_eval = None
+        self.eval_modified(epoch=start, store=False)  # pre-training eval (deploy:1315-1320)
+        for epoch in range(start, cfg.sae_epochs):
+            for batch in self.train_ds.batches(
+                cfg.sae_batch_size, shuffle=True, seed=cfg.seed + epoch
+            ):
+                b = self._put(batch)
+                self.ts, m = step_fn(
+                    self.ts, self.frozen_params, self.net_state, b.images, b.labels
+                )
+                self.logger.log_train(int(self.ts.step), m)
+            ckpt.save_checkpoint(
+                self._sae_ckpt_dir(), epoch + 1,
+                {
+                    "params": self.ts.params,
+                    "opt_state": self.ts.opt_state,
+                    "step": self.ts.step,
+                    "dead_acc": self.ts.dead_acc,
+                },
+            )
+            last_eval = self.eval_modified(epoch=epoch + 1)
+        return last_eval
+
+    # ------------------------------------------------------------------
+    # modified-model eval (mode 4) — also the per-epoch eval during training
+    # ------------------------------------------------------------------
+    def eval_modified(self, epoch: int, store: bool = True, on_train_data: bool = False,
+                      k: int = 25):
+        cfg = self.cfg
+        step_fn = make_sae_eval_step(
+            self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
+            cfg.sae_expansion_factor, self.criterion,
+        )
+        ds = self.train_ds if on_train_data else self.val_ds
+        sums: dict = {}
+        dead_acc = None
+        top_state = init_topk(k, self.num_units, largest=True)
+        small_state = init_topk(k, self.num_units, largest=False)
+        num_batches = 0
+        correct = 0
+        total = 0
+        bs = cfg.sae_batch_size
+        for batch in ds.batches(bs, shuffle=False):
+            b = self._put(batch)
+            m, arrays = step_fn(
+                self.ts.params, self.frozen_params, self.net_state, b.images, b.labels
+            )
+            num_batches += 1
+            for key, v in m.items():
+                sums[key] = sums.get(key, 0.0) + float(v)
+            dead_acc = (
+                arrays["dead"] if dead_acc is None
+                else jnp.logical_and(dead_acc, arrays["dead"])
+            )
+            start_idx = jnp.int32((num_batches - 1) * bs)
+            top_state = update_topk(top_state, arrays["topk_acts"], start_idx, b.indices)
+            small_state = update_topk(small_state, arrays["topk_acts"], start_idx, b.indices)
+            correct += int(arrays["correct"])
+            total += bs
+        if num_batches == 0:
+            raise ValueError("Empty evaluation dataset")
+        means = {key: v / num_batches for key, v in sums.items()}
+        means["accuracy"] = correct / total  # exact, like reference (:669-672, 997)
+        means["perc_dead_units"] = float(jnp.sum(dead_acc) / dead_acc.shape[0])
+        self.logger.log_eval(epoch, means)
+
+        # per-unit max/min sample indices for MIS (model_pipeline.py:948-961)
+        fn_dir = os.path.join(self.paths["evaluation_results"], "filename_indices")
+        os.makedirs(fn_dir, exist_ok=True)
+        np.savez(
+            os.path.join(fn_dir, f"{self.run_id}_epoch_{epoch}.npz"),
+            max_filename_indices=np.asarray(top_state.filename_indices),
+            min_filename_indices=np.asarray(small_state.filename_indices),
+            dead_units=np.asarray(dead_acc),
+        )
+
+        if store:
+            row = {
+                "lambda_sparse": cfg.sae_lambda_sparse,
+                "expansion_factor": cfg.sae_expansion_factor,
+                "batch_size": cfg.sae_batch_size,
+                "optimizer_name": cfg.sae_optimizer_name,
+                "learning_rate": cfg.sae_learning_rate,
+                "rec_loss": means.get("sae_rec_loss"),
+                "l1_loss": means.get("sae_l1_loss"),
+                "nrmse_loss": means.get("sae_nrmse_loss"),
+                "rmse_loss": means.get("sae_rmse_loss"),
+                "aux_loss": means.get("sae_aux_loss"),
+                "rel_sparsity": means.get("sparsity"),
+                "var_expl": means.get("var_expl"),
+                "perc_dead_units": means.get("perc_dead_units"),
+                "loss_diff": means.get("loss_diff"),
+                "median_mis": None,
+                "epochs": epoch,
+            }
+            folder = self.paths["evaluation_results"]
+            results_store.store_run_result(folder, f"{self.run_id}_epoch_{epoch}", row)
+            results_store.merge_results(folder)
+        return means
+
+    # ------------------------------------------------------------------
+    # MIS collection epoch (mode 5; reference epoch("mis"), model_pipeline.py:500-503,
+    # 948-979: k = n_mis * (k_mis + 1) = 200 on TRAIN data)
+    # ------------------------------------------------------------------
+    def mis_epoch(self, n_mis: int = 20, k_mis: int = 9):
+        k = n_mis * (k_mis + 1)
+        return self.eval_modified(
+            epoch=self.cfg.sae_checkpoint_epoch, store=False, on_train_data=True, k=k
+        )
+
+    # ------------------------------------------------------------------
+    # original-model training / eval (modes 1-2)
+    # ------------------------------------------------------------------
+    def train_original(self):
+        cfg = self.cfg
+        step_fn = make_model_train_step(self.net, self.tx, self.criterion)
+        for epoch in range(cfg.model_epochs):
+            self.eval_original(epoch) if epoch == 0 else None
+            for batch in self.train_ds.batches(
+                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
+            ):
+                b = self._put(batch)
+                self.mts, m = step_fn(self.mts, b.images, b.labels)
+                self.logger.log_train(int(self.mts.step), m)
+            # per-epoch LR schedule step (reference: model_pipeline.py:963-965)
+            self.mts = self.mts._replace(opt_state=optim.advance_epoch(self.mts.opt_state))
+            ckpt.save_checkpoint(
+                self.paths["model_weights"], epoch + 1,
+                {"params": self.mts.params, "net_state": self.mts.net_state},
+            )
+            self.eval_original(epoch + 1)
+        # expose trained weights as the frozen backbone for subsequent SAE stages
+        self.frozen_params = self.mts.params
+        self.net_state = self.mts.net_state
+        return self.mts
+
+    def eval_original(self, epoch: int = 0):
+        cfg = self.cfg
+        step_fn = make_model_eval_step(self.net, self.criterion)
+        params = self.mts.params if hasattr(self, "mts") else self.frozen_params
+        net_state = self.mts.net_state if hasattr(self, "mts") else self.net_state
+        sums: dict = {}
+        num_batches = 0
+        for batch in self.val_ds.batches(cfg.batch_size, shuffle=False):
+            b = self._put(batch)
+            m, _, _ = step_fn(params, net_state, b.images, b.labels)
+            num_batches += 1
+            for key, v in m.items():
+                sums[key] = sums.get(key, 0.0) + float(v)
+        means = {key: v / num_batches for key, v in sums.items()}
+        self.logger.log_eval(epoch, means)
+        return means

@@ -1,0 +1,266 @@
+"""Jitted train/eval step functions.
+
+The reference trains the SAE *inside a forward hook* of a no-grad model forward
+(model_pipeline.py:363-432: detach tap -> enable_grad -> SAE fwd/loss -> backward ->
+optimizer.step, then splice the decoder output back). Here each mode is ONE pure jitted
+step over an explicit train state — the TPU-idiomatic equivalent (SURVEY.md §7.1):
+
+  sae_train_step:  tap (frozen backbone) -> value_and_grad over SAE params only ->
+                   ConstrainedAdam update -> dead-unit accumulator -> scheduled
+                   resample under lax.cond -> (optional) splice-forward for
+                   KLD/%same/loss-diff parity metrics.
+
+All functions are shape-static and shard transparently: with the batch sharded over the
+'data' mesh axis, every mean/all/any reduction lowers to an XLA collective.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sparse_vision_tpu.models.layers import SeqNet
+from sparse_vision_tpu.models.sae import sae_inference_and_loss
+from sparse_vision_tpu.ops import losses, metrics
+from sparse_vision_tpu.ops.resample import (
+    resample_dead_neurons,
+    should_reset_measurement,
+    should_resample,
+)
+
+
+class SAETrainState(NamedTuple):
+    params: dict
+    opt_state: Any
+    step: jax.Array  # int32 — completed train batches (train_batch_idx)
+    dead_acc: jax.Array  # bool [h] — running AND across batches since last reset
+    rng: jax.Array
+
+
+class ModelTrainState(NamedTuple):
+    params: dict
+    net_state: dict  # BN running stats etc.
+    opt_state: Any
+    step: jax.Array
+
+
+def init_sae_train_state(sae_params: dict, tx, hidden: int, seed: int = 0) -> SAETrainState:
+    return SAETrainState(
+        params=sae_params,
+        opt_state=tx.init(sae_params),
+        step=jnp.zeros((), jnp.int32),
+        dead_acc=jnp.ones((hidden,), bool),
+        rng=jax.random.key(seed),
+    )
+
+
+def _num_units(sae_model_name: str, params: dict) -> int:
+    if sae_model_name == "gated_sae":
+        return params["b_gate"].shape[0]
+    if sae_model_name == "sae_conv":
+        return params["W_enc"].shape[-1]
+    return params["b_enc"].shape[0]
+
+
+def make_sae_train_step(
+    net: SeqNet,
+    sae_layer: str,
+    sae_model_name: str,
+    lambda_sparse: float,
+    tx: optax.GradientTransformation,
+    dead_neurons_steps: int,
+    expansion_factor: int,
+    criterion,
+    full_metrics: bool = True,
+    last_stage: Optional[str] = None,
+):
+    """Build the jitted SAE train step.
+
+    full_metrics=True reproduces the reference's per-train-batch bookkeeping
+    (model_pipeline.py:602-938): modified-model logits via splice, original logits,
+    KLD / %same-classification / loss-diff / accuracy. Turning it off keeps only the
+    SAE update + dead-unit stats — the throughput configuration.
+    """
+    last = last_stage or net.stage_names[-1]
+    # the reference only resamples SaeMLP (reset_encoder_weights is a SaeMLP method;
+    # model_pipeline.py:792 calls it unconditionally when use_sae)
+    can_resample = sae_model_name == "sae_mlp"
+
+    def loss_fn(sae_params, act):
+        out = sae_inference_and_loss(sae_model_name, sae_params, act, lambda_sparse)
+        return out["loss"], out
+
+    @jax.jit
+    def step_fn(ts: SAETrainState, frozen_params: dict, frozen_state: dict,
+                images: jax.Array, labels: jax.Array):
+        if full_metrics:
+            logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
+        else:
+            _, taps, _ = net.apply(
+                frozen_params, images, state=frozen_state, stop_at=sae_layer
+            )
+        act = jax.lax.stop_gradient(taps[sae_layer])
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params, act)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+
+        step = ts.step + 1
+
+        # dead-unit bookkeeping on the (post-activation) encoder output
+        dead, sparsity, _freq = metrics.measure_inactive_units(
+            out["encoded"], expansion_factor
+        )
+        dead_acc = jnp.logical_and(ts.dead_acc, dead)
+
+        rng, sub = jax.random.split(ts.rng)
+        if can_resample:
+            def do_resample(p, o, acc):
+                p2, o2 = resample_dead_neurons(p, o, acc, sub)
+                return p2, o2, jnp.ones_like(acc)
+
+            def no_resample(p, o, acc):
+                acc = jnp.where(
+                    should_reset_measurement(step, dead_neurons_steps),
+                    jnp.ones_like(acc), acc,
+                )
+                return p, o, acc
+
+            new_params, opt_state, dead_acc = jax.lax.cond(
+                should_resample(step, dead_neurons_steps),
+                do_resample, no_resample, new_params, opt_state, dead_acc,
+            )
+
+        out_metrics = {
+            "sae_loss": loss,
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sae_nrmse_loss": out["nrmse_loss"],
+            "sae_rmse_loss": out["rmse_loss"],
+            "sae_aux_loss": out["aux_loss"],
+            "sparsity": sparsity,
+            "perc_dead": jnp.sum(dead_acc) / dead_acc.shape[0],
+        }
+
+        if full_metrics:
+            logits_mod = net.apply_segment(
+                frozen_params, out["decoded"], after=sae_layer, upto=last,
+                state=frozen_state,
+            )
+            loss_mod = criterion(logits_mod, labels)
+            loss_orig = criterion(logits_orig, labels)
+            out_metrics.update(
+                model_loss=loss_mod,
+                loss_diff=loss_mod - loss_orig,
+                kld=metrics.kld_original_vs_modified(logits_orig, logits_mod),
+                perc_same=metrics.perc_same_classification(logits_orig, logits_mod),
+                accuracy=metrics.accuracy(logits_mod, labels),
+                var_expl=metrics.variance_explained(act, out["decoded"]),
+            )
+
+        new_ts = SAETrainState(new_params, opt_state, step, dead_acc, rng)
+        return new_ts, out_metrics
+
+    return step_fn
+
+
+def make_sae_eval_step(
+    net: SeqNet,
+    sae_layer: str,
+    sae_model_name: str,
+    lambda_sparse: float,
+    expansion_factor: int,
+    criterion,
+    last_stage: Optional[str] = None,
+):
+    """Eval step for the modified (SAE-spliced) model: all reference eval-epoch
+    quantities for one batch (model_pipeline.py:661-714 + 806-878)."""
+    last = last_stage or net.stage_names[-1]
+
+    @jax.jit
+    def step_fn(sae_params: dict, frozen_params: dict, frozen_state: dict,
+                images: jax.Array, labels: jax.Array):
+        logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
+        act = taps[sae_layer]
+        out = sae_inference_and_loss(sae_model_name, sae_params, act, lambda_sparse)
+        logits_mod = net.apply_segment(
+            frozen_params, out["decoded"], after=sae_layer, upto=last, state=frozen_state
+        )
+        loss_mod = criterion(logits_mod, labels)
+        loss_orig = criterion(logits_orig, labels)
+        dead, sparsity, freq = metrics.measure_inactive_units(
+            out["encoded"], expansion_factor
+        )
+        enc_for_topk = out["encoded_pre"] if out["encoded_pre"] is not None else out["encoded"]
+        batch_metrics = {
+            "model_loss": loss_mod,
+            "loss_diff": loss_mod - loss_orig,
+            "accuracy": metrics.accuracy(logits_mod, labels),
+            "kld": metrics.kld_original_vs_modified(logits_orig, logits_mod),
+            "perc_same": metrics.perc_same_classification(logits_orig, logits_mod),
+            "sae_loss": out["loss"],
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sae_nrmse_loss": out["nrmse_loss"],
+            "sae_rmse_loss": out["rmse_loss"],
+            "sae_aux_loss": out["aux_loss"],
+            "sparsity": sparsity,
+            "var_expl": metrics.variance_explained(act, out["decoded"]),
+        }
+        arrays = {
+            "dead": dead,
+            "freq": freq,
+            # channel-averaged (pre-ReLU when available) activations for top-k
+            # (model_pipeline.py:335-360 uses prerelu for SAE top-k)
+            "topk_acts": metrics.spatial_mean(enc_for_topk),
+            "correct": jnp.sum(
+                (jnp.argmax(logits_mod, axis=1) == labels).astype(jnp.int32)
+            ),
+        }
+        return batch_metrics, arrays
+
+    return step_fn
+
+
+def make_model_train_step(net: SeqNet, tx: optax.GradientTransformation, criterion):
+    """Train the original model (reference mode original_model=True, training=True;
+    model_pipeline.py:653-660): plain CE + optimizer step, BN in train mode."""
+
+    @jax.jit
+    def step_fn(ts: ModelTrainState, images: jax.Array, labels: jax.Array):
+        def loss_fn(params):
+            logits, _, new_state = net.apply(params, images, state=ts.net_state, train=True)
+            return criterion(logits, labels), (logits, new_state)
+
+        (loss, (logits, new_state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params
+        )
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        m = {"model_loss": loss, "accuracy": metrics.accuracy(logits, labels)}
+        return ModelTrainState(params, new_state, opt_state, ts.step + 1), m
+
+    return step_fn
+
+
+def make_model_eval_step(net: SeqNet, criterion):
+    """Eval the original model (reference mode original_model=True, training=False):
+    loss/accuracy plus per-layer dead-unit & sparsity stats of the tapped layer."""
+
+    @jax.jit
+    def step_fn(params: dict, net_state: dict, images: jax.Array, labels: jax.Array):
+        logits, taps, _ = net.apply(params, images, state=net_state)
+        m = {
+            "model_loss": criterion(logits, labels),
+            "accuracy": metrics.accuracy(logits, labels),
+        }
+        arrays = {
+            "correct": jnp.sum((jnp.argmax(logits, axis=1) == labels).astype(jnp.int32)),
+        }
+        return m, arrays, taps
+
+    return step_fn

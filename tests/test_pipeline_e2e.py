@@ -1,0 +1,125 @@
+"""End-to-end slice (SURVEY.md §7.2 item 4 / BASELINE.json config 1): train-original ->
+train-SAE -> eval-modified on synthetic data, single host, with checkpoint/resume.
+This is the minimum-working-example analogue of the reference's smoke configs
+(specify_parameters.py:64-99)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from sparse_vision_tpu.config import RunConfig
+from sparse_vision_tpu.eval_tools.results import read_results
+from sparse_vision_tpu.train.pipeline import Pipeline
+
+
+def _base_cfg(tmp_path, **kw):
+    defaults = dict(
+        model_name="custom_mlp_9",
+        sae_model_name="sae_mlp",
+        sae_layer="fc1",
+        directory_path=str(tmp_path),
+        dataset_name="synthetic",
+        model_epochs=2,
+        model_learning_rate=1e-2,
+        batch_size=64,
+        model_optimizer_name="adam",
+        sae_epochs=1,
+        sae_learning_rate=1e-3,
+        sae_optimizer_name="constrained_adam",
+        sae_batch_size=64,
+        sae_lambda_sparse=0.1,
+        sae_expansion_factor=2,
+        dead_neurons_steps=10_000,
+        log_every=1000,
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("runs")
+
+
+def test_train_original_model_learns(workdir):
+    cfg = _base_cfg(workdir, original_model=True, training=True, sae_model_name="None",
+                    sae_layer="fc1")
+    pipe = Pipeline(cfg)
+    pipe.train_original()
+    final = pipe.eval_original(epoch=cfg.model_epochs)
+    assert final["accuracy"] > 0.8, f"model failed to learn: {final}"
+
+
+def test_train_sae_improves_reconstruction(workdir):
+    cfg = _base_cfg(workdir, original_model=False, training=True, sae_epochs=2)
+    pipe = Pipeline(cfg)
+    before = pipe.eval_modified(epoch=0, store=False)
+    result = pipe.train_sae()
+    assert result["sae_rec_loss"] < before["sae_rec_loss"], (before, result)
+    # decoder latent directions stay unit-norm through training (ConstrainedAdam)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pipe.ts.params["W_dec"]), axis=1), 1.0, atol=1e-5
+    )
+    # results CSV written with the reference schema
+    import os
+
+    csv_path = os.path.join(pipe.paths["evaluation_results"], "sae_eval_results.csv")
+    rows = read_results(csv_path)
+    assert any(r["epochs"] == 2 for r in rows)
+    row = [r for r in rows if r["epochs"] == 2][0]
+    assert row["rec_loss"] is not None and row["perc_dead_units"] is not None
+
+
+def test_checkpoint_resume_matches_straight_run(workdir):
+    common = dict(original_model=False, training=True, dead_neurons_steps=10_000)
+    cfg2 = _base_cfg(workdir, sae_epochs=2, directory_path=str(workdir / "straight"),
+                     **common)
+    pipe2 = Pipeline(cfg2)
+    pipe2.train_sae()
+
+    cfg1 = _base_cfg(workdir, sae_epochs=1, directory_path=str(workdir / "resumed"),
+                     **common)
+    pipe1 = Pipeline(cfg1)
+    pipe1.train_sae()
+
+    cfg_resume = dataclasses.replace(cfg1, sae_epochs=2, sae_checkpoint_epoch=1)
+    pipe_r = Pipeline(cfg_resume)
+    assert int(pipe_r.ts.step) == int(pipe1.ts.step)
+    pipe_r.train_sae()
+
+    assert int(pipe_r.ts.step) == int(pipe2.ts.step)
+    for name in pipe_r.ts.params:
+        np.testing.assert_allclose(
+            np.asarray(pipe_r.ts.params[name]),
+            np.asarray(pipe2.ts.params[name]),
+            atol=1e-6,
+            err_msg=f"resumed {name} != straight-run {name}",
+        )
+
+
+def test_gated_sae_end_to_end(workdir):
+    cfg = _base_cfg(
+        workdir, original_model=False, training=True, sae_model_name="gated_sae",
+        sae_criterion_name="gated_sae_loss", sae_epochs=1,
+        directory_path=str(workdir / "gated"),
+    )
+    pipe = Pipeline(cfg)
+    result = pipe.train_sae()
+    assert result["sae_aux_loss"] > 0  # gated loss has a live aux term
+
+
+def test_mis_epoch_collects_200_indices(workdir):
+    cfg = _base_cfg(workdir, original_model=False, training=False, mis="1",
+                    directory_path=str(workdir / "mis"))
+    pipe = Pipeline(cfg)
+    pipe.run()
+    import glob
+    import os
+
+    files = glob.glob(
+        os.path.join(pipe.paths["evaluation_results"], "filename_indices", "*.npz")
+    )
+    assert files
+    data = np.load(files[0])
+    assert data["max_filename_indices"].shape[0] == 200  # n_mis*(k_mis+1), mp.py:82-102
