@@ -1,0 +1,73 @@
+"""Headline benchmark: SAE-training activations (tokens) per second per chip.
+
+The reference publishes no throughput numbers (BASELINE.md; its README has no benchmark
+section), so the baseline is derived from the driver's north-star target: train a
+16k-latent SAE over full-ImageNet GoogLeNet mixed3a activations on a v5e-8 in under
+one hour. ImageNet train = 1,281,167 images x 28x28 spatial positions = 1.004e9
+activation tokens per epoch; one epoch per hour on 8 chips requires
+
+    1.004e9 / 3600 / 8  ≈  34,868 tokens/s/chip.
+
+vs_baseline = measured / 34,868 (>1 = above the north-star requirement).
+
+The benchmarked step is the full production training update on cached activations
+(train/steps.py make_sae_train_step_from_acts): encode + decode + MSE/L1/NRMSE loss +
+grads + ConstrainedAdam (projection + renorm) + dead-unit stats + resample schedule —
+at the north-star shape: C=256 (mixed3a channels), 16,384 latents (expansion 64).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from sparse_vision_tpu.models.sae import init_sae
+    from sparse_vision_tpu.ops import optim
+    from sparse_vision_tpu.train.steps import (
+        init_sae_train_state,
+        make_sae_train_step_from_acts,
+    )
+
+    C = 256
+    EXPANSION = 64  # 16,384 latents — the north-star size
+    TOKENS = 32768  # tokens per step (~= 42 ImageNet images' worth of mixed3a tokens)
+    STEPS = 20
+
+    key = jax.random.key(0)
+    sae_params = init_sae("sae_mlp", key, C, EXPANSION)
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    ts = init_sae_train_state(sae_params, tx, C * EXPANSION)
+    step = make_sae_train_step_from_acts("sae_mlp", 5.0, tx, 10_000, EXPANSION)
+
+    acts = jax.random.normal(jax.random.key(1), (TOKENS, C), jnp.float32)
+
+    # warmup/compile
+    ts, m = step(ts, acts)
+    jax.block_until_ready(ts)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        ts, m = step(ts, acts)
+    jax.block_until_ready(ts)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    tokens_per_sec_per_chip = TOKENS * STEPS / dt / n_chips
+    required = 1_281_167 * 28 * 28 / 3600 / 8  # north-star tokens/s/chip
+    print(
+        json.dumps(
+            {
+                "metric": "sae_train_activations_per_sec_per_chip",
+                "value": round(tokens_per_sec_per_chip, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(tokens_per_sec_per_chip / required, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -168,6 +168,60 @@ def make_sae_train_step(
     return step_fn
 
 
+def make_sae_train_step_from_acts(
+    sae_model_name: str,
+    lambda_sparse: float,
+    tx: optax.GradientTransformation,
+    dead_neurons_steps: int,
+    expansion_factor: int,
+):
+    """SAE train step over pre-extracted activations (the activation-cache training
+    mode; the reference abandoned an HDF5 version of this, utils.py:613-657 — here it
+    is a first-class path and the benchmark kernel). Identical update math to
+    make_sae_train_step, without the backbone forward."""
+    can_resample = sae_model_name == "sae_mlp"
+
+    def loss_fn(sae_params, act):
+        out = sae_inference_and_loss(sae_model_name, sae_params, act, lambda_sparse)
+        return out["loss"], out
+
+    @jax.jit
+    def step_fn(ts: SAETrainState, act: jax.Array):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params, act)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        step = ts.step + 1
+        dead, sparsity, _ = metrics.measure_inactive_units(out["encoded"], expansion_factor)
+        dead_acc = jnp.logical_and(ts.dead_acc, dead)
+        rng, sub = jax.random.split(ts.rng)
+        if can_resample:
+            def do_resample(p, o, acc):
+                p2, o2 = resample_dead_neurons(p, o, acc, sub)
+                return p2, o2, jnp.ones_like(acc)
+
+            def no_resample(p, o, acc):
+                acc = jnp.where(
+                    should_reset_measurement(step, dead_neurons_steps),
+                    jnp.ones_like(acc), acc,
+                )
+                return p, o, acc
+
+            new_params, opt_state, dead_acc = jax.lax.cond(
+                should_resample(step, dead_neurons_steps),
+                do_resample, no_resample, new_params, opt_state, dead_acc,
+            )
+        m = {
+            "sae_loss": loss,
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sparsity": sparsity,
+            "perc_dead": jnp.sum(dead_acc) / dead_acc.shape[0],
+        }
+        return SAETrainState(new_params, opt_state, step, dead_acc, rng), m
+
+    return step_fn
+
+
 def make_sae_eval_step(
     net: SeqNet,
     sae_layer: str,
