@@ -44,15 +44,19 @@ def main():
 
     acts = jax.random.normal(jax.random.key(1), (TOKENS, C), jnp.float32)
 
-    # warmup/compile
+    # warmup/compile; the final host readback of the loss is a hard device sync
+    # (block_until_ready alone has proven unreliable on tunneled backends)
     ts, m = step(ts, acts)
-    jax.block_until_ready(ts)
+    _ = float(m["sae_loss"])
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        ts, m = step(ts, acts)
-    jax.block_until_ready(ts)
-    dt = time.perf_counter() - t0
+    times = []
+    for _trial in range(5):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            ts, m = step(ts, acts)
+        _ = float(jnp.vdot(ts.params["b_enc"], ts.params["b_enc"]))  # syncs final params
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median trial
 
     n_chips = jax.device_count()
     tokens_per_sec_per_chip = TOKENS * STEPS / dt / n_chips
