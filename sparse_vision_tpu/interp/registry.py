@@ -1,0 +1,75 @@
+"""Per-layer frozen-SAE registry for circuit discovery.
+
+The reference hardcodes one known-good SAE hyperparameter set per GoogLeNet mixed
+layer and loads the matching checkpoint epoch (utils.py:2662-2767 get_specific_sae_params
+/ get_specific_sae_model). Here the same table is typed data; checkpoints load through
+the Orbax wrapper and the run-ID path scheme.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+
+from sparse_vision_tpu.interp.circuit import FrozenSAE
+from sparse_vision_tpu.models.sae import init_sae
+
+# GoogLeNet circuit layers (reference: compute_ie.py:52 — mixed4a is skipped).
+CIRCUIT_LAYERS = (
+    "mixed3a", "mixed3b", "mixed4b", "mixed4c", "mixed4d", "mixed4e",
+    "mixed5a", "mixed5b",
+)
+
+
+@dataclass(frozen=True)
+class LayerSAEConfig:
+    """Known-good per-layer SAE hyperparameters (reference: utils.py:2668-2741).
+    batch_size 256, lr 1e-3, constrained_adam everywhere; only mixed3a differs in
+    expansion factor / lambda / dead-neuron schedule."""
+
+    layer: str
+    expansion_factor: int
+    lambda_sparse: float
+    checkpoint_epoch: int
+    dead_neurons_steps: int
+    learning_rate: float = 1e-3
+    batch_size: int = 256
+    optimizer: str = "constrained_adam"
+
+
+LAYER_SAE_CONFIGS: dict[str, LayerSAEConfig] = {
+    "mixed3a": LayerSAEConfig("mixed3a", 8, 5.0, 7, 626),
+    "mixed3b": LayerSAEConfig("mixed3b", 4, 0.1, 6, 625),
+    "mixed4a": LayerSAEConfig("mixed4a", 4, 0.1, 6, 625),
+    "mixed4b": LayerSAEConfig("mixed4b", 4, 0.1, 6, 625),
+    "mixed4c": LayerSAEConfig("mixed4c", 4, 0.1, 5, 625),
+    "mixed4d": LayerSAEConfig("mixed4d", 4, 0.1, 7, 625),
+    "mixed4e": LayerSAEConfig("mixed4e", 4, 0.1, 9, 625),
+    "mixed5a": LayerSAEConfig("mixed5a", 4, 0.1, 5, 625),
+    "mixed5b": LayerSAEConfig("mixed5b", 4, 0.1, 12, 625),
+}
+
+
+def load_frozen_sae(
+    layer: str,
+    layer_width: int,
+    sae_model_name: str = "sae_mlp",
+    checkpoint_dir: Optional[str] = None,
+    seed: int = 0,
+) -> FrozenSAE:
+    """Instantiate the layer's SAE from the registry; restore trained parameters when a
+    checkpoint directory is given (reference get_specific_sae_model, utils.py:2745-2767
+    loads epoch ``checkpoint_epoch`` and freezes the model)."""
+    cfg = LAYER_SAE_CONFIGS[layer]
+    params = init_sae(
+        sae_model_name, jax.random.key(seed), layer_width, cfg.expansion_factor
+    )
+    if checkpoint_dir is not None:
+        from sparse_vision_tpu.train.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(checkpoint_dir, cfg.checkpoint_epoch, like=params)
+        params = restored
+    params = jax.lax.stop_gradient(params)
+    return FrozenSAE(sae_model_name, params, cfg.expansion_factor)

@@ -221,7 +221,7 @@ class SeqNet:
         x: jax.Array,
         state: Optional[dict] = None,
         train: bool = False,
-        splice: Optional[tuple[str, Callable]] = None,
+        splice: Optional[tuple[str, Callable] | dict[str, Callable]] = None,
         stop_at: Optional[str] = None,
     ) -> tuple[jax.Array, dict, dict]:
         """Run the network. Returns (output, taps, new_state).
@@ -229,8 +229,13 @@ class SeqNet:
         taps[name] is the (possibly spliced) output of each stage — the same value the
         next stage consumes, matching the reference hook contract where downstream sees
         the modified output (model_pipeline.py:425-432).
+
+        ``splice`` is either a single ``(layer_name, fn)`` pair or a dict
+        ``{layer_name: fn}`` for simultaneous multi-layer interventions (the
+        faithfulness pass splices every SAE layer in one forward, compute_ie.py:797-862).
         """
         state = state or {}
+        splices = dict([splice]) if isinstance(splice, tuple) else (splice or {})
         taps: dict[str, Any] = {}
         new_state = dict(state)
         for st in self.stages:
@@ -239,8 +244,8 @@ class SeqNet:
             x, ns, subtaps = st.apply(p, s, x, train)
             if ns is not None and st.name in state:
                 new_state[st.name] = ns
-            if splice is not None and st.name == splice[0]:
-                x = splice[1](x)
+            if st.name in splices:
+                x = splices[st.name](x)
             taps[st.name] = x
             if subtaps:
                 for sub, v in subtaps.items():
@@ -256,15 +261,16 @@ class SeqNet:
         after: Optional[str],
         upto: str,
         state: Optional[dict] = None,
-        splice: Optional[tuple[str, Callable]] = None,
+        splice: Optional[tuple[str, Callable] | dict[str, Callable]] = None,
     ) -> jax.Array:
         """Run stages strictly after ``after`` (or from the start if None) through
         ``upto`` inclusive — the sub-network between two tap points (edge IE)."""
         state = state or {}
+        splices = dict([splice]) if isinstance(splice, tuple) else (splice or {})
         start = 0 if after is None else self.index_of(after) + 1
         end = self.index_of(upto)
         for st in self.stages[start : end + 1]:
             x, _, _ = st.apply(params.get(st.name), state.get(st.name), x, False)
-            if splice is not None and st.name == splice[0]:
-                x = splice[1](x)
+            if st.name in splices:
+                x = splices[st.name](x)
         return x

@@ -224,6 +224,25 @@ def sae_inference_and_loss(
     return terms
 
 
+def sae_encode(sae_model_name: str, params: dict, tok: jax.Array) -> jax.Array:
+    """Post-activation encoder output on token input [T, d] — the 'SAE feature'
+    activations used by the circuit tier (reference apply_sae, utils.py:2786-2797)."""
+    if sae_model_name == "sae_mlp":
+        return sae_mlp_apply(params, tok)[0]
+    if sae_model_name == "gated_sae":
+        return gated_sae_apply(params, tok)[0]
+    raise ValueError(f"SAE {sae_model_name!r} has no token encoder.")
+
+
+def sae_decode(sae_model_name: str, params: dict, encoded: jax.Array) -> jax.Array:
+    """Decoder applied to an (possibly ablated) encoder output — the reference calls
+    sae.decoder(new_encoder_output) directly when ablating circuit nodes
+    (utils.py:2798-2809)."""
+    if sae_model_name in ("sae_mlp", "gated_sae"):
+        return encoded @ params["W_dec"] + params["b_dec"]
+    raise ValueError(f"SAE {sae_model_name!r} has no token decoder.")
+
+
 def intervene_on_decoder_weights(params: dict, unit_index: int, value) -> dict:
     """Set latent ``unit_index``'s decoder direction to ``value``
     (reference: sae_mlp.py:187-199). Pure: returns new params."""
