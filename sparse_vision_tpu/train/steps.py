@@ -174,16 +174,33 @@ def make_sae_train_step_from_acts(
     tx: optax.GradientTransformation,
     dead_neurons_steps: int,
     expansion_factor: int,
+    fused: bool = False,
+    fused_opts: Optional[dict] = None,
 ):
     """SAE train step over pre-extracted activations (the activation-cache training
     mode; the reference abandoned an HDF5 version of this, utils.py:613-657 — here it
     is a first-class path and the benchmark kernel). Identical update math to
-    make_sae_train_step, without the backbone forward."""
-    can_resample = sae_model_name == "sae_mlp"
+    make_sae_train_step, without the backbone forward.
 
-    def loss_fn(sae_params, act):
-        out = sae_inference_and_loss(sae_model_name, sae_params, act, lambda_sparse)
-        return out["loss"], out
+    ``fused=True`` routes forward+loss+stats through the Pallas fused kernel
+    (ops/fused_sae.py) — the production TPU path; requires sae_mlp and tile-divisible
+    shapes. Parity with the stock path is tested in tests/test_fused_sae.py."""
+    can_resample = sae_model_name == "sae_mlp"
+    if fused and sae_model_name != "sae_mlp":
+        raise ValueError("fused path supports sae_mlp only")
+
+    if fused:
+        from sparse_vision_tpu.ops.fused_sae import fused_sae_loss_terms
+
+        def loss_fn(sae_params, act):
+            out = fused_sae_loss_terms(
+                sae_params, act, lambda_sparse, expansion_factor, **(fused_opts or {})
+            )
+            return out["loss"], out
+    else:
+        def loss_fn(sae_params, act):
+            out = sae_inference_and_loss(sae_model_name, sae_params, act, lambda_sparse)
+            return out["loss"], out
 
     @jax.jit
     def step_fn(ts: SAETrainState, act: jax.Array):
@@ -191,7 +208,12 @@ def make_sae_train_step_from_acts(
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
         step = ts.step + 1
-        dead, sparsity, _ = metrics.measure_inactive_units(out["encoded"], expansion_factor)
+        if fused:
+            dead, sparsity = out["dead"], out["sparsity"]
+        else:
+            dead, sparsity, _ = metrics.measure_inactive_units(
+                out["encoded"], expansion_factor
+            )
         dead_acc = jnp.logical_and(ts.dead_acc, dead)
         rng, sub = jax.random.split(ts.rng)
         if can_resample:
