@@ -1,0 +1,152 @@
+"""Machine Interpretability Score (MIS) subsystem.
+
+Reference behavior (utils.py:2227-2343 compute_mis, after Zimmermann et al.): for each
+unit, take the k most- and least-activating images (filename indices saved by the "mis"
+epoch, model_pipeline.py:948-961), build ``n_mis`` binary 2-AFC tasks — each with
+reference images on both extremes and one query per side, query images LAST — score
+them with a similarity model, and record per-unit MIS + confidence to CSV plus the
+layer median into the results store.
+
+The reference delegates scoring to the external ``machine_interpretability`` package
+with dreamsim feature/regression pickles available only on the author's cluster
+(utils.py:2251-2255). Here the task-construction scaffold is reproduced exactly and the
+similarity model is a PLUGGABLE callable (SURVEY.md §7.1); ``embedding_similarity``
+provides a self-contained default (cosine similarity in any embedding space — e.g. a
+backbone tap).
+
+Task-batch layout per the reference (utils.py:2262-2294): ``batch = mins + maxs`` where
+mins = [min_refs..., min_query] and maxs = [max_refs..., max_query] — i.e. each half
+has its query image last.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence
+
+import numpy as np
+
+
+def make_fair_batches(items: list, n_batches: int, reverse: bool = False) -> list[list]:
+    """Distribute ``items`` (sorted by ascending activation) round-robin over
+    ``n_batches`` so every batch spans the activation range fairly; each batch keeps
+    ascending order and the LAST element of each batch is from the end of the list
+    (the query position). ``reverse=True`` flips each batch (used for the min side so
+    its query — the least activating — also lands last).
+
+    Mirrors the contract of sg_utils.make_fair_batches as the reference uses it
+    (utils.py:2280-2294): inputs are ref images followed by query images; outputs are
+    n_batches lists with the query last.
+    """
+    batches = [items[i::n_batches] for i in range(n_batches)]
+    # re-balance so each batch ends with one of the last n_batches items (the queries)
+    if reverse:
+        batches = [list(reversed(b)) for b in batches]
+    return batches
+
+
+def build_unit_tasks(
+    max_filenames: Sequence, min_filenames: Sequence, n_mis: int
+) -> list[list]:
+    """Build the n_mis 2-AFC task batches for one unit (utils.py:2262-2294).
+
+    ``max_filenames`` / ``min_filenames`` are sorted by DESCENDING activation for max
+    (most activating first) and ASCENDING for min, with length n_mis * (k_mis + 1)
+    each. Query selection: first n_mis of max (the strongest), last n_mis of min (the
+    weakest); queries are placed last within each half; batch = mins + maxs.
+    """
+    max_filenames = list(max_filenames)
+    min_filenames = list(min_filenames)
+    max_queries = max_filenames[:n_mis]
+    max_refs = max_filenames[n_mis:]
+    min_queries = min_filenames[-n_mis:]
+    min_refs = min_filenames[:-n_mis]
+
+    max_lists = make_fair_batches(max_refs + max_queries, n_mis)
+    min_lists = make_fair_batches(min_queries + min_refs, n_mis, reverse=True)
+    return [mins + maxs for mins, maxs in zip(min_lists, max_lists)]
+
+
+def score_task(batch: list, similarity: Callable) -> float:
+    """Score one 2-AFC task: both halves end with their query; the task is solved when
+    each query is more similar to its own half's references than to the other half's.
+
+    Returns the mean of the two query decisions in {0, 0.5, 1}.
+    """
+    half = len(batch) // 2
+    mins, maxs = batch[:half], batch[half:]
+    min_refs, min_query = mins[:-1], mins[-1]
+    max_refs, max_query = maxs[:-1], maxs[-1]
+    s_min_own = np.mean([similarity(min_query, r) for r in min_refs])
+    s_min_other = np.mean([similarity(min_query, r) for r in max_refs])
+    s_max_own = np.mean([similarity(max_query, r) for r in max_refs])
+    s_max_other = np.mean([similarity(max_query, r) for r in min_refs])
+    return (int(s_min_own > s_min_other) + int(s_max_own > s_max_other)) / 2.0
+
+
+def prepare_machine_interpretability_score(similarity: Callable):
+    """Factory mirroring mis_utils.prepare_machine_interpretability_score
+    (utils.py:2296-2301): returns ``f(task_batches) -> (mis, confidence)`` where mis is
+    the mean task score and confidence its binomial-style certainty |2·mis − 1|."""
+
+    def compute(task_batches: list[list], include_individual_scores: bool = False):
+        scores = [score_task(b, similarity) for b in task_batches]
+        mis = float(np.mean(scores))
+        confidence = abs(2.0 * mis - 1.0)
+        if include_individual_scores:
+            return mis, confidence, scores
+        return mis, confidence
+
+    return compute
+
+
+def embedding_similarity(embeddings: dict) -> Callable:
+    """Self-contained default similarity: cosine similarity between precomputed
+    embeddings keyed by filename/index (stands in for the unavailable dreamsim
+    pickles, utils.py:2251-2255)."""
+
+    def sim(a, b) -> float:
+        va, vb = np.asarray(embeddings[a]), np.asarray(embeddings[b])
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12))
+
+    return sim
+
+
+def compute_mis(
+    max_filename_indices: np.ndarray,  # [k_total, U] most-activating, descending
+    min_filename_indices: np.ndarray,  # [k_total, U] least-activating, ascending
+    idx_to_filename: dict,
+    n_mis: int,
+    similarity: Callable,
+    out_csv: str | None = None,
+    layer_name: str = "",
+) -> dict:
+    """Per-unit MIS over a whole layer (utils.py:2262-2342): build tasks per unit,
+    score, write the per-unit CSV, and return summary stats (median/average of the
+    confidence values, matching the reference's median_mis = median of
+    mis_confidence_list, utils.py:2317-2320)."""
+    scorer = prepare_machine_interpretability_score(similarity)
+    rows = []
+    for unit_idx in range(max_filename_indices.shape[1]):
+        max_names = [idx_to_filename[int(i)] for i in max_filename_indices[:, unit_idx]]
+        min_names = [idx_to_filename[int(i)] for i in min_filename_indices[:, unit_idx]]
+        tasks = build_unit_tasks(max_names, min_names, n_mis)
+        mis, conf = scorer(tasks)
+        rows.append({"unit_idx": unit_idx, "MIS": mis, "MIS_confidence": conf,
+                     "layer_name": layer_name})
+    confs = [r["MIS_confidence"] for r in rows]
+    result = {
+        "per_unit": rows,
+        "median_mis": float(np.median(confs)),
+        "average_mis": float(np.mean(confs)),
+    }
+    if out_csv:
+        import csv
+
+        os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
+        with open(out_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["unit_idx", "MIS", "MIS_confidence",
+                                              "layer_name"])
+            w.writeheader()
+            w.writerows(rows)
+    return result
