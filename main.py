@@ -1,0 +1,8 @@
+"""Thin launcher mirroring the reference's `python main.py ...` entry (main.py:1-233).
+The real CLI lives in sparse_vision_tpu/cli.py; `pip install -e .` also provides the
+`sparse-vision-tpu` console script."""
+
+from sparse_vision_tpu.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

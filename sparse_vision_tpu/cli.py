@@ -1,0 +1,108 @@
+"""Command-line entry point.
+
+Replaces the reference's main.py (argparse with 24 positional-ish flags, main.py:9-43)
+and its local/cluster split (main.py:63-113 local loop over parameters.txt lines;
+:161-230 cluster mode running ONE combo):
+
+  sparse-vision-tpu --run_pipeline --parameters sweep.jsonl          # all runs
+  sparse-vision-tpu --run_pipeline --parameters sweep.jsonl --line 3 # one run (job arrays)
+  sparse-vision-tpu --run_pipeline --config '{"dataset_name": "mnist", ...}'
+  sparse-vision-tpu --run_evaluation --results_csv .../sae_eval_results.csv
+
+Legacy ``parameters.txt`` files in the reference's 24-field comma format are accepted
+transparently (config.RunConfig.from_legacy_line).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from sparse_vision_tpu.config import RunConfig, read_jsonl
+
+
+def _load_parameters(path: str) -> list[RunConfig]:
+    with open(path) as f:
+        first = f.readline().strip()
+    if first.startswith("{"):
+        return read_jsonl(path)
+    with open(path) as f:
+        return [RunConfig.from_legacy_line(line) for line in f if line.strip()]
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="sparse-vision-tpu", description=__doc__)
+    p.add_argument("--run_pipeline", action="store_true",
+                   help="run the training/eval/MIS/IE pipeline (reference main.py --run_pipeline)")
+    p.add_argument("--run_evaluation", action="store_true",
+                   help="post-hoc sweep evaluation: ranking + Pareto plots (reference main.py --run_evaluation)")
+    p.add_argument("--parameters", type=str, default=None,
+                   help="sweep file: JSONL of RunConfig or legacy 24-field parameters.txt")
+    p.add_argument("--line", type=int, default=None,
+                   help="run only this 0-based line of --parameters (cluster job arrays, main.py:161-230)")
+    p.add_argument("--config", type=str, default=None,
+                   help="single run as a JSON object of RunConfig fields")
+    p.add_argument("--results_csv", type=str, default=None,
+                   help="merged results CSV for --run_evaluation")
+    p.add_argument("--out_dir", type=str, default=None,
+                   help="output directory for evaluation artifacts")
+    return p.parse_args(argv)
+
+
+def _run_one(cfg: RunConfig) -> None:
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    print(f"=== run: {cfg.to_json()}")
+    Pipeline(cfg).run()
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    # Honor JAX_PLATFORMS even when a site hook registered a different default
+    # platform plugin at interpreter startup (env var alone is consumed before the
+    # hook runs; jax.config still wins as long as no backend is initialized).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    if not (args.run_pipeline or args.run_evaluation):
+        print("Nothing to do: pass --run_pipeline and/or --run_evaluation", file=sys.stderr)
+        return 2
+
+    if args.run_pipeline:
+        if args.config:
+            cfgs = [RunConfig(**json.loads(args.config))]
+        elif args.parameters:
+            cfgs = _load_parameters(args.parameters)
+            if args.line is not None:
+                cfgs = [cfgs[args.line]]
+        else:
+            print("--run_pipeline needs --parameters or --config", file=sys.stderr)
+            return 2
+        for cfg in cfgs:
+            _run_one(cfg)
+
+    if args.run_evaluation:
+        from sparse_vision_tpu.eval_tools.ranking import (
+            compute_sae_ranking,
+            plot_rec_loss_vs_sparsity,
+        )
+
+        if not args.results_csv:
+            print("--run_evaluation needs --results_csv", file=sys.stderr)
+            return 2
+        out_dir = args.out_dir or os.path.dirname(args.results_csv)
+        df = compute_sae_ranking(
+            args.results_csv, os.path.join(out_dir, "sae_rank_table.csv")
+        )
+        plot_rec_loss_vs_sparsity(args.results_csv, os.path.join(out_dir, "pareto.png"))
+        print(df.head(10).to_string())
+        print(f"Wrote sae_rank_table.csv and pareto.png to {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

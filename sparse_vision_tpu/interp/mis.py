@@ -112,6 +112,79 @@ def embedding_similarity(embeddings: dict) -> Callable:
     return sim
 
 
+def compute_mis_for_run(pipeline, n_mis: int = 20, k_mis: int = 9):
+    """Mode mis="2" (utils.py:2227-2343 compute_mis driven from deploy_model:1345-1365):
+    load the per-unit max/min sample indices saved by the mis="1" epoch, score every
+    unit with the default backbone-embedding similarity (the external dreamsim pickles
+    the reference requires are unavailable, utils.py:2251-2255), write the per-unit CSV
+    and record the layer median into the run's results row."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vision_tpu.eval_tools import results as results_store
+    from sparse_vision_tpu.ops.metrics import spatial_mean
+
+    cfg = pipeline.cfg
+    epoch = cfg.sae_checkpoint_epoch
+    fn_dir = os.path.join(pipeline.paths["evaluation_results"], "filename_indices")
+    data = np.load(os.path.join(fn_dir, f"{pipeline.run_id}_epoch_{epoch}.npz"))
+    max_idx, min_idx = data["max_filename_indices"], data["min_filename_indices"]
+
+    # default similarity: cosine in the frozen backbone's penultimate representation
+    penult = pipeline.net.stage_names[-2]
+    needed = sorted(set(max_idx.ravel().tolist()) | set(min_idx.ravel().tolist()))
+    needed = [i for i in needed if i >= 0]  # drop top-k sentinel rows
+
+    train = pipeline.train_ds
+    if hasattr(train, "images"):
+        imgs = train.images[np.asarray(needed)]
+    else:  # LazyImageDataset
+        imgs = np.stack([train.decode_fn(train.paths[i]) for i in needed])
+
+    @jax.jit
+    def embed(x):
+        _, taps, _ = pipeline.net.apply(
+            pipeline.frozen_params, x, state=pipeline.net_state, stop_at=penult
+        )
+        return spatial_mean(taps[penult])
+
+    embs = {}
+    bs = 64
+    for s in range(0, len(needed), bs):
+        chunk = jnp.asarray(imgs[s : s + bs])
+        e = np.asarray(embed(chunk))
+        for local, ds_idx in enumerate(needed[s : s + bs]):
+            embs[ds_idx] = e[local]
+
+    out_csv = os.path.join(
+        pipeline.paths["evaluation_results"], "MIS",
+        f"{pipeline.run_id}_mis_epoch_{epoch}.csv",
+    )
+    result = compute_mis(
+        max_idx, min_idx, {i: i for i in needed + [-1]}, n_mis,
+        embedding_similarity(embs), out_csv=out_csv, layer_name=cfg.sae_layer,
+    )
+    # record median_mis into the run's results row (utils.py:2325-2342)
+    folder = pipeline.paths["evaluation_results"]
+    import json
+
+    run_json = os.path.join(folder, f"{pipeline.run_id}_epoch_{epoch}.json")
+    row = {}
+    if os.path.exists(run_json):
+        with open(run_json) as f:
+            row = json.load(f)
+    row["median_mis"] = result["median_mis"]
+    row.setdefault("lambda_sparse", cfg.sae_lambda_sparse)
+    row.setdefault("expansion_factor", cfg.sae_expansion_factor)
+    row.setdefault("batch_size", cfg.sae_batch_size)
+    row.setdefault("optimizer_name", cfg.sae_optimizer_name)
+    row.setdefault("learning_rate", cfg.sae_learning_rate)
+    row.setdefault("epochs", epoch)
+    results_store.store_run_result(folder, f"{pipeline.run_id}_epoch_{epoch}", row)
+    results_store.merge_results(folder)
+    return result
+
+
 def compute_mis(
     max_filename_indices: np.ndarray,  # [k_total, U] most-activating, descending
     min_filename_indices: np.ndarray,  # [k_total, U] least-activating, ascending

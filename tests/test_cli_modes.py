@@ -1,0 +1,127 @@
+"""End-to-end mode tests through the CLI and Pipeline dispatch: sweep -> train SAE ->
+results CSV -> post-hoc evaluation; MIS collection + scoring; IE modes 1/2/3/4i.
+
+These drive the same five run modes as the reference's main.py/deploy_model dispatch
+(model_pipeline.py:1288-1425) on the synthetic dataset.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sparse_vision_tpu.cli import main as cli_main
+from sparse_vision_tpu.config import RunConfig, Sweep
+from sparse_vision_tpu.train.pipeline import Pipeline
+
+
+def _base_cfg(tmp_path, **kw):
+    defaults = dict(
+        model_name="custom_mlp_9",
+        sae_layer="fc1",
+        dataset_name="synthetic",
+        directory_path=str(tmp_path / "runs"),
+        sae_epochs=1,
+        sae_batch_size=64,
+        batch_size=64,
+        sae_expansion_factor=2,
+        dead_neurons_steps=100,
+        wandb_status=False,
+        log_every=1000,
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_cli_sweep_train_and_evaluate(tmp_path):
+    sweep = Sweep(
+        axes={"sae_lambda_sparse": [0.1, 1.0]},
+        base=_base_cfg(tmp_path),
+    )
+    params_path = str(tmp_path / "sweep.jsonl")
+    n = sweep.write_jsonl(params_path)
+    assert n == 2
+
+    rc = cli_main(["--run_pipeline", "--parameters", params_path])
+    assert rc == 0
+
+    results_dir = str(tmp_path / "runs" / "custom_mlp_9" / "synthetic" /
+                      "evaluation_results_sae_mlp")
+    csv_path = os.path.join(results_dir, "sae_eval_results.csv")
+    assert os.path.exists(csv_path)
+
+    rc = cli_main(["--run_evaluation", "--results_csv", csv_path])
+    assert rc == 0
+    assert os.path.exists(os.path.join(results_dir, "sae_rank_table.csv"))
+    assert os.path.exists(os.path.join(results_dir, "pareto.png"))
+
+
+def test_cli_single_line_and_legacy_format(tmp_path):
+    cfg = _base_cfg(tmp_path)
+    legacy_path = str(tmp_path / "parameters.txt")
+    with open(legacy_path, "w") as f:
+        f.write(cfg.to_legacy_line() + "\n")
+        f.write(cfg.to_legacy_line() + "\n")
+    rc = cli_main(["--run_pipeline", "--parameters", legacy_path, "--line", "0"])
+    assert rc == 0
+
+
+def test_mis_collect_then_score(tmp_path):
+    # train one epoch so a checkpoint exists
+    train_cfg = _base_cfg(tmp_path)
+    Pipeline(train_cfg).run()
+
+    # mode mis="1": collect per-unit max/min sample indices on TRAIN data
+    collect_cfg = _base_cfg(tmp_path, training=False, mis="1", sae_checkpoint_epoch=1)
+    p = Pipeline(collect_cfg)
+    p.run()
+    fn_dir = os.path.join(p.paths["evaluation_results"], "filename_indices")
+    saved = [f for f in os.listdir(fn_dir) if f.endswith("_epoch_1.npz")]
+    assert saved
+    data = np.load(os.path.join(fn_dir, saved[0]))
+    assert data["max_filename_indices"].shape[0] == 200  # n_mis*(k_mis+1)
+
+    # mode mis="2": score
+    score_cfg = _base_cfg(tmp_path, training=False, mis="2", sae_checkpoint_epoch=1)
+    p2 = Pipeline(score_cfg)
+    result = p2.run()
+    assert 0.0 <= result["median_mis"] <= 1.0
+    mis_dir = os.path.join(p2.paths["evaluation_results"], "MIS")
+    assert os.listdir(mis_dir)
+    # median_mis recorded into the merged results CSV
+    import csv as csvmod
+
+    with open(os.path.join(p2.paths["evaluation_results"], "sae_eval_results.csv")) as f:
+        rows = list(csvmod.DictReader(f))
+    assert any(r["median_mis"] not in ("", None) for r in rows)
+
+
+def test_ie_modes(tmp_path):
+    train_cfg = _base_cfg(tmp_path)
+    Pipeline(train_cfg).run()
+
+    def run_flag(flag):
+        cfg = _base_cfg(tmp_path, training=False, compute_ie=flag, sae_checkpoint_epoch=1)
+        return Pipeline(cfg).run()
+
+    avgs = run_flag("1")
+    p = Pipeline(_base_cfg(tmp_path, training=False, compute_ie="1", sae_checkpoint_epoch=1))
+    d = p.paths["ie_related_quantities"]
+    assert os.path.exists(os.path.join(d, "averages.npz"))
+    assert os.path.exists(os.path.join(d, "sparsity.csv"))
+    assert avgs.enc["fc1"].shape == (32,)  # width 16 * expansion 2
+
+    node = run_flag("2")
+    assert node.features["fc1"].shape == (32,)
+    assert os.path.exists(os.path.join(d, "node_ie.npz"))
+
+    edges = run_flag("3")
+    # single-layer circuit: only the loss-node column for the last (=only) layer
+    assert edges["fc1"].shape == (17, 1)  # top-16 features + error node
+    assert os.path.exists(os.path.join(d, "edge_ie.npz"))
+
+    rows = run_flag("40")  # threshold = FAITHFULNESS_THRESHOLDS[0] = 1e-10
+    assert {r["variant"] for r in rows} == {"sae", "model"}
+    assert os.path.exists(os.path.join(d, "faithfulness.csv"))
+    assert os.path.exists(os.path.join(d, "faithfulness.png"))
