@@ -90,6 +90,7 @@ class RunConfig:
     seed: int = 0
     use_pallas: bool = True  # use fused Pallas SAE kernels where available
     log_every: int = 100  # console log cadence (reference: utils.py:1259)
+    profile_dir: str = ""  # non-empty -> jax.profiler.trace of each train epoch
 
     @property
     def use_sae(self) -> bool:

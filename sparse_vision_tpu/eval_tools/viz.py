@@ -1,0 +1,209 @@
+"""Visualization utilities.
+
+Reference parity targets:
+- classification sample grids               utils.py:686-777 show_classification_with_images
+- per-unit top-k activating-sample grids    utils.py:1496-1784 show_top_k_samples
+- feature visualization of the SAE-spliced  utils.py:1892-1932 (lucent render_vis;
+  model                                      lucent is CUDA/torch — replaced by a
+                                             JAX-native gradient-ascent optimizer)
+- extraction of activating images from      utils.py:2367-2445
+  ImageNet tar shards
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tarfile
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_display(img: np.ndarray) -> np.ndarray:
+    """Normalize any float image to [0, 1] for display."""
+    img = np.asarray(img, np.float32)
+    lo, hi = float(img.min()), float(img.max())
+    if hi - lo < 1e-12:
+        return np.zeros_like(img)
+    return (img - lo) / (hi - lo)
+
+
+def _imshow(ax, img: np.ndarray):
+    img = _to_display(img)
+    if img.ndim == 3 and img.shape[-1] == 1:
+        ax.imshow(img[..., 0], cmap="gray")
+    else:
+        ax.imshow(img)
+    ax.axis("off")
+
+
+def show_classification_with_images(
+    images: np.ndarray,
+    labels: np.ndarray,
+    logits: np.ndarray,
+    category_names: Sequence[str],
+    path: str,
+    n: int = 10,
+) -> str:
+    """Grid of the first n samples titled 'pred (true)', green when correct
+    (reference utils.py:686-777, simplified styling)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = min(n, images.shape[0])
+    cols = min(5, n)
+    rows = math.ceil(n / cols)
+    fig, axs = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows), squeeze=False)
+    preds = np.argmax(np.asarray(logits), axis=1)
+    for i in range(rows * cols):
+        ax = axs[i // cols][i % cols]
+        if i >= n:
+            ax.axis("off")
+            continue
+        _imshow(ax, images[i])
+        ok = preds[i] == labels[i]
+        ax.set_title(
+            f"{category_names[preds[i]]} ({category_names[labels[i]]})",
+            color="green" if ok else "red", fontsize=9,
+        )
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path
+
+
+def show_top_k_samples(
+    images_by_unit: dict,  # unit -> [k, H, W, C] images (already gathered)
+    values_by_unit: dict,  # unit -> [k] activation values
+    path: str,
+    title: str = "Top-k activating samples",
+) -> str:
+    """One row per unit, k images per row annotated with their activation value
+    (reference utils.py:1496-1784, the essential content without W&B tables)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    units = list(images_by_unit)
+    k = max(len(values_by_unit[u]) for u in units)
+    fig, axs = plt.subplots(len(units), k, figsize=(2 * k, 2.2 * len(units)),
+                            squeeze=False)
+    for r, u in enumerate(units):
+        for c in range(k):
+            ax = axs[r][c]
+            if c >= len(values_by_unit[u]):
+                ax.axis("off")
+                continue
+            _imshow(ax, images_by_unit[u][c])
+            ax.set_title(f"u{u}: {float(values_by_unit[u][c]):.3f}", fontsize=8)
+    fig.suptitle(title)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path
+
+
+def gather_topk_images(dataset, topk_indices: np.ndarray, units: Sequence[int]) -> dict:
+    """Fetch the images behind a TopKState's dataset indices for selected units."""
+    out = {}
+    for u in units:
+        idx = [int(i) for i in topk_indices[:, u] if int(i) >= 0]
+        if hasattr(dataset, "images"):
+            out[u] = dataset.images[np.asarray(idx)]
+        else:
+            out[u] = np.stack([dataset.decode_fn(dataset.paths[i]) for i in idx])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# feature visualization (lucent replacement): gradient ascent on the input
+# ---------------------------------------------------------------------------
+
+def feature_visualization(
+    net,
+    params: dict,
+    layer: str,
+    unit: int,
+    img_size: tuple,
+    state: Optional[dict] = None,
+    splice: Optional[tuple] = None,
+    steps: int = 256,
+    lr: float = 0.05,
+    jitter: int = 4,
+    l2_reg: float = 1e-4,
+    seed: int = 0,
+) -> np.ndarray:
+    """Optimize an input image to maximize one unit's (spatial-mean) activation at
+    ``layer`` — optionally of the SAE-SPLICED model, which is how the reference
+    visualizes SAE features (utils.py:1892-1932 renders the spliced model with lucent).
+
+    TPU-native replacement for lucent's render_vis: jitted Adam ascent with random
+    jitter for translation robustness and an L2 penalty. Returns the [H, W, C] image.
+    """
+    import optax
+
+    key = jax.random.key(seed)
+    x0 = 0.1 * jax.random.normal(key, (1,) + tuple(img_size))
+    tx = optax.adam(lr)
+    opt_state = tx.init(x0)
+
+    def objective(x, shift):
+        x = jnp.roll(x, shift=(shift[0], shift[1]), axis=(1, 2))
+        _, taps, _ = net.apply(params, x, state=state, splice=splice, stop_at=layer)
+        act = taps[layer]
+        target = act[..., unit]
+        return -jnp.mean(target) + l2_reg * jnp.mean(jnp.square(x))
+
+    @jax.jit
+    def step(x, opt_state, key):
+        key, sub = jax.random.split(key)
+        shift = jax.random.randint(sub, (2,), -jitter, jitter + 1)
+        loss, g = jax.value_and_grad(objective)(x, shift)
+        updates, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(x, updates), opt_state, key, loss
+
+    x = x0
+    for _ in range(steps):
+        x, opt_state, key, _ = step(x, opt_state, key)
+    return np.asarray(x[0])
+
+
+# ---------------------------------------------------------------------------
+# tar extraction (reference utils.py:2367-2445 pulls the activating images out of
+# ImageNet webdataset shards into flat folders)
+# ---------------------------------------------------------------------------
+
+def extract_images_from_tars(
+    tar_paths: Sequence[str],
+    wanted_names: Sequence[str],
+    output_dir: str,
+) -> list[str]:
+    """Extract members whose basename matches ``wanted_names`` from tar shards into a
+    flat ``output_dir`` (skipping files that already exist, like the reference)."""
+    os.makedirs(output_dir, exist_ok=True)
+    wanted = set(wanted_names)
+    extracted = []
+    for tp in tar_paths:
+        with tarfile.open(tp) as tf:
+            for member in tf.getmembers():
+                base = os.path.basename(member.name)
+                if base not in wanted and os.path.splitext(base)[0] not in wanted:
+                    continue
+                dest = os.path.join(output_dir, base)
+                if os.path.exists(dest):
+                    continue
+                src = tf.extractfile(member)
+                if src is None:
+                    continue
+                with open(dest, "wb") as out:
+                    out.write(src.read())
+                extracted.append(dest)
+    return extracted

@@ -32,6 +32,10 @@ def make_backbone(model_name: str, dataset_name: str) -> SeqNet:
         from sparse_vision_tpu.models.googlenet import make_googlenet
 
         return make_googlenet(num_classes=NUM_CLASSES["imagenet"])
+    if model_name == "resnet50":
+        from sparse_vision_tpu.models.resnet import make_resnet50
+
+        return make_resnet50(num_classes=NUM_CLASSES["imagenet"])
     if model_name in ("resnet18", "resnet18_1", "resnet18_2"):
         from sparse_vision_tpu.models.resnet import make_resnet18
 

@@ -102,6 +102,91 @@ def basic_block(name: str, cout: int, stride: int = 1) -> Stage:
     return Stage(name, init, apply)
 
 
+def bottleneck_block(name: str, width: int, stride: int = 1) -> Stage:
+    """torchvision Bottleneck: 1x1(width)-bn-relu, 3x3(width, stride)-bn-relu,
+    1x1(width*4)-bn + skip, final ReLU; 1x1+bn downsample when shape changes."""
+    cout = width * 4
+
+    def init(key, in_shape):
+        h, w, cin = in_shape
+        keys = jax.random.split(key, 4)
+        params = {
+            "conv1": {"w": _conv_init(keys[0], cin, width, 1)},
+            "conv2": {"w": _conv_init(keys[1], width, width, 3)},
+            "conv3": {"w": _conv_init(keys[2], width, cout, 1)},
+        }
+        state = {}
+        params["bn1"], state["bn1"] = _bn_init(width)
+        params["bn2"], state["bn2"] = _bn_init(width)
+        params["bn3"], state["bn3"] = _bn_init(cout)
+        if stride != 1 or cin != cout:
+            params["down_conv"] = {"w": _conv_init(keys[3], cin, cout, 1)}
+            params["down_bn"], state["down_bn"] = _bn_init(cout)
+        oh = (h + 2 - 3) // stride + 1
+        ow = (w + 2 - 3) // stride + 1
+        return params, state, (oh, ow, cout)
+
+    def apply(params, state, x, train):
+        new_s = {}
+        y = _conv2d(x, params["conv1"]["w"], 1, 0)
+        y, new_s["bn1"] = _bn_apply(params["bn1"], state["bn1"], y, train)
+        y = jax.nn.relu(y)
+        y = _conv2d(y, params["conv2"]["w"], stride, 1)
+        y, new_s["bn2"] = _bn_apply(params["bn2"], state["bn2"], y, train)
+        y = jax.nn.relu(y)
+        y = _conv2d(y, params["conv3"]["w"], 1, 0)
+        y, new_s["bn3"] = _bn_apply(params["bn3"], state["bn3"], y, train)
+        if "down_conv" in params:
+            sk = _conv2d(x, params["down_conv"]["w"], stride, 0)
+            sk, new_s["down_bn"] = _bn_apply(params["down_bn"], state["down_bn"], sk, train)
+        else:
+            sk = x
+        return jax.nn.relu(y + sk), new_s, None
+
+    return Stage(name, init, apply)
+
+
+def make_resnet50(num_classes: int = 1000) -> SeqNet:
+    """torchvision resnet50 (the reference offers it pretrained, utils.py:228-229);
+    layers [3, 4, 6, 3] of Bottleneck blocks, ImageNet stem."""
+    stages = [
+        conv("conv1", 64, kernel=7, stride=2, padding=3, use_bias=False),
+        batchnorm("bn1"), relu("relu"),
+        maxpool("maxpool", 3, 2, padding=1),
+    ]
+    plan = [("layer1", 64, 3, 1), ("layer2", 128, 4, 2),
+            ("layer3", 256, 6, 2), ("layer4", 512, 3, 2)]
+    for lname, width, blocks, stride in plan:
+        for b in range(blocks):
+            stages.append(
+                bottleneck_block(f"{lname}.{b}", width, stride=stride if b == 0 else 1)
+            )
+    stages += [global_avgpool("avgpool"), linear("fc", num_classes)]
+    return SeqNet(stages)
+
+
+def convert_torchvision_resnet50(state_dict: dict) -> tuple[dict, dict]:
+    """Map a torchvision resnet50 state_dict to SeqNet (params, state)."""
+    sd = state_dict
+    params: dict = {"conv1": {"w": _conv_w(sd, "conv1.weight")}}
+    state: dict = {}
+    params["bn1"], state["bn1"] = _bn_from_torch(sd, "bn1")
+    for li, blocks in zip(range(1, 5), (3, 4, 6, 3)):
+        for bi in range(blocks):
+            tv = f"layer{li}.{bi}"
+            p = {f"conv{c}": {"w": _conv_w(sd, f"{tv}.conv{c}.weight")} for c in (1, 2, 3)}
+            s = {}
+            for c in (1, 2, 3):
+                p[f"bn{c}"], s[f"bn{c}"] = _bn_from_torch(sd, f"{tv}.bn{c}")
+            if f"{tv}.downsample.0.weight" in sd:
+                p["down_conv"] = {"w": _conv_w(sd, f"{tv}.downsample.0.weight")}
+                p["down_bn"], s["down_bn"] = _bn_from_torch(sd, f"{tv}.downsample.1")
+            params[tv], state[tv] = p, s
+    params["fc"] = {"w": jnp.asarray(np.transpose(np.asarray(sd["fc.weight"]))),
+                    "b": _w(sd, "fc.bias")}
+    return params, state
+
+
 def make_resnet18(num_classes: int = 200, tiny_imagenet_stem: bool = True) -> SeqNet:
     stages = []
     if tiny_imagenet_stem:

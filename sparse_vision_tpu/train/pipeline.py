@@ -183,18 +183,21 @@ class Pipeline:
             self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
             self.tx, cfg.dead_neurons_steps, cfg.sae_expansion_factor, self.criterion,
         )
+        from sparse_vision_tpu.utils.profiling import maybe_profile
+
         start = cfg.sae_checkpoint_epoch
         last_eval = None
         self.eval_modified(epoch=start, store=False)  # pre-training eval (deploy:1315-1320)
         for epoch in range(start, cfg.sae_epochs):
-            for batch in self.train_ds.batches(
-                cfg.sae_batch_size, shuffle=True, seed=cfg.seed + epoch
-            ):
-                b = self._put(batch)
-                self.ts, m = step_fn(
-                    self.ts, self.frozen_params, self.net_state, b.images, b.labels
-                )
-                self.logger.log_train(int(self.ts.step), m)
+            with maybe_profile(cfg.profile_dir or None):
+                for batch in self.train_ds.batches(
+                    cfg.sae_batch_size, shuffle=True, seed=cfg.seed + epoch
+                ):
+                    b = self._put(batch)
+                    self.ts, m = step_fn(
+                        self.ts, self.frozen_params, self.net_state, b.images, b.labels
+                    )
+                    self.logger.log_train(int(self.ts.step), m)
             ckpt.save_checkpoint(
                 self._sae_ckpt_dir(), epoch + 1,
                 {

@@ -192,6 +192,76 @@ def test_resnet18_matches_torch_golden(tiny_stem, size):
         assert taps["layer4.1"].shape == (2, 8, 8, 512)
 
 
+class BottleneckGolden(nn.Module):
+    def __init__(self, cin, width, stride=1):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        sk = x if self.downsample is None else self.downsample(x)
+        return F.relu(y + sk)
+
+
+class ResNet50Golden(nn.Module):
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        cin = 64
+        for li, (width, blocks, stride) in enumerate(
+            [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)], start=1
+        ):
+            mods = []
+            for b in range(blocks):
+                mods.append(BottleneckGolden(cin, width, stride if b == 0 else 1))
+                cin = width * 4
+            setattr(self, f"layer{li}", nn.Sequential(*mods))
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return self.fc(torch.flatten(self.avgpool(x), 1))
+
+
+def test_resnet50_matches_torch_golden():
+    from sparse_vision_tpu.models.resnet import convert_torchvision_resnet50, make_resnet50
+
+    tv = ResNet50Golden().eval()
+    with torch.no_grad():
+        for m in tv.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    net = make_resnet50()
+    params, state = convert_torchvision_resnet50(_np_sd(tv))
+    x = np.random.default_rng(3).standard_normal((2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        golden = tv(torch.tensor(x)).numpy()
+    logits, taps, _ = net.apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), state=state
+    )
+    np.testing.assert_allclose(np.asarray(logits), golden, rtol=1e-3, atol=1e-4)
+    assert taps["layer4.2"].shape == (2, 7, 7, 2048)
+
+
 def test_label_translation_matches_reference_loop():
     """Golden: re-run the reference's per-element mapping logic (utils.py:2095-2120)
     directly on the shipped label files."""

@@ -1,0 +1,108 @@
+"""Viz + figure-utilities tests: feature visualization actually maximizes the target
+unit, grids/plots get written, tar extraction pulls the right members, profiler
+harness produces traces and timings."""
+
+import os
+import tarfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_vision_tpu.eval_tools import figures, viz
+from sparse_vision_tpu.models.layers import SeqNet, conv, flatten, linear, relu
+
+
+def test_feature_visualization_increases_activation():
+    net = SeqNet([
+        conv("conv1", 8, kernel=3, padding=1), relu("relu1"),
+        flatten("flatten"), linear("fc", 4),
+    ])
+    params, _ = net.init(jax.random.key(0), (12, 12, 3))
+    unit = 3
+
+    def mean_act(x):
+        _, taps, _ = net.apply(params, x[None], stop_at="relu1")
+        return float(jnp.mean(taps["relu1"][..., unit]))
+
+    x0 = 0.1 * np.asarray(jax.random.normal(jax.random.key(0), (12, 12, 3)))
+    img = viz.feature_visualization(
+        net, params, "relu1", unit, (12, 12, 3), steps=60, jitter=2, seed=0
+    )
+    assert mean_act(jnp.asarray(img)) > mean_act(jnp.asarray(x0)) + 0.1
+
+
+def test_grids_written(tmp_path, rng):
+    imgs = rng.uniform(0, 1, (8, 10, 10, 1)).astype(np.float32)
+    labels = rng.integers(0, 3, 8)
+    logits = rng.normal(size=(8, 3)).astype(np.float32)
+    p1 = viz.show_classification_with_images(
+        imgs, labels, logits, ["a", "b", "c"], str(tmp_path / "cls.png")
+    )
+    by_unit = {0: imgs[:4], 5: imgs[4:]}
+    vals = {0: rng.uniform(size=4), 5: rng.uniform(size=4)}
+    p2 = viz.show_top_k_samples(by_unit, vals, str(tmp_path / "topk.png"))
+    assert os.path.exists(p1) and os.path.exists(p2)
+
+
+def test_gather_topk_images(rng):
+    from sparse_vision_tpu.data.datasets import make_synthetic
+
+    ds = make_synthetic(num_samples=32)
+    topk_idx = np.array([[3, 5], [7, 1], [-1, 0]])  # one sentinel row
+    out = viz.gather_topk_images(ds, topk_idx, units=[0, 1])
+    assert out[0].shape[0] == 2  # sentinel dropped
+    np.testing.assert_array_equal(out[0][0], ds.images[3])
+    np.testing.assert_array_equal(out[1][2], ds.images[0])
+
+
+def test_tar_extraction(tmp_path):
+    src = tmp_path / "shard0.tar"
+    os.makedirs(tmp_path / "payload", exist_ok=True)
+    names = ["img_a.jpg", "img_b.jpg", "img_c.jpg"]
+    for n in names:
+        (tmp_path / "payload" / n).write_bytes(b"data-" + n.encode())
+    with tarfile.open(src, "w") as tf:
+        for n in names:
+            tf.add(tmp_path / "payload" / n, arcname=f"train/{n}")
+    out = viz.extract_images_from_tars(
+        [str(src)], ["img_a.jpg", "img_c"], str(tmp_path / "out")
+    )
+    got = sorted(os.path.basename(p) for p in out)
+    assert got == ["img_a.jpg", "img_c.jpg"]
+    assert (tmp_path / "out" / "img_a.jpg").read_bytes() == b"data-img_a.jpg"
+
+
+def test_figures_written(tmp_path, rng):
+    node = {"mixed3a": rng.normal(size=128), "mixed3b": rng.normal(size=256)}
+    assert os.path.exists(figures.plot_ie_histograms(node, str(tmp_path / "ie.png")))
+    assert os.path.exists(figures.plot_node_count_vs_threshold(
+        node, [1e-3, 1e-2, 1e-1, 1.0], str(tmp_path / "nodes.png")))
+    assert os.path.exists(figures.plot_mis_over_epochs(
+        {"exp8 l5": {1: 0.854, 5: 0.867, 15: 0.822}}, str(tmp_path / "mis.png"),
+        baseline=0.834))
+    assert os.path.exists(figures.plot_pixel_vs_channel_sparsity(
+        {1: 0.757, 5: 0.9}, {1: 0.76, 5: 0.95}, str(tmp_path / "sp.png")))
+    counts = figures.class_counts(np.array([0, 0, 1, 2, 2, 2]), 4)
+    np.testing.assert_array_equal(counts, [2, 1, 3, 0])
+    assert os.path.exists(figures.plot_class_counts(
+        np.array([0, 0, 1]), 3, str(tmp_path / "cc.png")))
+
+
+def test_timeit_device():
+    from sparse_vision_tpu.utils.profiling import timeit_device
+
+    f = jax.jit(lambda x: x @ x)
+    x = jnp.ones((64, 64))
+    out = timeit_device(f, x, iters=3, trials=3)
+    assert out["median_s"] > 0 and len(out["all_s"]) == 3
+
+
+def test_maybe_profile(tmp_path):
+    from sparse_vision_tpu.utils.profiling import maybe_profile
+
+    with maybe_profile(None):
+        pass  # no-op path
+    with maybe_profile(str(tmp_path / "trace")):
+        jnp.ones((4,)).sum().block_until_ready()
+    assert os.path.isdir(tmp_path / "trace")
