@@ -1,0 +1,155 @@
+"""Activation cache: dump a frozen backbone's tapped activations once, then train SAEs
+directly from the cached token shards.
+
+The reference ABANDONED an HDF5 version of this (activations_handler.py +
+utils.py:613-657, kept in supplementary_files_1) because naive whole-dataset HDF5
+caching didn't scale; its production path recomputes the backbone forward every SAE
+train step inside a hook. Here the cache is a first-class, TPU-friendly path (SURVEY.md
+§7.3 #5): the north-star workload trains a 16k-latent SAE on ImageNet GoogLeNet
+activations, where recomputing GoogLeNet per step wastes ~100x the SAE's FLOPs.
+
+Format: a directory of fixed-size raw token shards ``acts_00000.npy`` ([tokens, C],
+float32 by default) + ``meta.json``. Shards are memory-mapped on read; a background
+thread prefetches the next shard while the current one feeds the device, so host IO
+overlaps TPU compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def dump_activations(
+    net,
+    params: dict,
+    state: Optional[dict],
+    dataset,
+    layer: str,
+    out_dir: str,
+    batch_size: int = 64,
+    shard_tokens: int = 1 << 16,
+    dtype=np.float32,
+    max_batches: Optional[int] = None,
+) -> dict:
+    """Run the frozen backbone over ``dataset``, flatten the tapped layer to tokens
+    ([B, H, W, C] -> [B*H*W, C]), and write fixed-size shards. Returns the meta dict."""
+    from sparse_vision_tpu.models.sae import tokens_from_act
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @jax.jit
+    def tap(images):
+        _, taps, _ = net.apply(params, images, state=state, stop_at=layer)
+        tok, _ = tokens_from_act(taps[layer])
+        return tok
+
+    buf: list[np.ndarray] = []
+    buffered = 0
+    shard_idx = 0
+    total = 0
+    dim = None
+
+    def flush(final: bool):
+        nonlocal buf, buffered, shard_idx, total
+        while buffered >= shard_tokens or (final and buffered > 0):
+            take = min(shard_tokens, buffered)
+            chunk, rest, got = [], [], 0
+            for a in buf:
+                if got + a.shape[0] <= take:
+                    chunk.append(a)
+                    got += a.shape[0]
+                else:
+                    chunk.append(a[: take - got])
+                    rest.append(a[take - got :])
+                    got = take
+            arr = np.concatenate(chunk, axis=0)
+            np.save(os.path.join(out_dir, f"acts_{shard_idx:05d}.npy"), arr)
+            shard_idx += 1
+            total += arr.shape[0]
+            buf = rest
+            buffered = sum(a.shape[0] for a in buf)
+            if final and buffered == 0:
+                break
+
+    n = 0
+    for batch in dataset.batches(batch_size, shuffle=False):
+        tok = np.asarray(tap(batch.images), dtype=dtype)
+        dim = tok.shape[1]
+        buf.append(tok)
+        buffered += tok.shape[0]
+        flush(final=False)
+        n += 1
+        if max_batches is not None and n >= max_batches:
+            break
+    flush(final=True)
+
+    meta = {
+        "layer": layer,
+        "dim": int(dim),
+        "num_shards": shard_idx,
+        "total_tokens": int(total),
+        "shard_tokens": int(shard_tokens),
+        "dtype": np.dtype(dtype).name,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+class ActivationCache:
+    """Memory-mapped shard reader with one-shard-ahead background prefetch."""
+
+    def __init__(self, cache_dir: str):
+        with open(os.path.join(cache_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.dir = cache_dir
+        self.shard_paths = [
+            os.path.join(cache_dir, f"acts_{i:05d}.npy")
+            for i in range(self.meta["num_shards"])
+        ]
+        self.dim = self.meta["dim"]
+        self.total_tokens = self.meta["total_tokens"]
+
+    def _load(self, i: int) -> np.ndarray:
+        return np.load(self.shard_paths[i], mmap_mode="r")
+
+    def batches(
+        self, tokens_per_step: int, shuffle: bool = False, seed: int = 0,
+        prefetch: bool = True,
+    ) -> Iterator[np.ndarray]:
+        """Yield [tokens_per_step, C] arrays; shards visited in (optionally shuffled)
+        order, trailing partial steps dropped (drop_last semantics)."""
+        order = np.arange(len(self.shard_paths))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+
+        if not prefetch:
+            for i in order:
+                shard = self._load(i)
+                for s in range(0, shard.shape[0] - tokens_per_step + 1, tokens_per_step):
+                    yield np.asarray(shard[s : s + tokens_per_step])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=1)
+
+        def producer():
+            for i in order:
+                q.put(np.asarray(self._load(i)))  # materialize off-thread
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            shard = q.get()
+            if shard is None:
+                break
+            for s in range(0, shard.shape[0] - tokens_per_step + 1, tokens_per_step):
+                yield shard[s : s + tokens_per_step]
+        t.join()

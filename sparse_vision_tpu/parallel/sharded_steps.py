@@ -1,0 +1,129 @@
+"""Multi-chip SAE training: the fused Pallas step under shard_map over a 'data' mesh.
+
+This is the production scaling path for the north-star workload (SURVEY.md §2.2 /
+BASELINE: 16k-latent SAE over ImageNet activations on v5e-8): tokens are sharded over
+chips, each chip runs the fused forward/backward kernel on its local shard, gradients
+and scalar metrics are pmean'd over ICI, dead-unit masks are AND-reduced, and the
+(replicated) ConstrainedAdam update is applied identically on every chip.
+
+Correctness notes:
+- equal shard sizes (enforced) make pmean of local mean losses equal the global mean
+  loss, so pmean'd local gradients equal the global gradient exactly;
+- the resample schedule uses the replicated step counter + rng, so all chips make the
+  same resample decision and surgery (tests/test_sharded_fused.py checks exact
+  equality with the single-device step).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from sparse_vision_tpu.ops.resample import (
+    resample_dead_neurons,
+    should_reset_measurement,
+    should_resample,
+)
+from sparse_vision_tpu.train.steps import SAETrainState
+
+
+def make_sharded_fused_train_step(
+    mesh: Mesh,
+    lambda_sparse: float,
+    tx: optax.GradientTransformation,
+    dead_neurons_steps: int,
+    expansion_factor: int,
+    fused_opts: Optional[dict] = None,
+):
+    """Data-parallel fused SAE train step: ``step(ts, acts)`` with ``acts`` [T, C]
+    sharded over the 'data' axis and the train state replicated."""
+    from sparse_vision_tpu.ops.fused_sae import fused_sae_loss_terms
+
+    opts = dict(fused_opts or {})
+    n_data = mesh.shape["data"]
+
+    def local_loss(params, act_local):
+        out = fused_sae_loss_terms(
+            params, act_local, lambda_sparse, expansion_factor, **opts
+        )
+        return out["loss"], out
+
+    def shard_body(ts: SAETrainState, act_local: jax.Array):
+        (loss, out), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            ts.params, act_local
+        )
+        # global gradient = mean over chips of local-mean gradients (equal shards)
+        grads = jax.lax.pmean(grads, "data")
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        step = ts.step + 1
+
+        # dead across the GLOBAL batch = AND over chips of local dead masks
+        dead = jax.lax.psum(jnp.logical_not(out["dead"]).astype(jnp.int32), "data") == 0
+        dead_acc = jnp.logical_and(ts.dead_acc, dead)
+        rng, sub = jax.random.split(ts.rng)
+
+        def do_resample(p, o, acc):
+            p2, o2 = resample_dead_neurons(p, o, acc, sub)
+            return p2, o2, jnp.ones_like(acc)
+
+        def no_resample(p, o, acc):
+            acc = jnp.where(
+                should_reset_measurement(step, dead_neurons_steps),
+                jnp.ones_like(acc), acc,
+            )
+            return p, o, acc
+
+        new_params, opt_state, dead_acc = jax.lax.cond(
+            should_resample(step, dead_neurons_steps),
+            do_resample, no_resample, new_params, opt_state, dead_acc,
+        )
+
+        metrics = {
+            "sae_loss": jax.lax.pmean(loss, "data"),
+            "sae_rec_loss": jax.lax.pmean(out["rec_loss"], "data"),
+            "sae_l1_loss": jax.lax.pmean(out["l1_loss"], "data"),
+            "sparsity": jax.lax.pmean(out["sparsity"], "data"),
+            "perc_dead": jnp.sum(dead_acc) / dead_acc.shape[0],
+        }
+        return SAETrainState(new_params, opt_state, step, dead_acc, rng), metrics
+
+    rep = P()
+    # check_vma=False: pallas_call outputs don't carry vma annotations yet
+    sharded = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(rep, P("data", None)),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step_fn(ts: SAETrainState, acts: jax.Array):
+        if acts.shape[0] % n_data:
+            raise ValueError(f"token count {acts.shape[0]} not divisible by data={n_data}")
+        return sharded(ts, acts)
+
+    return step_fn
+
+
+def put_sharded(mesh: Mesh, ts: SAETrainState, acts: jax.Array):
+    """Place the train state replicated and the activations data-sharded."""
+    rep = NamedSharding(mesh, P())
+    ts = SAETrainState(
+        params=jax.device_put(ts.params, rep),
+        opt_state=jax.device_put(ts.opt_state, rep),
+        step=jax.device_put(ts.step, rep),
+        dead_acc=jax.device_put(ts.dead_acc, rep),
+        rng=jax.device_put(ts.rng, rep),
+    )
+    acts = jax.device_put(acts, NamedSharding(mesh, P("data", None)))
+    return ts, acts

@@ -1,0 +1,120 @@
+"""Multi-chip fused training + activation cache tests (8-device CPU mesh).
+
+The sharded fused step must match the single-device fused step EXACTLY (f32,
+interpret-mode kernels): pmean of local-mean grads == global-mean grads with equal
+shards, dead masks AND-reduce, resample decisions replicate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_vision_tpu.data.activation_cache import ActivationCache, dump_activations
+from sparse_vision_tpu.models.sae import init_sae
+from sparse_vision_tpu.ops import optim
+from sparse_vision_tpu.parallel.mesh import make_mesh
+from sparse_vision_tpu.parallel.sharded_steps import (
+    make_sharded_fused_train_step,
+    put_sharded,
+)
+from sparse_vision_tpu.train.steps import (
+    init_sae_train_state,
+    make_sae_train_step_from_acts,
+)
+
+C, K, T = 128, 2, 256
+FUSED_OPTS = dict(tile_t=32, tile_h=128, compute_dtype=jnp.float32, interpret=True)
+
+
+def test_sharded_fused_matches_single_device(cpu_devices):
+    mesh = make_mesh((8,))
+    params = init_sae("sae_mlp", jax.random.key(0), C, K)
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    acts = jax.random.normal(jax.random.key(1), (T, C))
+
+    ts_single = init_sae_train_state(params, tx, C * K)
+    single = make_sae_train_step_from_acts(
+        "sae_mlp", 0.5, tx, 50, K, fused=True, fused_opts=FUSED_OPTS
+    )
+    ts_shard = init_sae_train_state(params, tx, C * K)
+    sharded = make_sharded_fused_train_step(mesh, 0.5, tx, 50, K, fused_opts=FUSED_OPTS)
+    ts_shard, acts_sharded = put_sharded(mesh, ts_shard, acts)
+
+    for step in range(3):
+        ts_single, m_single = single(ts_single, acts)
+        ts_shard, m_shard = sharded(ts_shard, acts_sharded)
+        for k in ["sae_loss", "sae_rec_loss", "sae_l1_loss", "perc_dead"]:
+            np.testing.assert_allclose(
+                float(m_shard[k]), float(m_single[k]), rtol=1e-5, err_msg=f"{k}@{step}"
+            )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        ts_shard.params, ts_single.params,
+    )
+    assert int(ts_shard.step) == int(ts_single.step) == 3
+    np.testing.assert_array_equal(
+        np.asarray(ts_shard.dead_acc), np.asarray(ts_single.dead_acc)
+    )
+
+
+def test_activation_cache_roundtrip(tmp_path):
+    from sparse_vision_tpu.data.datasets import make_synthetic
+    from sparse_vision_tpu.models.backbone import make_backbone
+    from sparse_vision_tpu.models.sae import tokens_from_act
+
+    net = make_backbone("custom_cnn_1", "cifar_10")
+    params, state = net.init(jax.random.key(0), (32, 32, 3))
+    ds = make_synthetic(num_samples=24, img_size=(32, 32, 3))
+
+    meta = dump_activations(
+        net, params, state, ds, "relu1", str(tmp_path), batch_size=8,
+        shard_tokens=4096,
+    )
+    # 24 images, conv1 output 32x32x32 -> 24*1024 = 24576 tokens of dim 32
+    assert meta["dim"] == 32 and meta["total_tokens"] == 24 * 32 * 32
+    assert meta["num_shards"] == 6  # 24576 / 4096
+
+    cache = ActivationCache(str(tmp_path))
+    got = np.concatenate(list(cache.batches(4096, shuffle=False)), axis=0)
+    assert got.shape == (24576, 32)
+
+    # golden: first batch's tokens straight from the backbone
+    _, taps, _ = net.apply(params, ds.images[:8], state=state, stop_at="relu1")
+    tok, _ = tokens_from_act(taps["relu1"])
+    np.testing.assert_allclose(got[: tok.shape[0]], np.asarray(tok), rtol=1e-6)
+
+    # prefetch path equals non-prefetch path, shuffled order deterministic by seed
+    a = np.concatenate(list(cache.batches(2048, shuffle=True, seed=3)), axis=0)
+    b = np.concatenate(
+        list(cache.batches(2048, shuffle=True, seed=3, prefetch=False)), axis=0
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_cache_feeds_fused_training(tmp_path, cpu_devices):
+    """End-to-end production path: dump cache -> sharded fused training over it."""
+    from sparse_vision_tpu.data.datasets import make_synthetic
+    from sparse_vision_tpu.models.backbone import make_backbone
+
+    net = make_backbone("custom_cnn_1", "cifar_10")
+    params, state = net.init(jax.random.key(0), (32, 32, 3))
+    ds = make_synthetic(num_samples=16, img_size=(32, 32, 3))
+    dump_activations(net, params, state, ds, "relu1", str(tmp_path), batch_size=8,
+                     shard_tokens=4096)
+    cache = ActivationCache(str(tmp_path))
+
+    mesh = make_mesh((8,))
+    sae_params = init_sae("sae_mlp", jax.random.key(1), cache.dim, 2)
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    ts = init_sae_train_state(sae_params, tx, cache.dim * 2)
+    step = make_sharded_fused_train_step(mesh, 0.1, tx, 1000, 2, fused_opts=FUSED_OPTS)
+
+    losses = []
+    for _ in range(2):
+        for tok in cache.batches(2048, shuffle=True, seed=0):
+            ts_in, tok_in = put_sharded(mesh, ts, jnp.asarray(tok))
+            ts, m = step(ts_in, tok_in)
+            losses.append(float(m["sae_loss"]))
+    assert losses[-1] < losses[0]  # it learns
