@@ -63,7 +63,8 @@ class Pipeline:
         self.paths = folder_paths(cfg)
         self.run_id = run_id(cfg)
         self.logger = logger or RunLogger(
-            self.run_id, use_wandb=cfg.wandb_status, log_every=cfg.log_every
+            self.run_id, use_wandb=cfg.wandb_status, log_every=cfg.log_every,
+            resume=cfg.sae_checkpoint_epoch > 0,
         )
         self.mesh = mesh if mesh is not None else (
             make_mesh(cfg.mesh_shape) if cfg.mesh_shape else None

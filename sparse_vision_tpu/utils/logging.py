@@ -13,15 +13,19 @@ from typing import Optional
 
 class RunLogger:
     def __init__(self, run_id: str, run_group: str = "", use_wandb: bool = False,
-                 config: Optional[dict] = None, log_every: int = 100):
+                 config: Optional[dict] = None, log_every: int = 100,
+                 resume: bool = False):
         self.log_every = log_every
         self.wandb = None
         if use_wandb:
             try:
                 import wandb
 
+                # resume="must" stitches a resumed run's history onto the same W&B
+                # run id (reference: execute_project.py:67-76, 144-150)
                 wandb.init(project="sparse-vision-tpu", name=run_id, id=run_id,
-                           group=run_group or None, config=config or {})
+                           group=run_group or None, config=config or {},
+                           resume="must" if resume else None)
                 wandb.define_metric("batch")
                 wandb.define_metric("epoch")
                 wandb.define_metric("train/*", step_metric="batch")
