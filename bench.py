@@ -35,34 +35,40 @@ def main():
         make_sae_train_step_from_acts,
     )
 
+    from sparse_vision_tpu.train.steps import make_sae_train_multi_step
+
     C = 256
     EXPANSION = 64  # 16,384 latents — the north-star size
-    TOKENS = 32768  # tokens per step (~= 42 ImageNet images' worth of mixed3a tokens)
-    STEPS = 20
+    on_tpu = jax.default_backend() != "cpu"
+    TOKENS = 65536 if on_tpu else 4096  # tokens per train step
+    SCAN = 10 if on_tpu else 2  # microbatches fused into one dispatch (lax.scan)
+    TRIPS = 2  # multi-step dispatches per timed trial
 
     key = jax.random.key(0)
     sae_params = init_sae("sae_mlp", key, C, EXPANSION)
     tx = optim.get_optimizer("constrained_adam", 1e-3)
     ts = init_sae_train_state(sae_params, tx, C * EXPANSION)
     step = make_sae_train_step_from_acts(
-        "sae_mlp", 5.0, tx, 10_000, EXPANSION, fused=jax.default_backend() != "cpu"
+        "sae_mlp", 5.0, tx, 10_000, EXPANSION, fused=on_tpu
     )
+    multi = make_sae_train_multi_step(step)
 
-    acts = jax.random.normal(jax.random.key(1), (TOKENS, C), jnp.float32)
+    acts = jax.random.normal(jax.random.key(1), (SCAN, TOKENS, C), jnp.float32)
 
     # warmup/compile; the final host readback of the loss is a hard device sync
     # (block_until_ready alone has proven unreliable on tunneled backends)
-    ts, m = step(ts, acts)
-    _ = float(m["sae_loss"])
+    ts, m = multi(ts, acts)
+    _ = float(m["sae_loss"][-1])
 
     times = []
     for _trial in range(5):
         t0 = time.perf_counter()
-        for _ in range(STEPS):
-            ts, m = step(ts, acts)
+        for _ in range(TRIPS):
+            ts, m = multi(ts, acts)
         _ = float(jnp.vdot(ts.params["b_enc"], ts.params["b_enc"]))  # syncs final params
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]  # median trial
+    STEPS = SCAN * TRIPS
 
     n_chips = jax.device_count()
     tokens_per_sec_per_chip = TOKENS * STEPS / dt / n_chips

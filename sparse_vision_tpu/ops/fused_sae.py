@@ -46,9 +46,9 @@ def _fwd_kernel(x_ref, w_enc_ref, b_enc_ref, w_dec_ref, b_dec_ref,
     i = pl.program_id(0)  # T tile (outer: x/recon blocks stay resident per i)
     j = pl.program_id(1)  # H tile (inner: W blocks stream; recon accumulates in VMEM)
     x = x_ref[:]
-    x_cent = x - b_dec_ref[:]
+    x_cent = (x - b_dec_ref[:].astype(x.dtype)).astype(compute_dtype)
     pre = jnp.dot(
-        x_cent.astype(compute_dtype), w_enc_ref[:].astype(compute_dtype),
+        x_cent, w_enc_ref[:].astype(compute_dtype),
         preferred_element_type=jnp.float32,
     ) + b_enc_ref[:]
     post = jnp.maximum(pre, 0.0)
@@ -99,17 +99,17 @@ def _bwd_kernel(x_ref, w_enc_ref, b_enc_ref, w_dec_ref, b_dec_ref, err_ref, c_re
     j = pl.program_id(0)  # H tile (outer: dW/db blocks stay resident per j)
     i = pl.program_id(1)  # T tile (inner: reduction over tokens accumulates in VMEM)
     cd = compute_dtype
-    x_cent = x_ref[:] - b_dec_ref[:]
+    x_cent = (x_ref[:] - b_dec_ref[:].astype(x_ref.dtype)).astype(cd)
     w_enc = w_enc_ref[:]
     # recompute pre/post for this tile (never stored in HBM)
     pre = jnp.dot(
-        x_cent.astype(cd), w_enc.astype(cd), preferred_element_type=jnp.float32
+        x_cent, w_enc.astype(cd), preferred_element_type=jnp.float32
     ) + b_enc_ref[:]
     post = jnp.maximum(pre, 0.0)
 
     c_rec = c_ref[0, 0]  # g_rec * 2 / (T*C)
     c_l1 = c_ref[0, 1]  # g_l1 / (T*H)
-    drecon = c_rec * err_ref[:]  # [TT, C]
+    drecon = c_rec * err_ref[:].astype(jnp.float32)  # [TT, C]
     dpost = jax.lax.dot_general(
         drecon.astype(cd), w_dec_ref[:].astype(cd),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -172,14 +172,14 @@ def _dx_kernel(x_ref, w_enc_ref, b_enc_ref, w_dec_ref, b_dec_ref, err_ref, c_ref
     differentiating w.r.t. the activations (training treats them as data)."""
     j = pl.program_id(1)
     cd = compute_dtype
-    x_cent = x_ref[:] - b_dec_ref[:]
+    x_cent = (x_ref[:] - b_dec_ref[:].astype(x_ref.dtype)).astype(cd)
     w_enc = w_enc_ref[:]
     pre = jnp.dot(
-        x_cent.astype(cd), w_enc.astype(cd), preferred_element_type=jnp.float32
+        x_cent, w_enc.astype(cd), preferred_element_type=jnp.float32
     ) + b_enc_ref[:]
     c_rec = c_ref[0, 0]
     c_l1 = c_ref[0, 1]
-    drecon = c_rec * err_ref[:]
+    drecon = c_rec * err_ref[:].astype(jnp.float32)
     dpost = jax.lax.dot_general(
         drecon.astype(cd), w_dec_ref[:].astype(cd),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -222,6 +222,15 @@ def make_fused_sae_op(tile_t: int = 1024, tile_h: int = 512,
     into x when compute_dx=True; otherwise the x cotangent is zero).
     """
 
+    lowp = compute_dtype != jnp.float32
+
+    def _cast(a):
+        # pre-cast matmul operands OUTSIDE the kernels: halves their HBM streaming
+        # traffic and removes the in-kernel cast buffers (the in-kernel .astype then
+        # becomes a no-op); numerics are identical — operands were quantized to the
+        # compute dtype before every matmul anyway
+        return a.astype(compute_dtype) if lowp else a
+
     def _forward_raw(params, x):
         t, c = x.shape
         h = params["b_enc"].shape[0]
@@ -252,8 +261,8 @@ def make_fused_sae_op(tile_t: int = 1024, tile_h: int = 512,
             ],
             interpret=interpret,
         )(
-            x, params["W_enc"], params["b_enc"].reshape(1, h),
-            params["W_dec"], params["b_dec"].reshape(1, c),
+            _cast(x), _cast(params["W_enc"]), params["b_enc"].reshape(1, h),
+            _cast(params["W_dec"]), params["b_dec"].reshape(1, c),
         )
         act_count = jnp.sum(act_part, axis=0)  # [H]
         return recon, act_count, row_active, l1_sum
@@ -291,9 +300,9 @@ def make_fused_sae_op(tile_t: int = 1024, tile_h: int = 512,
             [[ct["rec_loss"] * 2.0 / (t * c), ct["l1_loss"] / (t * h)]], jnp.float32
         )
         operands = (
-            x, params["W_enc"], params["b_enc"].reshape(1, h),
-            params["W_dec"], params["b_dec"].reshape(1, c),
-            err, coeffs,
+            _cast(x), _cast(params["W_enc"]), params["b_enc"].reshape(1, h),
+            _cast(params["W_dec"]), params["b_dec"].reshape(1, c),
+            _cast(err), coeffs,
         )
         x_spec_t_inner = pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
         kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype)

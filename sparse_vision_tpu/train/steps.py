@@ -244,6 +244,23 @@ def make_sae_train_step_from_acts(
     return step_fn
 
 
+def make_sae_train_multi_step(step_fn):
+    """Wrap a ``(ts, acts) -> (ts, metrics)`` step into ONE jitted dispatch over a
+    stacked [K, T, C] microbatch sequence via lax.scan.
+
+    Host-dispatch overhead (worst on tunneled/remote backends, nonzero everywhere) is
+    paid once per K steps instead of per step; metrics are returned stacked [K]."""
+
+    @jax.jit
+    def multi(ts: SAETrainState, acts_stack: jax.Array):
+        def body(ts, a):
+            return step_fn(ts, a)
+
+        return jax.lax.scan(body, ts, acts_stack)
+
+    return multi
+
+
 def make_sae_eval_step(
     net: SeqNet,
     sae_layer: str,

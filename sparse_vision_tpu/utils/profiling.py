@@ -35,8 +35,12 @@ def timeit_device(fn: Callable, *args, iters: int = 20, trials: int = 5,
     (block_until_ready alone has proven unreliable on tunneled backends — bench.py)."""
 
     def sync(out):
+        # reduce on device, transfer ONE scalar — transferring a whole leaf would
+        # dominate the measurement on tunneled backends
+        import jax.numpy as jnp
+
         leaf = jax.tree.leaves(out)[0]
-        np.asarray(jax.device_get(leaf)).ravel()[:1]
+        np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
 
     for _ in range(warmup):
         sync(fn(*args))
