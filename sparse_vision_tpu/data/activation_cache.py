@@ -69,7 +69,8 @@ def dump_activations(
                     chunk.append(a[: take - got])
                     rest.append(a[take - got :])
                     got = take
-            arr = np.concatenate(chunk, axis=0)
+            # force C order: device->host arrays can come back F-contiguous
+            arr = np.ascontiguousarray(np.concatenate(chunk, axis=0))
             np.save(os.path.join(out_dir, f"acts_{shard_idx:05d}.npy"), arr)
             shard_idx += 1
             total += arr.shape[0]
@@ -122,13 +123,32 @@ class ActivationCache:
 
     def batches(
         self, tokens_per_step: int, shuffle: bool = False, seed: int = 0,
-        prefetch: bool = True,
+        prefetch: bool | str = True,
     ) -> Iterator[np.ndarray]:
         """Yield [tokens_per_step, C] arrays; shards visited in (optionally shuffled)
-        order, trailing partial steps dropped (drop_last semantics)."""
+        order, trailing partial steps dropped (drop_last semantics).
+
+        prefetch: False = synchronous memmap; True = Python-thread read-ahead;
+        "native" = C++ ring-buffer reader (data/native_io.py; GIL-free pread loops,
+        zero-copy views valid until the next shard — callers upload/copy per batch,
+        which jnp.asarray does). "native" falls back to True when no toolchain."""
         order = np.arange(len(self.shard_paths))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+
+        if prefetch == "native":
+            from sparse_vision_tpu.data import native_io
+
+            if native_io.load_native() is not None:
+                it = native_io.NativeShardIterator(
+                    [self.shard_paths[i] for i in order]
+                )
+                for shard in it:
+                    for s in range(0, shard.shape[0] - tokens_per_step + 1,
+                                   tokens_per_step):
+                        yield shard[s : s + tokens_per_step]
+                return
+            prefetch = True  # toolchain unavailable — degrade
 
         if not prefetch:
             for i in order:
