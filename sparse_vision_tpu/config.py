@@ -91,6 +91,10 @@ class RunConfig:
     use_pallas: bool = True  # use fused Pallas SAE kernels where available
     log_every: int = 100  # console log cadence (reference: utils.py:1259)
     profile_dir: str = ""  # non-empty -> jax.profiler.trace of each train epoch
+    # restrict ImageNet to one wordnet class — the reference hardcoded a
+    # flamingo-only filter as a live experiment artifact (utils.py:2163-2168);
+    # here it is an explicit opt-in
+    imagenet_class_filter: str = ""
 
     @property
     def use_sae(self) -> bool:

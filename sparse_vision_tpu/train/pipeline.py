@@ -72,7 +72,9 @@ class Pipeline:
         self.batch_sharding = data_sharding(self.mesh) if self.mesh else None
 
         self.net = make_backbone(cfg.model_name, cfg.dataset_name)
-        self.train_ds, self.val_ds, self.category_names, self.img_size = load_data(cfg)
+        self.train_ds, self.val_ds, self.category_names, self.img_size = load_data(
+            cfg, class_filter=cfg.imagenet_class_filter or None
+        )
         self.criterion = get_criterion(cfg.model_criterion_name)
 
         key = jax.random.key(cfg.seed)
@@ -253,6 +255,27 @@ class Pipeline:
         means["accuracy"] = correct / total  # exact, like reference (:669-672, 997)
         means["perc_dead_units"] = float(jnp.sum(dead_acc) / dead_acc.shape[0])
         self.logger.log_eval(epoch, means)
+
+        # per-epoch channel-activation-frequency histogram figure
+        # (reference: model_pipeline.py:1046-1068 logs one per eval epoch)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            freq = np.asarray(top_state.values[0])  # max channel-avg act per unit
+            fig, ax = plt.subplots(figsize=(8, 4))
+            ax.hist(freq[np.isfinite(freq)], bins=100, color="dodgerblue")
+            ax.set_xlabel("max channel-averaged activation per unit")
+            ax.set_ylabel("units")
+            ax.set_title(f"epoch {epoch}")
+            hist_dir = os.path.join(self.paths["evaluation_results"], "histograms")
+            os.makedirs(hist_dir, exist_ok=True)
+            fig.savefig(os.path.join(hist_dir, f"{self.run_id}_epoch_{epoch}.png"), dpi=120)
+            plt.close(fig)
+        except Exception as e:  # plotting must never fail a run
+            print(f"[eval] histogram figure skipped: {e}")
 
         # per-unit max/min sample indices for MIS (model_pipeline.py:948-961)
         fn_dir = os.path.join(self.paths["evaluation_results"], "filename_indices")
