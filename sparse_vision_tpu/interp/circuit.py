@@ -239,14 +239,11 @@ class CircuitEngine:
         idx_d_arr = jnp.asarray(idx_d, jnp.int32)
 
         @jax.jit
-        def f(images, labels, enc_avg_u, err_avg_u):
-            _, taps, grads = loss_and_tap_grads(
-                self.net, self.params, self.state, images, labels,
-                self.criterion, [name_u, name_d],
-            )
-            act_u, act_d = taps[name_u], taps[name_d]
+        def f(act_u, act_d, grad_d, enc_avg_u, err_avg_u):
+            # clean taps/gradients come from ONE shared multi-tap backward per batch
+            # (compute_edge_ie below); this function only retraces the u->d segment
             b = act_u.shape[0]
-            gd_tok, _ = tokens_from_act(grads[name_d])
+            gd_tok, _ = tokens_from_act(grad_d)
             gd_tok = jax.lax.stop_gradient(gd_tok)
 
             # grad of loss w.r.t. enc_d under the standard intervention at d
@@ -350,7 +347,11 @@ class CircuitEngine:
         """Edge IE matrices per upstream layer over consecutive pairs of
         ``custom_layers`` (compute_ie.py:491-514); the last layer's downstream node is
         the model loss. Batches weighted equally (reference update_ie_dict uses
-        batch_idx, compute_ie.py:357-360)."""
+        batch_idx, compute_ie.py:357-360).
+
+        One shared clean forward+multi-tap-backward per batch feeds every pair
+        (the reference reruns get_grad_original and a trace per pair,
+        compute_ie.py:537-558)."""
         layers = list(custom_layers) if custom_layers is not None else self.layers
         pair_fns = {}
         for u, d in zip(layers[:-1], layers[1:]):
@@ -360,12 +361,23 @@ class CircuitEngine:
         last = layers[-1]
         last_fn = self._make_edge_loss_fn(last, tuple(feature_indices[last]))
 
+        @jax.jit
+        def clean(images, labels):
+            _, taps, grads = loss_and_tap_grads(
+                self.net, self.params, self.state, images, labels,
+                self.criterion, layers,
+            )
+            return taps, grads
+
         edges: dict[str, jax.Array] = {}
         batch_idx = 0
         for images, labels in data:
             batch_idx += 1
+            taps, grads = clean(images, labels)
             for u, d in zip(layers[:-1], layers[1:]):
-                mat = pair_fns[u](images, labels, averages.enc[u], averages.err[u])
+                mat = pair_fns[u](
+                    taps[u], taps[d], grads[d], averages.enc[u], averages.err[u]
+                )
                 edges[u] = running_mean(edges.get(u), mat, batch_idx - 1, 1)
             mat = last_fn(images, labels, averages.enc[last], averages.err[last])
             edges[last] = running_mean(edges.get(last), mat, batch_idx - 1, 1)

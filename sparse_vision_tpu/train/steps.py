@@ -182,14 +182,23 @@ def make_sae_train_step_from_acts(
     is a first-class path and the benchmark kernel). Identical update math to
     make_sae_train_step, without the backbone forward.
 
-    ``fused=True`` routes forward+loss+stats through the Pallas fused kernel
-    (ops/fused_sae.py) — the production TPU path; requires sae_mlp and tile-divisible
-    shapes. Parity with the stock path is tested in tests/test_fused_sae.py."""
+    ``fused=True`` routes forward+loss+stats through the Pallas fused kernels
+    (ops/fused_sae.py for sae_mlp, ops/fused_gated_sae.py for gated_sae) — the
+    production TPU path; requires tile-divisible shapes. Parity with the stock path is
+    tested in tests/test_fused_sae.py / tests/test_fused_gated_sae.py."""
     can_resample = sae_model_name == "sae_mlp"
-    if fused and sae_model_name != "sae_mlp":
-        raise ValueError("fused path supports sae_mlp only")
+    if fused and sae_model_name not in ("sae_mlp", "gated_sae"):
+        raise ValueError("fused path supports sae_mlp and gated_sae only")
 
-    if fused:
+    if fused and sae_model_name == "gated_sae":
+        from sparse_vision_tpu.ops.fused_gated_sae import fused_gated_sae_loss_terms
+
+        def loss_fn(sae_params, act):
+            out = fused_gated_sae_loss_terms(
+                sae_params, act, lambda_sparse, expansion_factor, **(fused_opts or {})
+            )
+            return out["loss"], out
+    elif fused:
         from sparse_vision_tpu.ops.fused_sae import fused_sae_loss_terms
 
         def loss_fn(sae_params, act):
