@@ -95,6 +95,11 @@ class RunConfig:
     # flamingo-only filter as a live experiment artifact (utils.py:2163-2168);
     # here it is an explicit opt-in
     imagenet_class_filter: str = ""
+    # train the SAE from a pre-dumped activation cache (built automatically on first
+    # use) instead of recomputing the backbone forward every step — the production
+    # ImageNet path (data/activation_cache.py)
+    use_activation_cache: bool = False
+    cache_tokens_per_step: int = 4096
 
     @property
     def use_sae(self) -> bool:

@@ -181,6 +181,8 @@ class Pipeline:
     # SAE training (mode 3)
     # ------------------------------------------------------------------
     def train_sae(self):
+        if self.cfg.use_activation_cache:
+            return self.train_sae_cached()
         cfg = self.cfg
         step_fn = make_sae_train_step(
             self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
@@ -200,6 +202,58 @@ class Pipeline:
                     self.ts, m = step_fn(
                         self.ts, self.frozen_params, self.net_state, b.images, b.labels
                     )
+                    self.logger.log_train(int(self.ts.step), m)
+            ckpt.save_checkpoint(
+                self._sae_ckpt_dir(), epoch + 1,
+                {
+                    "params": self.ts.params,
+                    "opt_state": self.ts.opt_state,
+                    "step": self.ts.step,
+                    "dead_acc": self.ts.dead_acc,
+                },
+            )
+            last_eval = self.eval_modified(epoch=epoch + 1)
+        return last_eval
+
+    # ------------------------------------------------------------------
+    # SAE training from the activation cache (production ImageNet path: tap the
+    # frozen backbone ONCE, then train at memory bandwidth; the reference recomputes
+    # the backbone inside a hook every step and abandoned its HDF5 cache attempt)
+    # ------------------------------------------------------------------
+    def train_sae_cached(self):
+        from sparse_vision_tpu.data.activation_cache import (
+            ActivationCache,
+            dump_activations,
+        )
+        from sparse_vision_tpu.train.steps import make_sae_train_step_from_acts
+        from sparse_vision_tpu.utils.profiling import maybe_profile
+
+        cfg = self.cfg
+        cache_dir = os.path.join(
+            self.paths["evaluation_results"], "activation_cache", cfg.sae_layer
+        )
+        if not os.path.exists(os.path.join(cache_dir, "meta.json")):
+            print(f"Building activation cache at {cache_dir} ...")
+            dump_activations(
+                self.net, self.frozen_params, self.net_state, self.train_ds,
+                cfg.sae_layer, cache_dir, batch_size=cfg.sae_batch_size,
+            )
+        cache = ActivationCache(cache_dir)
+        tps = cfg.cache_tokens_per_step
+        fused = cfg.use_pallas and jax.default_backend() not in ("cpu",) and (
+            tps % 256 == 0 and self.num_units % 512 == 0
+        )
+        step_fn = make_sae_train_step_from_acts(
+            cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
+            cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=fused,
+        )
+        start = cfg.sae_checkpoint_epoch
+        last_eval = None
+        self.eval_modified(epoch=start, store=False)
+        for epoch in range(start, cfg.sae_epochs):
+            with maybe_profile(cfg.profile_dir or None):
+                for tok in cache.batches(tps, shuffle=True, seed=cfg.seed + epoch):
+                    self.ts, m = step_fn(self.ts, jnp.asarray(tok))
                     self.logger.log_train(int(self.ts.step), m)
             ckpt.save_checkpoint(
                 self._sae_ckpt_dir(), epoch + 1,

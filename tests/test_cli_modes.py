@@ -125,3 +125,22 @@ def test_ie_modes(tmp_path):
     assert {r["variant"] for r in rows} == {"sae", "model"}
     assert os.path.exists(os.path.join(d, "faithfulness.csv"))
     assert os.path.exists(os.path.join(d, "faithfulness.png"))
+
+
+def test_cached_sae_training_mode(tmp_path):
+    """use_activation_cache=True: cache is built once, SAE trains from it, losses
+    improve, checkpoints + results written like the standard path."""
+    cfg = _base_cfg(tmp_path, use_activation_cache=True, cache_tokens_per_step=512,
+                    sae_epochs=2)
+    p = Pipeline(cfg)
+    result = p.run()
+    assert result is not None and "sae_rec_loss" in result
+    cache_dir = os.path.join(p.paths["evaluation_results"], "activation_cache", "fc1")
+    assert os.path.exists(os.path.join(cache_dir, "meta.json"))
+    assert int(p.ts.step) > 0
+    # second run reuses the cache (meta unchanged) and resumes cleanly
+    cfg2 = _base_cfg(tmp_path, use_activation_cache=True, cache_tokens_per_step=512,
+                     sae_epochs=3, sae_checkpoint_epoch=2)
+    p2 = Pipeline(cfg2)
+    p2.run()
+    assert int(p2.ts.step) > int(p.ts.step)
