@@ -37,9 +37,14 @@ def dump_activations(
     shard_tokens: int = 1 << 16,
     dtype=np.float32,
     max_batches: Optional[int] = None,
+    shuffle_images: bool = False,
+    seed: int = 0,
 ) -> dict:
     """Run the frozen backbone over ``dataset``, flatten the tapped layer to tokens
-    ([B, H, W, C] -> [B*H*W, C]), and write fixed-size shards. Returns the meta dict."""
+    ([B, H, W, C] -> [B*H*W, C]), and write fixed-size shards. Returns the meta dict.
+
+    ``shuffle_images=True`` streams the images in a shuffled order so cached token
+    blocks decorrelate across the dataset (recommended for training caches)."""
     from sparse_vision_tpu.models.sae import tokens_from_act
 
     os.makedirs(out_dir, exist_ok=True)
@@ -80,7 +85,7 @@ def dump_activations(
                 break
 
     n = 0
-    for batch in dataset.batches(batch_size, shuffle=False):
+    for batch in dataset.batches(batch_size, shuffle=shuffle_images, seed=seed):
         tok = np.asarray(tap(batch.images), dtype=dtype)
         dim = tok.shape[1]
         buf.append(tok)
@@ -131,10 +136,24 @@ class ActivationCache:
         prefetch: False = synchronous memmap; True = Python-thread read-ahead;
         "native" = C++ ring-buffer reader (data/native_io.py; GIL-free pread loops,
         zero-copy views valid until the next shard — callers upload/copy per batch,
-        which jnp.asarray does). "native" falls back to True when no toolchain."""
+        which jnp.asarray does). "native" falls back to True when no toolchain.
+
+        shuffle randomizes BOTH the shard order and the step-block starting offsets
+        within each shard; tokens inside one step stay contiguous (sequential IO).
+        Residual correlation matches the reference's regime — its hook-mode batches
+        are also all spatial tokens of a few consecutively-drawn images
+        (utils.py:2448-2451). For fully decorrelated tokens, dump the cache from a
+        shuffled image stream (dump_activations(..., shuffle_images=True))."""
+        rng = np.random.default_rng(seed)
         order = np.arange(len(self.shard_paths))
         if shuffle:
-            np.random.default_rng(seed).shuffle(order)
+            rng.shuffle(order)
+
+        def block_starts(n_tokens: int) -> np.ndarray:
+            starts = np.arange(0, n_tokens - tokens_per_step + 1, tokens_per_step)
+            if shuffle:
+                rng.shuffle(starts)
+            return starts
 
         if prefetch == "native":
             from sparse_vision_tpu.data import native_io
@@ -144,8 +163,7 @@ class ActivationCache:
                     [self.shard_paths[i] for i in order]
                 )
                 for shard in it:
-                    for s in range(0, shard.shape[0] - tokens_per_step + 1,
-                                   tokens_per_step):
+                    for s in block_starts(shard.shape[0]):
                         yield shard[s : s + tokens_per_step]
                 return
             prefetch = True  # toolchain unavailable — degrade
@@ -153,7 +171,7 @@ class ActivationCache:
         if not prefetch:
             for i in order:
                 shard = self._load(i)
-                for s in range(0, shard.shape[0] - tokens_per_step + 1, tokens_per_step):
+                for s in block_starts(shard.shape[0]):
                     yield np.asarray(shard[s : s + tokens_per_step])
             return
 
@@ -161,7 +179,10 @@ class ActivationCache:
 
         def producer():
             for i in order:
-                q.put(np.asarray(self._load(i)))  # materialize off-thread
+                # np.array COPIES: faulting the mmap pages in on this thread is the
+                # whole point of the read-ahead (np.asarray would be a lazy view and
+                # all IO would land back on the consumer)
+                q.put(np.array(self._load(i)))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -170,6 +191,6 @@ class ActivationCache:
             shard = q.get()
             if shard is None:
                 break
-            for s in range(0, shard.shape[0] - tokens_per_step + 1, tokens_per_step):
+            for s in block_starts(shard.shape[0]):
                 yield shard[s : s + tokens_per_step]
         t.join()

@@ -139,6 +139,11 @@ class CircuitEngine:
                 enc = self._encode(name, tok)
                 dec = self._decode(name, enc)
                 err = tok - dec
+                # NOTE: stats are computed on the TOKEN matrix (per-token inactivity),
+                # exactly like the reference's averages pass, which calls
+                # measure_inactive_units on the [NHW, C*K] encoder output BEFORE
+                # rearranging (compute_ie.py:154-156) — deliberately different from
+                # the per-sample conv semantics the training loop uses.
                 dead, sparsity, _ = metrics.measure_inactive_units(
                     enc, self.saes[name].expansion_factor
                 )

@@ -47,11 +47,22 @@ def build_engine(pipeline) -> CircuitEngine:
 
         dims = layer_dimensions(pipeline.net, cfg.dataset_name)
         saes = {}
+        missing = []
         for name in CIRCUIT_LAYERS:
             ckpt_dir = os.path.join(pipeline.paths["checkpoints"], name)
+            has_ckpt = os.path.isdir(ckpt_dir)
+            if not has_ckpt:
+                missing.append(name)
             saes[name] = load_frozen_sae(
                 name, dims[name][-1], cfg.sae_model_name,
-                checkpoint_dir=ckpt_dir if os.path.isdir(ckpt_dir) else None,
+                checkpoint_dir=ckpt_dir if has_ckpt else None,
+            )
+        if missing:
+            print(
+                "WARNING: no trained SAE checkpoints for layers "
+                f"{missing} under {pipeline.paths['checkpoints']} — circuit "
+                "discovery will run on RANDOMLY-INITIALIZED SAEs and produce "
+                "meaningless artifacts. Train per-layer SAEs first."
             )
     else:
         saes = {

@@ -51,9 +51,13 @@ def build_unit_tasks(
     """Build the n_mis 2-AFC task batches for one unit (utils.py:2262-2294).
 
     ``max_filenames`` / ``min_filenames`` are sorted by DESCENDING activation for max
-    (most activating first) and ASCENDING for min, with length n_mis * (k_mis + 1)
-    each. Query selection: first n_mis of max (the strongest), last n_mis of min (the
-    weakest); queries are placed last within each half; batch = mins + maxs.
+    (most activating first) and ASCENDING for min (most-extreme min first), with
+    length n_mis * (k_mis + 1) each. Query selection follows the reference exactly
+    (utils.py:2256-2260): max queries = first n_mis (the strongest); min queries =
+    LAST n_mis of the min list — i.e. the MILDEST of the min set, a deliberate
+    reference choice its own comment block discusses ("min_refs < min_queries <
+    max_queries < max_refs"). Queries are placed last within each half;
+    batch = mins + maxs.
     """
     max_filenames = list(max_filenames)
     min_filenames = list(min_filenames)
@@ -129,6 +133,13 @@ def compute_mis_for_run(pipeline, n_mis: int = 20, k_mis: int = 9):
     fn_dir = os.path.join(pipeline.paths["evaluation_results"], "filename_indices")
     data = np.load(os.path.join(fn_dir, f"{pipeline.run_id}_epoch_{epoch}.npz"))
     max_idx, min_idx = data["max_filename_indices"], data["min_filename_indices"]
+    if (max_idx < 0).any() or (min_idx < 0).any():
+        need = n_mis * (k_mis + 1)
+        raise ValueError(
+            f"MIS needs {need} distinct samples per extreme but the collected top-k "
+            "contains unfilled sentinel rows — the train dataset is smaller than "
+            f"{need}; reduce n_mis/k_mis or use a larger dataset."
+        )
 
     # default similarity: cosine in the frozen backbone's penultimate representation
     penult = pipeline.net.stage_names[-2]

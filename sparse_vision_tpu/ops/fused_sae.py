@@ -201,14 +201,36 @@ def _dx_kernel(x_ref, w_enc_ref, b_enc_ref, w_dec_ref, b_dec_ref, err_ref, c_ref
         dx_ref[:] += dx_part
 
 
+def _largest_aligned_divisor(n: int, cap: int, quantum: int) -> int | None:
+    """Largest divisor of n that is <= cap and a multiple of quantum (None if none)."""
+    start = min(cap, n)
+    for cand in range(start - start % quantum, 0, -quantum):
+        if n % cand == 0:
+            return cand
+    return None
+
+
 def _pick_tiles(t: int, h: int, tile_t: int, tile_h: int) -> tuple[int, int]:
-    tt = min(tile_t, t)
-    th = min(tile_h, h)
-    if t % tt or h % th:
+    """Pick (token, latent) tile sizes: the largest divisors of (t, h) within the
+    requested caps, aligned to the TPU sublane/lane quanta (8, 128). Falls back to the
+    full dimension when it is itself small enough."""
+    tt = t if t <= tile_t else _largest_aligned_divisor(t, tile_t, 8)
+    th = h if h <= tile_h else _largest_aligned_divisor(h, tile_h, 128)
+    if tt is None or th is None:
         raise ValueError(
-            f"fused SAE kernel needs T divisible by {tt} and H by {th}; got T={t}, H={h}"
+            f"fused SAE kernel: no aligned tile divides T={t} (cap {tile_t}, quantum 8)"
+            f" / H={h} (cap {tile_h}, quantum 128)"
         )
     return tt, th
+
+
+def can_fuse(t: int, h: int, tile_t: int = 1024, tile_h: int = 512) -> bool:
+    """True when the fused kernels can tile this (tokens, latents) shape."""
+    try:
+        _pick_tiles(t, h, tile_t, tile_h)
+        return True
+    except ValueError:
+        return False
 
 
 @functools.lru_cache(maxsize=None)

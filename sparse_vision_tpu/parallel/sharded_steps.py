@@ -24,9 +24,17 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        return _shard_map(f, **kw)
+except ImportError:  # older jax: experimental API spells the check flag differently
+    from jax.experimental.shard_map import shard_map as _shard_map_exp
+
+    def shard_map(f, **kw):
+        if "check_vma" in kw:
+            kw["check_rep"] = kw.pop("check_vma")
+        return _shard_map_exp(f, **kw)
 
 from sparse_vision_tpu.ops.resample import (
     resample_dead_neurons,

@@ -54,7 +54,10 @@ def run_sweep_local(
     if env:
         base_env.update(env)
 
+    import time
+
     procs: dict[int, subprocess.Popen] = {}
+    deadlines: dict[int, float] = {}
     results: dict[int, RunResult] = {}
     pending = list(enumerate(configs))
 
@@ -65,6 +68,8 @@ def run_sweep_local(
             cmd, env=base_env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
+        if timeout is not None:
+            deadlines[i] = time.monotonic() + timeout
 
     while pending or procs:
         while pending and len(procs) < max_workers:
@@ -72,8 +77,13 @@ def run_sweep_local(
             launch(i, cfg)
         done = []
         for i, p in procs.items():
+            if timeout is not None and time.monotonic() > deadlines[i]:
+                p.kill()  # run exceeded its per-run timeout
+                out, _ = p.communicate()
+                done.append((i, p.returncode, (out or "") + "\n[killed: timeout]"))
+                continue
             try:
-                out, _ = p.communicate(timeout=timeout if len(procs) == 1 else 0.2)
+                out, _ = p.communicate(timeout=0.2)
                 done.append((i, p.returncode, out))
             except subprocess.TimeoutExpired:
                 continue

@@ -240,8 +240,14 @@ class Pipeline:
             )
         cache = ActivationCache(cache_dir)
         tps = cfg.cache_tokens_per_step
-        fused = cfg.use_pallas and jax.default_backend() not in ("cpu",) and (
-            tps % 256 == 0 and self.num_units % 512 == 0
+        from sparse_vision_tpu.ops.fused_sae import can_fuse
+
+        tile_t = 512 if cfg.sae_model_name == "gated_sae" else 1024
+        fused = (
+            cfg.use_pallas
+            and jax.default_backend() != "cpu"
+            and cfg.sae_model_name in ("sae_mlp", "gated_sae")
+            and can_fuse(tps, self.num_units, tile_t=tile_t)
         )
         step_fn = make_sae_train_step_from_acts(
             cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,

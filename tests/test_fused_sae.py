@@ -98,5 +98,15 @@ def test_fused_train_step_matches_unfused(setup):
 
 def test_indivisible_shapes_raise(setup):
     params, x = setup
-    with pytest.raises(ValueError, match="divisible"):
+    with pytest.raises(ValueError, match="aligned tile"):
         fused_sae_loss_terms(params, x[:50], LAMBDA, H_EXP, **TILES)
+
+
+def test_tile_picker_finds_aligned_divisors():
+    from sparse_vision_tpu.ops.fused_sae import _pick_tiles, can_fuse
+
+    # 1536 is not divisible by the 1024 cap, but 768 divides it
+    assert _pick_tiles(1536, 16384, 1024, 512) == (768, 512)
+    # small dims fall back to the full dimension
+    assert _pick_tiles(32, 256, 1024, 512) == (32, 256)
+    assert can_fuse(4096, 16384) and not can_fuse(50, 16384)
