@@ -107,6 +107,9 @@ def test_tile_picker_finds_aligned_divisors():
 
     # 1536 is not divisible by the 1024 cap, but 768 divides it
     assert _pick_tiles(1536, 16384, 1024, 512) == (768, 512)
-    # small dims fall back to the full dimension
+    # small dims fall back to the full dimension (full-dim blocks are always legal)
     assert _pick_tiles(32, 256, 1024, 512) == (32, 256)
-    assert can_fuse(4096, 16384) and not can_fuse(50, 16384)
+    assert _pick_tiles(50, 256, 1024, 512) == (50, 256)
+    assert can_fuse(4096, 16384)
+    # 1030 = 2*5*103: exceeds the cap and has no multiple-of-8 divisor under it
+    assert not can_fuse(1030, 16384)
