@@ -116,6 +116,81 @@ def gated_sae_apply(params: dict, x: jax.Array) -> tuple:
 
 
 # ---------------------------------------------------------------------------
+# JumpReLU SAE (beyond-reference variant; Rajamanoharan et al. 2024,
+# arXiv:2407.14435 "Jumping Ahead") — listed in PAPERS.md
+# ---------------------------------------------------------------------------
+
+JUMPRELU_BANDWIDTH = 1e-3  # STE kernel bandwidth ε (paper's default scale)
+
+
+@jax.custom_vjp
+def _jumprelu(pre: jax.Array, threshold: jax.Array) -> jax.Array:
+    return pre * (pre > threshold)
+
+
+def _jumprelu_fwd(pre, threshold):
+    return _jumprelu(pre, threshold), (pre, threshold)
+
+
+def _jumprelu_bwd(res, ct):
+    pre, threshold = res
+    # straight-through estimator with a rectangle kernel K(u) = 1[|u| <= 1/2]:
+    # d out/d pre = H(pre - θ) exactly; d out/d θ = -(θ/ε) K((pre-θ)/ε) (paper eq. 11)
+    in_window = (jnp.abs(pre - threshold) <= JUMPRELU_BANDWIDTH / 2).astype(ct.dtype)
+    d_pre = ct * (pre > threshold)
+    d_thr = jnp.sum(ct * (-threshold / JUMPRELU_BANDWIDTH) * in_window, axis=0)
+    return d_pre, d_thr
+
+
+_jumprelu.defvjp(_jumprelu_fwd, _jumprelu_bwd)
+
+
+@jax.custom_vjp
+def jumprelu_l0(pre: jax.Array, threshold: jax.Array) -> jax.Array:
+    """mean over tokens of the per-token L0 = Σ_j H(pre_j - θ_j); gradient w.r.t. θ
+    via the STE step-function estimator (paper eq. 12); pre gets NO gradient (the
+    paper's L0 penalty moves only the thresholds)."""
+    return jnp.mean(jnp.sum((pre > threshold).astype(pre.dtype), axis=-1))
+
+
+def _l0_fwd(pre, threshold):
+    return jumprelu_l0(pre, threshold), (pre, threshold)
+
+
+def _l0_bwd(res, ct):
+    pre, threshold = res
+    t = pre.shape[0]
+    in_window = (jnp.abs(pre - threshold) <= JUMPRELU_BANDWIDTH / 2).astype(pre.dtype)
+    d_thr = ct * jnp.sum(-in_window / JUMPRELU_BANDWIDTH, axis=0) / t
+    return jnp.zeros_like(pre), d_thr
+
+
+jumprelu_l0.defvjp(_l0_fwd, _l0_bwd)
+
+
+def init_jumprelu_sae(key: jax.Array, d: int, expansion_factor: int,
+                      dtype=jnp.float32) -> dict:
+    """Same encoder/decoder layout as the ReLU SAE plus a per-latent log-threshold
+    (initialized so θ = 0.001, the paper's starting point)."""
+    params = init_sae_mlp(key, d, expansion_factor, dtype)
+    h = int(d * expansion_factor)
+    params["log_threshold"] = jnp.full((h,), jnp.log(1e-3), dtype)
+    return params
+
+
+def jumprelu_sae_apply(params: dict, x: jax.Array) -> tuple:
+    """Returns (encoded, decoded, pre) on token input [T, d]: pre-activations pass
+    through JumpReLU_θ (value kept above the learned per-latent threshold, hard zero
+    below), thresholds trained via the STE custom VJPs above."""
+    x_cent = x - params["b_dec"]
+    pre = x_cent @ params["W_enc"] + params["b_enc"]
+    threshold = jnp.exp(params["log_threshold"])
+    post = _jumprelu(pre, threshold)
+    recon = post @ params["W_dec"] + params["b_dec"]
+    return post, recon, pre
+
+
+# ---------------------------------------------------------------------------
 # Conv SAE (NHWC)
 # ---------------------------------------------------------------------------
 
@@ -165,6 +240,8 @@ def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int, dtyp
         return init_gated_sae(key, d_or_c, expansion_factor, dtype)
     if name == "sae_conv":
         return init_sae_conv(key, d_or_c, expansion_factor, dtype)
+    if name == "jumprelu_sae":
+        return init_jumprelu_sae(key, d_or_c, expansion_factor, dtype)
     raise ValueError(f"Unknown SAE model name {name}.")
 
 
@@ -208,6 +285,11 @@ def sae_inference_and_loss(
     if sae_model_name == "sae_mlp":
         encoded, decoded, pre = sae_mlp_apply(params, tok)
         terms = losses.sae_loss_terms(encoded, decoded, tok, lambda_sparse)
+    elif sae_model_name == "jumprelu_sae":
+        encoded, decoded, pre = jumprelu_sae_apply(params, tok)
+        terms = losses.jumprelu_loss_terms(
+            encoded, decoded, tok, pre, params["log_threshold"], lambda_sparse
+        )
     elif sae_model_name == "gated_sae":
         encoded, decoded, relu_pi_gate, via_gate = gated_sae_apply(params, tok)
         pre = None
@@ -231,6 +313,8 @@ def sae_encode(sae_model_name: str, params: dict, tok: jax.Array) -> jax.Array:
         return sae_mlp_apply(params, tok)[0]
     if sae_model_name == "gated_sae":
         return gated_sae_apply(params, tok)[0]
+    if sae_model_name == "jumprelu_sae":
+        return jumprelu_sae_apply(params, tok)[0]
     raise ValueError(f"SAE {sae_model_name!r} has no token encoder.")
 
 
@@ -238,7 +322,7 @@ def sae_decode(sae_model_name: str, params: dict, encoded: jax.Array) -> jax.Arr
     """Decoder applied to an (possibly ablated) encoder output — the reference calls
     sae.decoder(new_encoder_output) directly when ablating circuit nodes
     (utils.py:2798-2809)."""
-    if sae_model_name in ("sae_mlp", "gated_sae"):
+    if sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae"):
         return encoded @ params["W_dec"] + params["b_dec"]
     raise ValueError(f"SAE {sae_model_name!r} has no token decoder.")
 

@@ -76,6 +76,30 @@ def gated_sae_loss_terms(
     }
 
 
+def jumprelu_loss_terms(
+    encoded: jax.Array, decoded: jax.Array, targets: jax.Array, pre: jax.Array,
+    log_threshold: jax.Array, lambda_sparse: float,
+) -> dict:
+    """JumpReLU-SAE loss (Rajamanoharan et al. 2024): MSE reconstruction + λ·L0,
+    with the L0 gradient flowing into the thresholds via the STE estimator
+    (models/sae.jumprelu_l0). ``l1_loss`` is reported as a metric for the shared
+    results schema; it does not enter the loss."""
+    from sparse_vision_tpu.models.sae import jumprelu_l0
+
+    rec = jnp.mean(jnp.square(decoded - targets))
+    l0 = jumprelu_l0(pre, jnp.exp(log_threshold))
+    rmse, nrmse = rmse_nrmse(decoded, targets)
+    return {
+        "loss": rec + lambda_sparse * l0,
+        "rec_loss": rec,
+        "l0_loss": l0,
+        "l1_loss": jnp.mean(jnp.abs(encoded)),
+        "nrmse_loss": nrmse,
+        "rmse_loss": rmse,
+        "aux_loss": jnp.zeros((), decoded.dtype),
+    }
+
+
 def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Mean softmax cross-entropy over integer labels (torch nn.CrossEntropyLoss)."""
     logp = jax.nn.log_softmax(logits, axis=-1)

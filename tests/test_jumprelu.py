@@ -1,0 +1,108 @@
+"""JumpReLU SAE tests (beyond-reference variant; Rajamanoharan et al. 2024):
+forward semantics, the STE custom-VJP gradient formulas checked against hand-computed
+values, and end-to-end training where λ controls L0."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_vision_tpu.models.sae import (
+    JUMPRELU_BANDWIDTH,
+    _jumprelu,
+    init_jumprelu_sae,
+    jumprelu_l0,
+    jumprelu_sae_apply,
+    sae_inference_and_loss,
+)
+
+C, K, T = 32, 4, 128
+
+
+def test_forward_semantics():
+    params = init_jumprelu_sae(jax.random.key(0), C, K)
+    # raise thresholds so the jump actually bites
+    params = {**params, "log_threshold": jnp.full((C * K,), jnp.log(0.3))}
+    x = jax.random.normal(jax.random.key(1), (T, C))
+    post, recon, pre = jumprelu_sae_apply(params, x)
+    thr = 0.3
+    np.testing.assert_allclose(
+        np.asarray(post), np.asarray(pre * (pre > thr)), rtol=1e-6
+    )
+    assert bool(jnp.all((post == 0) | (post > thr)))  # hard zeros below threshold
+    manual_recon = post @ params["W_dec"] + params["b_dec"]
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(manual_recon), rtol=1e-6)
+
+
+def test_ste_gradients_match_formulas():
+    eps = JUMPRELU_BANDWIDTH
+    thr = jnp.array([0.5, 0.2])
+    # craft pre so some entries fall inside the STE window |pre - thr| <= eps/2
+    pre = jnp.array([
+        [0.5 + 0.2 * eps, 0.2 - 10 * eps],
+        [0.5 - 0.4 * eps, 0.2 + 0.1 * eps],
+        [2.0, -1.0],
+    ])
+
+    g_thr = jax.grad(lambda t: jnp.sum(_jumprelu(pre, t)))(thr)
+    window = (jnp.abs(pre - thr) <= eps / 2).astype(jnp.float32)
+    expected = jnp.sum(-thr / eps * window, axis=0)
+    np.testing.assert_allclose(np.asarray(g_thr), np.asarray(expected), rtol=1e-6)
+
+    g_pre = jax.grad(lambda p: jnp.sum(_jumprelu(p, thr)))(pre)
+    np.testing.assert_allclose(np.asarray(g_pre), np.asarray((pre > thr)), rtol=1e-6)
+
+    g_thr_l0 = jax.grad(lambda t: jumprelu_l0(pre, t))(thr)
+    expected_l0 = jnp.sum(-window / eps, axis=0) / pre.shape[0]
+    np.testing.assert_allclose(np.asarray(g_thr_l0), np.asarray(expected_l0), rtol=1e-6)
+    # L0 sends no gradient into the pre-activations
+    g_pre_l0 = jax.grad(lambda p: jumprelu_l0(p, thr))(pre)
+    np.testing.assert_allclose(np.asarray(g_pre_l0), 0.0)
+
+
+def test_training_lambda_controls_l0():
+    from sparse_vision_tpu.ops import optim
+    from sparse_vision_tpu.train.steps import (
+        init_sae_train_state,
+        make_sae_train_step_from_acts,
+    )
+
+    # structured data so reconstruction is learnable
+    rng = np.random.default_rng(0)
+    basis = rng.normal(size=(8, C)).astype(np.float32)
+    codes = np.abs(rng.normal(size=(T * 8, 8))).astype(np.float32)
+    acts = jnp.asarray(codes @ basis)
+
+    def train(lam, steps=150):
+        params = init_jumprelu_sae(jax.random.key(0), C, K)
+        tx = optim.get_optimizer("constrained_adam", 3e-3)
+        ts = init_sae_train_state(params, tx, C * K)
+        step = make_sae_train_step_from_acts("jumprelu_sae", lam, tx, 10_000, K)
+        batches = np.array_split(np.asarray(acts), steps % 8 + 8)
+        m = None
+        first = None
+        for i in range(steps):
+            ts, m = step(ts, jnp.asarray(batches[i % len(batches)]))
+            if first is None:
+                first = float(m["sae_loss"])
+        # average L0 of the final params over the whole dataset
+        out = sae_inference_and_loss("jumprelu_sae", ts.params, acts, lam)
+        l0 = float(jnp.mean(jnp.sum((out["encoded"] != 0).astype(jnp.float32), axis=1)))
+        return first, float(m["sae_loss"]), l0
+
+    first_lo, last_lo, l0_lo = train(lam=1e-4)
+    _, _, l0_hi = train(lam=3e-2)
+    assert last_lo < first_lo  # it learns
+    assert l0_hi < l0_lo  # stronger sparsity penalty -> fewer active latents
+
+
+def test_splice_and_pipeline_integration(tmp_path):
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        model_name="custom_mlp_9", sae_layer="fc1", dataset_name="synthetic",
+        sae_model_name="jumprelu_sae", directory_path=str(tmp_path),
+        sae_epochs=1, sae_batch_size=64, dead_neurons_steps=1000, log_every=1000,
+    )
+    result = Pipeline(cfg).run()
+    assert np.isfinite(result["sae_rec_loss"])
