@@ -249,16 +249,29 @@ class Pipeline:
             and cfg.sae_model_name in ("sae_mlp", "gated_sae")
             and can_fuse(tps, self.num_units, tile_t=tile_t)
         )
+        from sparse_vision_tpu.train.steps import make_sae_train_multi_step
+
         step_fn = make_sae_train_step_from_acts(
             cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
             cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=fused,
         )
+        multi_fn = make_sae_train_multi_step(step_fn)
+        scan_k = 8  # steps per dispatch: amortizes host-dispatch latency (lax.scan)
         start = cfg.sae_checkpoint_epoch
         last_eval = None
         self.eval_modified(epoch=start, store=False)
         for epoch in range(start, cfg.sae_epochs):
             with maybe_profile(cfg.profile_dir or None):
+                stack: list = []
                 for tok in cache.batches(tps, shuffle=True, seed=cfg.seed + epoch):
+                    stack.append(tok)
+                    if len(stack) == scan_k:
+                        self.ts, ms = multi_fn(self.ts, jnp.asarray(np.stack(stack)))
+                        self.logger.log_train(
+                            int(self.ts.step), {k: v[-1] for k, v in ms.items()}
+                        )
+                        stack = []
+                for tok in stack:  # tail (< scan_k) runs single-step
                     self.ts, m = step_fn(self.ts, jnp.asarray(tok))
                     self.logger.log_train(int(self.ts.step), m)
             ckpt.save_checkpoint(

@@ -123,3 +123,43 @@ def test_mis_epoch_collects_200_indices(workdir):
     assert files
     data = np.load(files[0])
     assert data["max_filename_indices"].shape[0] == 200  # n_mis*(k_mis+1), mp.py:82-102
+
+
+def test_resnet18_finetune_path_with_scheduler(tmp_path):
+    """The Tiny-ImageNet fine-tune configuration (reference utils.py:230-275):
+    resnet18 surgery stem trained with sgd_w_scheduler on 64px synthetic data — the
+    per-epoch StepLR advance must tick."""
+    import jax
+    import numpy as np
+
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.ops.optim import EpochLRState
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        model_name="resnet18", dataset_name="synthetic", original_model=True,
+        training=True, model_epochs=1, batch_size=64,
+        model_optimizer_name="sgd_w_scheduler", model_learning_rate=1e-2,
+        directory_path=str(tmp_path), log_every=1000,
+    )
+    # resnet18 expects 64px 3-channel input; synthetic defaults to 28x28x1.
+    # Shrink the synthetic dataset too: a CPU resnet18 epoch over 512 images is slow.
+    import functools
+
+    import sparse_vision_tpu.config as C
+    from sparse_vision_tpu.data import datasets as D
+
+    old = C.IMG_SIZES["synthetic"]
+    C.IMG_SIZES["synthetic"] = (64, 64, 3)
+    old_make = D.make_synthetic
+    D.make_synthetic = functools.partial(old_make, num_samples=128)
+    try:
+        p = Pipeline(cfg)
+        mts = p.run()
+        assert isinstance(mts.opt_state, EpochLRState)
+        assert int(mts.opt_state.epoch) == 1  # scheduler ticked once
+        assert int(mts.step) > 0
+        assert np.all(np.isfinite(np.asarray(jax.tree.leaves(mts.params)[0])))
+    finally:
+        C.IMG_SIZES["synthetic"] = old
+        D.make_synthetic = old_make
