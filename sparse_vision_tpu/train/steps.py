@@ -187,10 +187,20 @@ def make_sae_train_step_from_acts(
     production TPU path; requires tile-divisible shapes. Parity with the stock path is
     tested in tests/test_fused_sae.py / tests/test_fused_gated_sae.py."""
     can_resample = sae_model_name == "sae_mlp"
-    if fused and sae_model_name not in ("sae_mlp", "gated_sae"):
-        raise ValueError("fused path supports sae_mlp and gated_sae only")
+    if fused and sae_model_name not in ("sae_mlp", "gated_sae", "jumprelu_sae"):
+        raise ValueError("fused path supports sae_mlp, gated_sae, jumprelu_sae only")
 
-    if fused and sae_model_name == "gated_sae":
+    if fused and sae_model_name == "jumprelu_sae":
+        from sparse_vision_tpu.ops.fused_jumprelu_sae import (
+            fused_jumprelu_sae_loss_terms,
+        )
+
+        def loss_fn(sae_params, act):
+            out = fused_jumprelu_sae_loss_terms(
+                sae_params, act, lambda_sparse, expansion_factor, **(fused_opts or {})
+            )
+            return out["loss"], out
+    elif fused and sae_model_name == "gated_sae":
         from sparse_vision_tpu.ops.fused_gated_sae import fused_gated_sae_loss_terms
 
         def loss_fn(sae_params, act):

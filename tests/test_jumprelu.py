@@ -106,3 +106,61 @@ def test_splice_and_pipeline_integration(tmp_path):
     )
     result = Pipeline(cfg).run()
     assert np.isfinite(result["sae_rec_loss"])
+
+
+def test_fused_jumprelu_parity():
+    """Fused Pallas JumpReLU kernels vs the stock path (interpret mode, f32):
+    forward terms, per-param grads (incl. the STE threshold gradient), one train step."""
+    import pytest
+
+    from sparse_vision_tpu.ops import optim
+    from sparse_vision_tpu.ops.fused_jumprelu_sae import fused_jumprelu_sae_loss_terms
+    from sparse_vision_tpu.ops.metrics import measure_inactive_units
+    from sparse_vision_tpu.train.steps import (
+        init_sae_train_state,
+        make_sae_train_step_from_acts,
+    )
+
+    TILES = dict(tile_t=32, tile_h=128, compute_dtype=jnp.float32, interpret=True)
+    LAMBDA = 0.01
+    params = init_jumprelu_sae(jax.random.key(0), C, K)
+    # spread thresholds so some pre-activations land inside the STE window
+    params = {**params, "log_threshold": jnp.log(
+        jnp.abs(0.2 + 0.1 * jax.random.normal(jax.random.key(7), (C * K,))))}
+    x = jax.random.normal(jax.random.key(1), (T, C))
+
+    fused = fused_jumprelu_sae_loss_terms(params, x, LAMBDA, K, **TILES)
+    ref = sae_inference_and_loss("jumprelu_sae", params, x, LAMBDA)
+    dead, sparsity, freq = measure_inactive_units(ref["encoded"], K)
+    for k in ["loss", "rec_loss", "l0_loss", "l1_loss", "nrmse_loss", "rmse_loss"]:
+        np.testing.assert_allclose(float(fused[k]), float(ref[k]), rtol=1e-5, err_msg=k)
+    np.testing.assert_allclose(np.asarray(fused["decoded"]), np.asarray(ref["decoded"]),
+                               rtol=1e-5, atol=1e-6)
+    assert bool(jnp.all(fused["dead"] == dead))
+    np.testing.assert_allclose(float(fused["sparsity"]), float(sparsity), rtol=1e-6)
+
+    g_fused = jax.grad(
+        lambda p: fused_jumprelu_sae_loss_terms(p, x, LAMBDA, K, **TILES)["loss"]
+    )(params)
+    g_ref = jax.grad(
+        lambda p: sae_inference_and_loss("jumprelu_sae", p, x, LAMBDA)["loss"]
+    )(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_fused[k]), np.asarray(g_ref[k]),
+                                   rtol=1e-4, atol=1e-7, err_msg=k)
+
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    ts0 = init_sae_train_state(params, tx, C * K)
+    step_ref = make_sae_train_step_from_acts("jumprelu_sae", LAMBDA, tx, 1000, K)
+    step_fused = make_sae_train_step_from_acts(
+        "jumprelu_sae", LAMBDA, tx, 1000, K, fused=True, fused_opts=TILES
+    )
+    ts_a, m_a = step_ref(ts0, x)
+    ts_b, m_b = step_fused(ts0, x)
+    for k in ["sae_loss", "sae_rec_loss", "sparsity", "perc_dead"]:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-5, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-3, atol=1e-5),
+        ts_a.params, ts_b.params,
+    )
