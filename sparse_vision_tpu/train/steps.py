@@ -268,9 +268,12 @@ def make_sae_train_multi_step(step_fn):
     stacked [K, T, C] microbatch sequence via lax.scan.
 
     Host-dispatch overhead (worst on tunneled/remote backends, nonzero everywhere) is
-    paid once per K steps instead of per step; metrics are returned stacked [K]."""
+    paid once per K steps instead of per step; metrics are returned stacked [K].
+    The input train state is DONATED — its buffers are reused for the output state
+    (params + Adam moments are the largest live arrays), so callers must not reuse
+    the passed-in state object."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def multi(ts: SAETrainState, acts_stack: jax.Array):
         def body(ts, a):
             return step_fn(ts, a)
