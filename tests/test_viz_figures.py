@@ -106,3 +106,15 @@ def test_maybe_profile(tmp_path):
     with maybe_profile(str(tmp_path / "trace")):
         jnp.ones((4,)).sum().block_until_ready()
     assert os.path.isdir(tmp_path / "trace")
+
+
+def test_gather_topk_images_empty_unit():
+    from sparse_vision_tpu.data.datasets import make_synthetic
+    from sparse_vision_tpu.eval_tools import viz
+    import numpy as np
+
+    ds = make_synthetic(num_samples=8)
+    topk_idx = np.array([[-1, 2], [-1, 3]])  # unit 0 fully sentinel (dead unit)
+    out = viz.gather_topk_images(ds, topk_idx, units=[0, 1])
+    assert out[0].shape == (0, 28, 28, 1)
+    assert out[1].shape[0] == 2
