@@ -205,6 +205,7 @@ class Pipeline:
                         self.ts, self.frozen_params, self.net_state, b.images, b.labels
                     )
                     self.logger.log_train(int(self.ts.step), m)
+            # async save: serialization overlaps the next epoch's compute
             ckpt.save_checkpoint(
                 self._sae_ckpt_dir(), epoch + 1,
                 {
@@ -213,8 +214,10 @@ class Pipeline:
                     "step": self.ts.step,
                     "dead_acc": self.ts.dead_acc,
                 },
+                blocking=False,
             )
             last_eval = self.eval_modified(epoch=epoch + 1)
+        ckpt.wait_for_saves()
         return last_eval
 
     # ------------------------------------------------------------------
@@ -276,6 +279,7 @@ class Pipeline:
                 for tok in stack:  # tail (< scan_k) runs single-step
                     self.ts, m = step_fn(self.ts, jnp.asarray(tok))
                     self.logger.log_train(int(self.ts.step), m)
+            # async save: serialization overlaps the next epoch's compute
             ckpt.save_checkpoint(
                 self._sae_ckpt_dir(), epoch + 1,
                 {
@@ -284,8 +288,10 @@ class Pipeline:
                     "step": self.ts.step,
                     "dead_acc": self.ts.dead_acc,
                 },
+                blocking=False,
             )
             last_eval = self.eval_modified(epoch=epoch + 1)
+        ckpt.wait_for_saves()
         return last_eval
 
     # ------------------------------------------------------------------

@@ -163,3 +163,17 @@ def test_resnet18_finetune_path_with_scheduler(tmp_path):
     finally:
         C.IMG_SIZES["synthetic"] = old
         D.make_synthetic = old_make
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_vision_tpu.train import checkpoint as ckpt
+
+    tree = {"a": jnp.arange(8.0), "b": {"c": jnp.ones((3, 3))}}
+    ckpt.save_checkpoint(str(tmp_path), 2, tree, blocking=False)
+    ckpt.wait_for_saves()
+    back = ckpt.load_checkpoint(str(tmp_path), 2, like=tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.arange(8.0))
+    assert ckpt.latest_epoch(str(tmp_path)) == 2
