@@ -228,7 +228,8 @@ class CircuitEngine:
 
     # -- 3) edge IE (reference compute_edge_ie, compute_ie.py:476-711) -------------
 
-    def _make_edge_pair_fn(self, name_u: str, name_d: str, idx_u: tuple, idx_d: tuple):
+    def _make_edge_pair_fn(self, name_u: str, name_d: str, idx_u: tuple, idx_d: tuple,
+                           cotangent_chunk: int = 64):
         """Edge IE contribution of one batch for the consecutive pair (u, d).
 
         Returns [len(idx_u)+1, len(idx_d)+1]: rows = upstream SAE features + upstream
@@ -287,8 +288,22 @@ class CircuitEngine:
             zeros_e = jnp.zeros_like(enc_u0)
             zeros_d = jnp.zeros_like(tok_u)
             _, vjp_fn = jax.vjp(prods_fn, zeros_e, zeros_d)
-            eye = jnp.eye(len(idx_d) + 1, dtype=enc_u0.dtype)
-            g_enc, g_dec = jax.vmap(lambda ct: vjp_fn(ct))(eye)
+            n_out = len(idx_d) + 1
+            eye = jnp.eye(n_out, dtype=enc_u0.dtype)
+            if n_out <= cotangent_chunk:
+                g_enc, g_dec = jax.vmap(lambda ct: vjp_fn(ct))(eye)
+            else:
+                # feature-chunked cotangents (SURVEY §7.3 #2): a [n_out, T, C*K]
+                # cotangent stack for thousands of features won't fit HBM; lax.map
+                # over chunks bounds the live set to chunk-size backward passes
+                pad = (-n_out) % cotangent_chunk
+                eye_p = jnp.pad(eye, ((0, pad), (0, 0)))
+                chunks = eye_p.reshape(-1, cotangent_chunk, n_out)
+                g_enc, g_dec = jax.lax.map(
+                    lambda cts: jax.vmap(lambda ct: vjp_fn(ct))(cts), chunks
+                )
+                g_enc = g_enc.reshape(-1, *g_enc.shape[2:])[:n_out]
+                g_dec = g_dec.reshape(-1, *g_dec.shape[2:])[:n_out]
 
             enc_u_sel = enc_u0[:, idx_u_arr]
             enc_avg_u_sel = enc_avg_u[..., idx_u_arr]
@@ -348,6 +363,7 @@ class CircuitEngine:
         averages: Averages,
         feature_indices: dict[str, Sequence[int]],
         custom_layers: Optional[Sequence[str]] = None,
+        cotangent_chunk: int = 64,
     ) -> dict[str, jax.Array]:
         """Edge IE matrices per upstream layer over consecutive pairs of
         ``custom_layers`` (compute_ie.py:491-514); the last layer's downstream node is
@@ -361,7 +377,8 @@ class CircuitEngine:
         pair_fns = {}
         for u, d in zip(layers[:-1], layers[1:]):
             pair_fns[u] = self._make_edge_pair_fn(
-                u, d, tuple(feature_indices[u]), tuple(feature_indices[d])
+                u, d, tuple(feature_indices[u]), tuple(feature_indices[d]),
+                cotangent_chunk=cotangent_chunk,
             )
         last = layers[-1]
         last_fn = self._make_edge_loss_fn(last, tuple(feature_indices[last]))

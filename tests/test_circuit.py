@@ -249,3 +249,17 @@ def test_faithfulness_threshold_grid():
 
     assert len(FAITHFULNESS_THRESHOLDS) == 20
     assert FAITHFULNESS_THRESHOLDS[0] == 1e-10 and FAITHFULNESS_THRESHOLDS[-1] == 1.0
+
+
+def test_edge_ie_chunked_cotangents_match_unchunked(engine):
+    """Feature-chunked edge IE (SURVEY §7.3 #2) equals the single-vmap path."""
+    eng, batches = engine
+    avgs = eng.compute_averages(batches)
+    idx = {"relu1": [0, 3, 7, 9], "relu2": [1, 4, 6, 8, 10]}
+    full = eng.compute_edge_ie(batches[:1], avgs, idx,
+                               custom_layers=["relu1", "relu2"], cotangent_chunk=64)
+    chunked = eng.compute_edge_ie(batches[:1], avgs, idx,
+                                  custom_layers=["relu1", "relu2"], cotangent_chunk=2)
+    for name in full:
+        np.testing.assert_allclose(np.asarray(chunked[name]), np.asarray(full[name]),
+                                   rtol=1e-5, atol=1e-8, err_msg=name)
