@@ -33,21 +33,41 @@ def prefetch(
     sharding: Optional[jax.sharding.Sharding] = None,
     buffer_size: int = 2,
 ) -> Iterator[Batch]:
-    """Stage up to ``buffer_size`` device batches ahead of the consumer."""
+    """Stage up to ``buffer_size`` device batches ahead of the consumer.
+
+    Producer exceptions (decode failures, device OOM) are RE-RAISED in the consumer —
+    a silently truncated epoch would corrupt metrics and dead-neuron statistics. If
+    the consumer abandons the generator early, the producer unblocks via a stop flag
+    instead of leaking a thread parked on q.put."""
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
+    stop = threading.Event()
 
     def producer():
         try:
             for b in it:
-                q.put(device_put_batch(b, sharding))
-        finally:
+                staged = device_put_batch(b, sharding)
+                while not stop.is_set():
+                    try:
+                        q.put(staged, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(sentinel)
+        except BaseException as e:  # surface in the consumer, don't truncate silently
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

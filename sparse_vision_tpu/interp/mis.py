@@ -133,8 +133,14 @@ def compute_mis_for_run(pipeline, n_mis: int = 20, k_mis: int = 9):
     fn_dir = os.path.join(pipeline.paths["evaluation_results"], "filename_indices")
     data = np.load(os.path.join(fn_dir, f"{pipeline.run_id}_epoch_{epoch}.npz"))
     max_idx, min_idx = data["max_filename_indices"], data["min_filename_indices"]
+    need = n_mis * (k_mis + 1)
+    if max_idx.shape[0] != need:
+        raise ValueError(
+            f"MIS scoring needs top-k indices with k={need} rows (one mis='1' collection "
+            f"epoch), but the saved file for epoch {epoch} has k={max_idx.shape[0]} — "
+            "run the mis='1' mode first (a regular eval epoch saves k=25)."
+        )
     if (max_idx < 0).any() or (min_idx < 0).any():
-        need = n_mis * (k_mis + 1)
         raise ValueError(
             f"MIS needs {need} distinct samples per extreme but the collected top-k "
             "contains unfilled sentinel rows — the train dataset is smaller than "

@@ -75,8 +75,14 @@ def loss_and_tap_grads(
     (compute_ie.py:270-311).
     """
     layers = list(layers)
-    _, taps0, _ = net.apply(params, images, state=state)
-    eps0 = {name: jnp.zeros_like(taps0[name]) for name in layers}
+    # shapes only — eval_shape avoids running a whole extra backbone forward
+    _, taps_shapes, _ = jax.eval_shape(
+        lambda p, x: net.apply(p, x, state=state), params, images
+    )
+    eps0 = {
+        name: jnp.zeros(taps_shapes[name].shape, taps_shapes[name].dtype)
+        for name in layers
+    }
 
     def f(eps):
         splice = {name: (lambda a, e=eps[name]: a + e) for name in layers}

@@ -111,7 +111,12 @@ def maxpool(name: str, window: int, stride: Optional[int] = None,
 
     def out_dim(n):
         eff = n + 2 * padding - window
-        return (math.ceil(eff / stride) if ceil_mode else eff // stride) + 1
+        out = (math.ceil(eff / stride) if ceil_mode else eff // stride) + 1
+        # torch ceil_mode rule: the last window must START within the input or the
+        # LEFT padding — otherwise it is dropped (MaxPool2d docs; verified vs torch)
+        if ceil_mode and (out - 1) * stride >= n + padding:
+            out -= 1
+        return out
 
     def init(key, in_shape):
         h, w, c = in_shape

@@ -51,7 +51,7 @@ def make_mlp9_with_sae(num_classes: int = 10) -> SeqNet:
 
     from sparse_vision_tpu.models.layers import Stage, linear
 
-    def sae_block(name: str, hidden: int, width: int) -> Stage:
+    def sae_block(name: str, hidden: int) -> Stage:
         def init(key, in_shape):
             import math
 
@@ -79,7 +79,7 @@ def make_mlp9_with_sae(num_classes: int = 10) -> SeqNet:
         [
             flatten("flatten"),
             linear("fc1", 16),
-            sae_block("sae_fc1", hidden=16, width=16),
+            sae_block("sae_fc1", hidden=16),
             relu("act1"),
             linear("fc2", num_classes),
         ]

@@ -335,12 +335,15 @@ def fused_gated_sae_loss_terms(params: dict, x: jax.Array, lambda_sparse: float,
     sample_mse = jnp.mean(sq, axis=0)
     sample_range = jnp.max(x, axis=0) - jnp.min(x, axis=0)
     sample_rmse = jnp.sqrt(sample_mse)
+    # zero-range dims excluded from NRMSE, matching ops/losses.rmse_nrmse
+    _valid = sample_range > 0
+    _nrmse = jnp.sum(jnp.where(_valid, sample_rmse / jnp.where(_valid, sample_range, 1.0), 0.0)) / jnp.maximum(jnp.sum(_valid), 1)
     return {
         "loss": out["rec_loss"] + lambda_sparse * out["l1_loss"] + out["aux_loss"],
         "rec_loss": out["rec_loss"],
         "l1_loss": out["l1_loss"],
         "aux_loss": out["aux_loss"],
-        "nrmse_loss": jnp.mean(sample_rmse / sample_range),
+        "nrmse_loss": _nrmse,
         "rmse_loss": jnp.mean(sample_rmse),
         "decoded": recon,
         "dead": out["dead"],

@@ -23,7 +23,11 @@ def rmse_nrmse(decoded: jax.Array, targets: jax.Array) -> tuple[jax.Array, jax.A
     sample_mse = jnp.mean(sq, axis=0)
     sample_range = jnp.max(targets, axis=0) - jnp.min(targets, axis=0)
     sample_rmse = jnp.sqrt(sample_mse)
-    nrmse = jnp.mean(sample_rmse / sample_range)
+    # dimensions constant across the batch (range 0 — routine once units die) are
+    # excluded from the NRMSE mean; the reference divides unguarded and reports inf
+    # (sparse_loss.py:18) — documented deviation, the metric stays finite here
+    valid = sample_range > 0
+    nrmse = jnp.sum(jnp.where(valid, sample_rmse / jnp.where(valid, sample_range, 1.0), 0.0)) / jnp.maximum(jnp.sum(valid), 1)
     rmse = jnp.mean(sample_rmse)
     return rmse, nrmse
 

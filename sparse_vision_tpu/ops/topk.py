@@ -14,17 +14,26 @@ have been seen the contents equal the reference's exactly; before that, sentinel
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 
 
-class TopKState(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class TopKState:
     values: jax.Array  # [k, U] float
     dataset_indices: jax.Array  # [k, U] int32 (index of the sample in the dataset)
     filename_indices: jax.Array  # [k, U] int32
-    largest: bool  # static
+    largest: bool  # STATIC (pytree aux data): survives jit/scan without tracing
+
+    def tree_flatten(self):
+        return (self.values, self.dataset_indices, self.filename_indices), self.largest
+
+    @classmethod
+    def tree_unflatten(cls, largest, children):
+        return cls(*children, largest)
 
 
 def init_topk(k: int, num_units: int, largest: bool = True, dtype=jnp.float32) -> TopKState:

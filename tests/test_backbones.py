@@ -158,3 +158,22 @@ def test_backbone_jit_and_dce(rng):
     x = jnp.asarray(rng.normal(size=(2, 28, 28, 1)).astype(np.float32))
     out = fwd(params, x)
     assert out.shape == (2, 10)
+
+
+def test_maxpool_ceil_mode_last_window_rule():
+    """torch drops the last ceil-mode window when it starts entirely in the RIGHT
+    padding (MaxPool2d docs); verified shape + values against torch."""
+    import torch
+
+    from sparse_vision_tpu.models.layers import SeqNet, maxpool
+
+    x = np.arange(5 * 5, dtype=np.float32).reshape(1, 5, 5, 1)
+    net = SeqNet([maxpool("p", 2, stride=2, padding=1, ceil_mode=True)])
+    net.init(jax.random.key(0), (5, 5, 1))
+    y, _, _ = net.apply({}, jnp.asarray(x))
+
+    golden = torch.nn.MaxPool2d(2, stride=2, padding=1, ceil_mode=True)(
+        torch.tensor(x.transpose(0, 3, 1, 2))
+    ).numpy().transpose(0, 2, 3, 1)
+    assert y.shape == golden.shape == (1, 3, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), golden)

@@ -177,3 +177,20 @@ def test_async_checkpoint_roundtrip(tmp_path):
     back = ckpt.load_checkpoint(str(tmp_path), 2, like=tree)
     np.testing.assert_array_equal(np.asarray(back["a"]), np.arange(8.0))
     assert ckpt.latest_epoch(str(tmp_path)) == 2
+
+
+def test_prefetch_reraises_producer_errors():
+    import pytest
+
+    from sparse_vision_tpu.data.datasets import Batch
+    from sparse_vision_tpu.data.prefetch import prefetch
+
+    def bad_iter():
+        yield Batch(np.zeros((2, 4, 4, 1), np.float32), np.zeros(2, np.int32),
+                    np.arange(2, dtype=np.int32))
+        raise IOError("corrupt shard")
+
+    it = prefetch(bad_iter())
+    next(it)
+    with pytest.raises(IOError, match="corrupt shard"):
+        next(it)

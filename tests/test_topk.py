@@ -1,6 +1,7 @@
 """Streaming top-k merge parity vs the reference's concat+topk+gather semantics
 (utils.py:1445-1481), validated against a plain numpy oracle over the full stream."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,3 +61,23 @@ def test_merge_topk_states_associative(rng):
 
     seq = update_topk(s1, jnp.asarray(v2), jnp.int32(b), jnp.asarray(fn + b))
     np.testing.assert_allclose(np.asarray(merged.values), np.asarray(seq.values), rtol=1e-6)
+
+
+def test_topk_state_is_jittable():
+    """largest is pytree aux data, so the state passes through jit/scan unchanged."""
+    state = init_topk(3, 4, largest=True)
+
+    @jax.jit
+    def step(s, acts, start, fn):
+        return update_topk(s, acts, start, fn)
+
+    acts = jnp.arange(8.0).reshape(2, 4)
+    s2 = step(state, acts, jnp.int32(0), jnp.zeros(2, jnp.int32))
+    assert s2.largest is True
+    assert float(s2.values[0, 0]) == 4.0  # larger row wins
+
+    def body(s, a):
+        return update_topk(s, a, jnp.int32(0), jnp.zeros(2, jnp.int32)), 0
+
+    s3, _ = jax.lax.scan(body, state, jnp.stack([acts, acts + 1]))
+    assert s3.largest is True
