@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparse_vision_tpu.ops.fused_sae import _pick_tiles
+from sparse_vision_tpu.ops.fused_sae import _compiler_params, _pick_tiles
 
 
 def _gate(pre_gate):
@@ -191,7 +191,7 @@ def _bwd_kernel(x_ref, w_gate_ref, b_gate_ref, b_mag_ref, er_ref, w_dec_ref, b_d
 
 
 @functools.lru_cache(maxsize=None)
-def make_fused_gated_sae_op(tile_t: int = 512, tile_h: int = 512,
+def make_fused_gated_sae_op(tile_t: int = 1024, tile_h: int = 2048,
                             compute_dtype=jnp.bfloat16, interpret: bool = False):
     """Fused Gated-SAE forward+loss op with custom VJP (no dx: training treats the
     activations as data; the gated path has no splice-training consumer needing it)."""
@@ -247,6 +247,7 @@ def make_fused_gated_sae_op(tile_t: int = 512, tile_h: int = 512,
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=_compiler_params(interpret),
         )(*_operands(params, x, h, c))
         return recon, via, jnp.sum(act_part, axis=0), row_active, l1_sum
 
@@ -305,6 +306,7 @@ def make_fused_gated_sae_op(tile_t: int = 512, tile_h: int = 512,
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=_compiler_params(interpret),
         )(*_operands(params, x, h, c), err_rec, err_via, coeffs)
         dw_gate, db_gate, db_mag, dr_mag, dw_dec, db_dec = outs
         dparams = {
@@ -322,8 +324,8 @@ def make_fused_gated_sae_op(tile_t: int = 512, tile_h: int = 512,
 
 
 def fused_gated_sae_loss_terms(params: dict, x: jax.Array, lambda_sparse: float,
-                               expansion_factor: int, *, tile_t: int = 512,
-                               tile_h: int = 512, compute_dtype=jnp.bfloat16,
+                               expansion_factor: int, *, tile_t: int = 1024,
+                               tile_h: int = 2048, compute_dtype=jnp.bfloat16,
                                interpret: bool = False) -> dict:
     """Fused equivalent of gated_sae_apply + gated_sae_loss_terms +
     measure_inactive_units on 2-D token input (loss = rec + λ·l1 + aux)."""

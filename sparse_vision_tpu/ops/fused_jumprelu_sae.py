@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sparse_vision_tpu.models.sae import JUMPRELU_BANDWIDTH
-from sparse_vision_tpu.ops.fused_sae import _pick_tiles
+from sparse_vision_tpu.ops.fused_sae import _compiler_params, _pick_tiles
 
 
 def _fwd_kernel(x_ref, w_enc_ref, b_enc_ref, thr_ref, w_dec_ref, b_dec_ref,
@@ -157,7 +157,7 @@ def _bwd_kernel(x_ref, w_enc_ref, b_enc_ref, thr_ref, w_dec_ref, b_dec_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def make_fused_jumprelu_sae_op(tile_t: int = 1024, tile_h: int = 512,
+def make_fused_jumprelu_sae_op(tile_t: int = 2048, tile_h: int = 2048,
                                compute_dtype=jnp.bfloat16, interpret: bool = False):
     lowp = compute_dtype != jnp.float32
 
@@ -206,6 +206,7 @@ def make_fused_jumprelu_sae_op(tile_t: int = 1024, tile_h: int = 512,
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=_compiler_params(interpret),
         )(*_operands(params, x, h, c))
         return recon, jnp.sum(act_part, axis=0), row_active, l1_sum
 
@@ -263,6 +264,7 @@ def make_fused_jumprelu_sae_op(tile_t: int = 1024, tile_h: int = 512,
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=_compiler_params(interpret),
         )(*_operands(params, x, h, c), err, coeffs)
         thr = jnp.exp(params["log_threshold"])
         dparams = {
@@ -279,8 +281,8 @@ def make_fused_jumprelu_sae_op(tile_t: int = 1024, tile_h: int = 512,
 
 
 def fused_jumprelu_sae_loss_terms(params: dict, x: jax.Array, lambda_sparse: float,
-                                  expansion_factor: int, *, tile_t: int = 1024,
-                                  tile_h: int = 512, compute_dtype=jnp.bfloat16,
+                                  expansion_factor: int, *, tile_t: int = 2048,
+                                  tile_h: int = 2048, compute_dtype=jnp.bfloat16,
                                   interpret: bool = False) -> dict:
     """Fused equivalent of jumprelu_sae_apply + jumprelu_loss_terms +
     measure_inactive_units on 2-D token input (loss = rec + λ·L0; l1 is a metric)."""

@@ -201,6 +201,15 @@ def _dx_kernel(x_ref, w_enc_ref, b_enc_ref, w_dec_ref, b_dec_ref, err_ref, c_ref
         dx_ref[:] += dx_part
 
 
+# v5e cores have far more physical VMEM than Mosaic's 16 MiB default scoped limit;
+# raising it lets the kernels run larger tiles (fewer W-block reload sweeps).
+_VMEM_LIMIT = 100 * 2**20
+
+
+def _compiler_params(interpret: bool):
+    return None if interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 def _largest_aligned_divisor(n: int, cap: int, quantum: int) -> int | None:
     """Largest divisor of n that is <= cap and a multiple of quantum (None if none)."""
     start = min(cap, n)
@@ -234,7 +243,7 @@ def can_fuse(t: int, h: int, tile_t: int = 1024, tile_h: int = 512) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def make_fused_sae_op(tile_t: int = 1024, tile_h: int = 512,
+def make_fused_sae_op(tile_t: int = 2048, tile_h: int = 2048,
                       compute_dtype=jnp.bfloat16, interpret: bool = False,
                       compute_dx: bool = False):
     """Build the fused SAE forward+loss op with a custom VJP.
@@ -282,6 +291,7 @@ def make_fused_sae_op(tile_t: int = 1024, tile_h: int = 512,
                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=_compiler_params(interpret),
         )(
             _cast(x), _cast(params["W_enc"]), params["b_enc"].reshape(1, h),
             _cast(params["W_dec"]), params["b_dec"].reshape(1, c),
@@ -353,6 +363,7 @@ def make_fused_sae_op(tile_t: int = 1024, tile_h: int = 512,
                 jax.ShapeDtypeStruct((1, c), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=_compiler_params(interpret),
         )(*operands)
 
         if compute_dx:
@@ -373,6 +384,7 @@ def make_fused_sae_op(tile_t: int = 1024, tile_h: int = 512,
                 out_specs=pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((t, c), jnp.float32),
                 interpret=interpret,
+                compiler_params=_compiler_params(interpret),
             )(*operands)
         else:
             dx = jnp.zeros_like(x)
@@ -390,8 +402,8 @@ def make_fused_sae_op(tile_t: int = 1024, tile_h: int = 512,
 
 
 def fused_sae_loss_terms(params: dict, x: jax.Array, lambda_sparse: float,
-                         expansion_factor: int, *, tile_t: int = 1024,
-                         tile_h: int = 512, compute_dtype=jnp.bfloat16,
+                         expansion_factor: int, *, tile_t: int = 2048,
+                         tile_h: int = 2048, compute_dtype=jnp.bfloat16,
                          interpret: bool = False, compute_dx: bool = False) -> dict:
     """Drop-in fused equivalent of sae_inference_and_loss + measure_inactive_units on
     2-D token input: loss terms (loss = rec + λ·l1), recon, and dead/sparsity stats

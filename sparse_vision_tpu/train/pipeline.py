@@ -247,7 +247,7 @@ class Pipeline:
         tps = cfg.cache_tokens_per_step
         from sparse_vision_tpu.ops.fused_sae import can_fuse
 
-        tile_t = 512 if cfg.sae_model_name == "gated_sae" else 1024
+        tile_t = 1024 if cfg.sae_model_name == "gated_sae" else 2048
         fused = (
             cfg.use_pallas
             and jax.default_backend() != "cpu"
