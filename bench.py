@@ -48,12 +48,36 @@ def main():
     sae_params = init_sae("sae_mlp", key, C, EXPANSION)
     tx = optim.get_optimizer("constrained_adam", 1e-3)
     ts = init_sae_train_state(sae_params, tx, C * EXPANSION)
-    step = make_sae_train_step_from_acts(
-        "sae_mlp", 5.0, tx, 10_000, EXPANSION, fused=on_tpu
-    )
-    multi = make_sae_train_multi_step(step)
+    n_chips = jax.device_count()
+    if n_chips > 1:
+        # multi-chip: tokens sharded over a 1-D 'data' mesh, fused step under
+        # shard_map (parallel/sharded_steps.py); TOKENS is the PER-STEP GLOBAL batch,
+        # scaled with the chip count so each chip keeps the single-chip shard size
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    acts = jax.random.normal(jax.random.key(1), (SCAN, TOKENS, C), jnp.float32)
+        from sparse_vision_tpu.parallel.mesh import make_mesh
+        from sparse_vision_tpu.parallel.sharded_steps import (
+            make_sharded_fused_train_step,
+            put_sharded,
+        )
+
+        # per-step GLOBAL batch: each chip keeps the single-chip shard size
+        # (CPU smoke meshes get a much smaller shard — it's a correctness path there)
+        TOKENS = (TOKENS if on_tpu else 512) * n_chips
+        mesh = make_mesh((n_chips,))
+        step = make_sharded_fused_train_step(
+            mesh, 5.0, tx, 10_000, EXPANSION, fused=on_tpu
+        )
+        multi = make_sae_train_multi_step(step)
+        acts = jax.random.normal(jax.random.key(1), (SCAN, TOKENS, C), jnp.float32)
+        ts, _ = put_sharded(mesh, ts, acts[0])
+        acts = jax.device_put(acts, NamedSharding(mesh, P(None, "data", None)))
+    else:
+        step = make_sae_train_step_from_acts(
+            "sae_mlp", 5.0, tx, 10_000, EXPANSION, fused=on_tpu
+        )
+        multi = make_sae_train_multi_step(step)
+        acts = jax.random.normal(jax.random.key(1), (SCAN, TOKENS, C), jnp.float32)
 
     # warmup/compile; the final host readback of the loss is a hard device sync
     # (block_until_ready alone has proven unreliable on tunneled backends)

@@ -51,19 +51,33 @@ def make_sharded_fused_train_step(
     dead_neurons_steps: int,
     expansion_factor: int,
     fused_opts: Optional[dict] = None,
+    fused: bool = True,
 ):
-    """Data-parallel fused SAE train step: ``step(ts, acts)`` with ``acts`` [T, C]
-    sharded over the 'data' axis and the train state replicated."""
-    from sparse_vision_tpu.ops.fused_sae import fused_sae_loss_terms
-
+    """Data-parallel SAE train step: ``step(ts, acts)`` with ``acts`` [T, C] sharded
+    over the 'data' axis and the train state replicated. ``fused=False`` runs the
+    stock jnp path per chip (e.g. CPU meshes, where Pallas would be interpreted)."""
     opts = dict(fused_opts or {})
     n_data = mesh.shape["data"]
 
-    def local_loss(params, act_local):
-        out = fused_sae_loss_terms(
-            params, act_local, lambda_sparse, expansion_factor, **opts
-        )
-        return out["loss"], out
+    if fused:
+        from sparse_vision_tpu.ops.fused_sae import fused_sae_loss_terms
+
+        def local_loss(params, act_local):
+            out = fused_sae_loss_terms(
+                params, act_local, lambda_sparse, expansion_factor, **opts
+            )
+            return out["loss"], out
+    else:
+        from sparse_vision_tpu.models.sae import sae_inference_and_loss
+        from sparse_vision_tpu.ops.metrics import measure_inactive_units
+
+        def local_loss(params, act_local):
+            out = sae_inference_and_loss("sae_mlp", params, act_local, lambda_sparse)
+            dead, sparsity, _ = measure_inactive_units(
+                out["encoded"], expansion_factor
+            )
+            out = {**out, "dead": dead, "sparsity": sparsity}
+            return out["loss"], out
 
     def shard_body(ts: SAETrainState, act_local: jax.Array):
         (loss, out), grads = jax.value_and_grad(local_loss, has_aux=True)(
