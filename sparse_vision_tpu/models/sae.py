@@ -1,10 +1,12 @@
 """Sparse-autoencoder variants as pure functions over explicit parameter pytrees.
 
-Three variants, matching the reference's capability set:
+Four variants — the reference's capability set plus one modern addition:
 - ReLU-MLP SAE   (reference: models/sae_mlp.py:42-53)
 - Gated SAE      (reference: models/gated_sae.py:33-56, Rajamanoharan et al.)
 - Conv SAE       (reference: models/sae_conv.py — dead in the reference's main path,
                   implemented properly here)
+- JumpReLU SAE   (beyond-reference: Rajamanoharan et al. 2024, arXiv:2407.14435 —
+                  learned per-latent thresholds trained via STE custom VJPs)
 
 Parameter layout (math convention, NOT torch's transposed nn.Linear storage):
   W_enc [d, h]   encode: pre = (x - b_dec) @ W_enc + b_enc

@@ -103,3 +103,12 @@ def test_resample_under_sharding(rng, cpu_devices):
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(ts.params["W_dec"]), axis=1), 1.0, atol=1e-5
     )
+
+
+def test_distributed_single_process_noop(cpu_devices):
+    from sparse_vision_tpu.parallel import distributed
+
+    assert distributed.initialize() == 1  # single process: no-op
+    mesh = distributed.global_data_mesh()
+    assert mesh.shape["data"] == 8
+    assert distributed.process_local_batch_slice(64) == 64
