@@ -118,3 +118,51 @@ def test_cache_feeds_fused_training(tmp_path, cpu_devices):
             ts, m = step(ts_in, tok_in)
             losses.append(float(m["sae_loss"]))
     assert losses[-1] < losses[0]  # it learns
+
+
+def test_sharded_resample_crosses_boundary_with_parity(cpu_devices):
+    """Run ENOUGH steps to trigger the dead-neuron resample (n=2 -> resample at step
+    5) on both the sharded and single-device paths; dead masks, resample surgery, and
+    subsequent training must stay in exact agreement (replicated rng/step => identical
+    resample decisions and draws on every chip)."""
+    from sparse_vision_tpu.ops.resample import should_resample
+
+    assert bool(should_resample(jnp.int32(5), 2))  # the window we cross
+
+    mesh = make_mesh((8,))
+    params = init_sae("sae_mlp", jax.random.key(0), C, K)
+    # bias encoder down so some latents are genuinely dead and get resampled
+    params = {**params, "b_enc": params["b_enc"] - 2.0}
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    acts = jax.random.normal(jax.random.key(1), (T, C))
+
+    ts_single = init_sae_train_state(params, tx, C * K)
+    single = make_sae_train_step_from_acts(
+        "sae_mlp", 0.5, tx, 2, K, fused=True, fused_opts=FUSED_OPTS
+    )
+    ts_shard = init_sae_train_state(params, tx, C * K)
+    sharded = make_sharded_fused_train_step(mesh, 0.5, tx, 2, K, fused_opts=FUSED_OPTS)
+    ts_shard, acts_sharded = put_sharded(mesh, ts_shard, acts)
+
+    resampled_any = False
+    for step in range(7):
+        before = np.asarray(ts_single.params["W_enc"])
+        ts_single, m_single = single(ts_single, acts)
+        ts_shard, m_shard = sharded(ts_shard, acts_sharded)
+        if not np.array_equal(before, np.asarray(ts_single.params["W_enc"])) and \
+           bool(should_resample(jnp.int32(step + 1), 2)):
+            resampled_any = True
+        np.testing.assert_allclose(
+            float(m_shard["perc_dead"]), float(m_single["perc_dead"]),
+            rtol=1e-6, err_msg=f"step {step}",
+        )
+    assert resampled_any or float(m_single["perc_dead"]) == 0.0
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        ts_shard.params, ts_single.params,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ts_shard.dead_acc), np.asarray(ts_single.dead_acc)
+    )
