@@ -23,7 +23,20 @@ import threading
 from typing import Iterator, Optional
 
 import jax
+import ml_dtypes
 import numpy as np
+
+# bfloat16 doesn't round-trip through the .npy header; shards store a uint16 BITCAST
+# and meta.json records the logical dtype.
+_BF16 = ml_dtypes.bfloat16
+
+
+def _to_storage(arr: np.ndarray) -> np.ndarray:
+    return arr.view(np.uint16) if arr.dtype == _BF16 else arr
+
+
+def _from_storage(arr: np.ndarray, logical_dtype: str) -> np.ndarray:
+    return arr.view(_BF16) if logical_dtype == "bfloat16" else arr
 
 
 def dump_activations(
@@ -76,7 +89,7 @@ def dump_activations(
                     got = take
             # force C order: device->host arrays can come back F-contiguous
             arr = np.ascontiguousarray(np.concatenate(chunk, axis=0))
-            np.save(os.path.join(out_dir, f"acts_{shard_idx:05d}.npy"), arr)
+            np.save(os.path.join(out_dir, f"acts_{shard_idx:05d}.npy"), _to_storage(arr))
             shard_idx += 1
             total += arr.shape[0]
             buf = rest
@@ -102,7 +115,7 @@ def dump_activations(
         "num_shards": shard_idx,
         "total_tokens": int(total),
         "shard_tokens": int(shard_tokens),
-        "dtype": np.dtype(dtype).name,
+        "dtype": "bfloat16" if np.dtype(dtype) == _BF16 else np.dtype(dtype).name,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -124,7 +137,8 @@ class ActivationCache:
         self.total_tokens = self.meta["total_tokens"]
 
     def _load(self, i: int) -> np.ndarray:
-        return np.load(self.shard_paths[i], mmap_mode="r")
+        raw = np.load(self.shard_paths[i], mmap_mode="r")
+        return _from_storage(raw, self.meta["dtype"])
 
     def batches(
         self, tokens_per_step: int, shuffle: bool = False, seed: int = 0,
@@ -163,6 +177,7 @@ class ActivationCache:
                     [self.shard_paths[i] for i in order]
                 )
                 for shard in it:
+                    shard = _from_storage(shard, self.meta["dtype"])
                     for s in block_starts(shard.shape[0]):
                         yield shard[s : s + tokens_per_step]
                 return

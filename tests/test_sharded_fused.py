@@ -166,3 +166,34 @@ def test_sharded_resample_crosses_boundary_with_parity(cpu_devices):
     np.testing.assert_array_equal(
         np.asarray(ts_shard.dead_acc), np.asarray(ts_single.dead_acc)
     )
+
+
+def test_bf16_activation_cache(tmp_path):
+    """bfloat16 cache storage: half the bytes, exact bf16 roundtrip through all three
+    read paths, and it feeds the fused train step directly."""
+    import ml_dtypes
+
+    from sparse_vision_tpu.data.datasets import make_synthetic
+    from sparse_vision_tpu.models.backbone import make_backbone
+
+    net = make_backbone("custom_cnn_1", "cifar_10")
+    params, state = net.init(jax.random.key(0), (32, 32, 3))
+    ds = make_synthetic(num_samples=8, img_size=(32, 32, 3))
+    meta = dump_activations(net, params, state, ds, "relu1", str(tmp_path),
+                            batch_size=4, shard_tokens=2048,
+                            dtype=ml_dtypes.bfloat16)
+    assert meta["dtype"] == "bfloat16"
+    cache = ActivationCache(str(tmp_path))
+    a = np.concatenate(list(cache.batches(1024, prefetch=False)))
+    assert a.dtype == ml_dtypes.bfloat16
+    b = np.concatenate([np.array(x) for x in cache.batches(1024, prefetch=True)])
+    np.testing.assert_array_equal(a.view(np.uint16), b.view(np.uint16))
+
+    # fused step consumes bf16 tokens directly (operand cast is a no-op)
+    sae_params = init_sae("sae_mlp", jax.random.key(1), cache.dim, 2)
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    ts = init_sae_train_state(sae_params, tx, cache.dim * 2)
+    step = make_sae_train_step_from_acts("sae_mlp", 0.1, tx, 1000, 2, fused=True,
+                                         fused_opts=FUSED_OPTS)
+    ts, m = step(ts, jnp.asarray(a[:1024]))
+    assert np.isfinite(float(m["sae_loss"]))
