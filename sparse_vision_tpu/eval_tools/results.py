@@ -48,18 +48,29 @@ KEY_COLUMNS = [
 
 
 def store_run_result(folder_path: str, run_name: str, row: dict) -> str:
-    """Write one run's scalar results as JSON (one file per run; no locking)."""
+    """Write one run's scalar results as JSON (one file per run; no locking).
+
+    Written via temp file + os.replace so concurrent mergers never observe a
+    partially-written JSON."""
     os.makedirs(folder_path, exist_ok=True)
     path = os.path.join(folder_path, f"{run_name}.json")
     clean = {c: row.get(c) for c in RESULT_COLUMNS}
-    with open(path, "w") as f:
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(clean, f, sort_keys=True, indent=1)
+    os.replace(tmp, path)
     return path
 
 
 def merge_results(folder_path: str, csv_path: Optional[str] = None) -> str:
     """Fold all per-run JSONs into the reference-schema CSV, replacing rows whose key
-    columns match (reference update-in-place semantics, utils.py:1094-1140)."""
+    columns match (reference update-in-place semantics, utils.py:1094-1140).
+
+    The CSV is published atomically (temp + os.replace): concurrent mergers each
+    regenerate from ALL per-run files visible to them, so the last merge — e.g. the
+    post-sweep aggregation step — always produces the complete table and no reader
+    ever sees a truncated file (the reference needed a FileLock for this,
+    utils.py:1045-1069)."""
     csv_path = csv_path or os.path.join(folder_path, "sae_eval_results.csv")
     rows: dict[tuple, dict] = {}
     if os.path.exists(csv_path):
@@ -73,11 +84,13 @@ def merge_results(folder_path: str, csv_path: Optional[str] = None) -> str:
             row = json.load(f)
         row = {c: ("" if row.get(c) is None else str(row[c])) for c in RESULT_COLUMNS}
         rows[tuple(row[k] for k in KEY_COLUMNS)] = row
-    with open(csv_path, "w", newline="") as f:
+    tmp = csv_path + f".tmp{os.getpid()}"
+    with open(tmp, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=RESULT_COLUMNS)
         w.writeheader()
         for key in sorted(rows):
             w.writerow(rows[key])
+    os.replace(tmp, csv_path)
     return csv_path
 
 

@@ -91,14 +91,26 @@ def show_top_k_samples(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    units = list(images_by_unit)
-    k = max(len(values_by_unit[u]) for u in units)
+    units = [u for u in images_by_unit if len(images_by_unit[u])]
+    if not units:  # every requested unit was dead / sentinel-only
+        import matplotlib.pyplot as plt  # noqa: F811
+
+        fig = plt.figure()
+        fig.suptitle(f"{title} (no activating samples)")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        return path
+    # a unit may have FEWER images than values (sentinels dropped by
+    # gather_topk_images); bound every cell by the images actually present
+    k = max(min(len(values_by_unit[u]), len(images_by_unit[u])) for u in units)
     fig, axs = plt.subplots(len(units), k, figsize=(2 * k, 2.2 * len(units)),
                             squeeze=False)
     for r, u in enumerate(units):
+        n_u = min(len(values_by_unit[u]), len(images_by_unit[u]))
         for c in range(k):
             ax = axs[r][c]
-            if c >= len(values_by_unit[u]):
+            if c >= n_u:
                 ax.axis("off")
                 continue
             _imshow(ax, images_by_unit[u][c])

@@ -42,14 +42,22 @@ def _ie_dir(pipeline) -> str:
 def build_engine(pipeline) -> CircuitEngine:
     cfg = pipeline.cfg
     if cfg.model_name in ("inceptionv1", "googlenet"):
-        from sparse_vision_tpu.interp.registry import CIRCUIT_LAYERS, load_frozen_sae
+        from sparse_vision_tpu.interp.registry import (
+            CIRCUIT_LAYERS,
+            layer_ckpt_dir,
+            load_frozen_sae,
+        )
         from sparse_vision_tpu.models.backbone import layer_dimensions
 
         dims = layer_dimensions(pipeline.net, cfg.dataset_name)
         saes = {}
         missing = []
         for name in CIRCUIT_LAYERS:
-            ckpt_dir = os.path.join(pipeline.paths["checkpoints"], name)
+            # the directory Pipeline used when this layer's SAE was trained with the
+            # registry hyperparameters (sae_layer=name run)
+            ckpt_dir = layer_ckpt_dir(
+                pipeline.paths["checkpoints"], name, cfg.sae_model_name
+            )
             has_ckpt = os.path.isdir(ckpt_dir)
             if not has_ckpt:
                 missing.append(name)
@@ -156,11 +164,13 @@ def run_ie(pipeline, flag: str, top_features_per_layer: int = 16):
         avgs = eng.compute_averages(_batches(pipeline))
         save_averages(avg_path, avgs)
         # perc-dead + sparsity CSVs (compute_ie.py:210-215)
+        from sparse_vision_tpu.ops.metrics import perc_dead
+
         with open(os.path.join(d, "perc_dead_units.csv"), "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["Layer", "Percentage dead units"])
             for n in eng.layers:
-                w.writerow([n, float(np.sum(np.asarray(avgs.dead[n])) / avgs.dead[n].shape[0])])
+                w.writerow([n, float(perc_dead(avgs.dead[n]))])
         with open(os.path.join(d, "sparsity.csv"), "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["Layer", "Sparsity"])
@@ -247,7 +257,6 @@ def plot_faithfulness(csv_path: str, out_path: str) -> str:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    rows = []
     with open(csv_path) as f:
         rows = [r for r in csv.DictReader(f) if r["variant"] == "sae"]
     rows.sort(key=lambda r: float(r["feature_node_threshold"]))
@@ -255,9 +264,13 @@ def plot_faithfulness(csv_path: str, out_path: str) -> str:
             "faithfulness_sae_errors_mean_ablated", "faithfulness"]
     fig, ax = plt.subplots(1, 3, figsize=(20, 5))
     for i, col in enumerate(cols):
-        xs = [float(r["feature_node_threshold"]) for r in rows]
-        ys = [float(r[col]) for r in rows if r[col] != ""]
-        ax[i].plot(xs[: len(ys)], ys, label=col)
+        # keep (x, y) PAIRS together when a cell is empty — filtering only ys would
+        # shift every later point onto the wrong threshold
+        pairs = [(float(r["feature_node_threshold"]), float(r[col]))
+                 for r in rows if r[col] != ""]
+        xs = [p[0] for p in pairs]
+        ys = [p[1] for p in pairs]
+        ax[i].plot(xs, ys, label=col)
         ax[i].set_xlabel("Feature node threshold")
         ax[i].set_ylabel("Faithfulness")
         ax[i].set_title(col)

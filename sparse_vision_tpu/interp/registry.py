@@ -12,6 +12,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from sparse_vision_tpu.interp.circuit import FrozenSAE
 from sparse_vision_tpu.models.sae import init_sae
@@ -52,6 +53,20 @@ LAYER_SAE_CONFIGS: dict[str, LayerSAEConfig] = {
 }
 
 
+def layer_ckpt_dir(checkpoints_root: str, layer: str,
+                   sae_model_name: str = "sae_mlp") -> str:
+    """The directory where Pipeline saved this layer's SAE when trained with the
+    registry hyperparameters: ``{layer}_{joined sae_params_no_epochs values}`` under
+    the run's checkpoints folder (train/pipeline.py _sae_ckpt_dir; name excludes
+    sae_epochs like the reference, execute_project.py:92-93)."""
+    import os
+
+    cfg = LAYER_SAE_CONFIGS[layer]
+    values = [sae_model_name, cfg.learning_rate, cfg.batch_size, cfg.optimizer,
+              cfg.expansion_factor, cfg.lambda_sparse, cfg.dead_neurons_steps]
+    return os.path.join(checkpoints_root, f"{layer}_" + "_".join(str(v) for v in values))
+
+
 def load_frozen_sae(
     layer: str,
     layer_width: int,
@@ -61,15 +76,24 @@ def load_frozen_sae(
 ) -> FrozenSAE:
     """Instantiate the layer's SAE from the registry; restore trained parameters when a
     checkpoint directory is given (reference get_specific_sae_model, utils.py:2745-2767
-    loads epoch ``checkpoint_epoch`` and freezes the model)."""
+    loads epoch ``checkpoint_epoch`` and freezes the model).
+
+    ``checkpoint_dir`` is a Pipeline SAE checkpoint directory (see layer_ckpt_dir):
+    epochs hold ``{params, opt_state, step, dead_acc}``; only params are used here."""
     cfg = LAYER_SAE_CONFIGS[layer]
     params = init_sae(
         sae_model_name, jax.random.key(seed), layer_width, cfg.expansion_factor
     )
     if checkpoint_dir is not None:
-        from sparse_vision_tpu.train.checkpoint import load_checkpoint
+        from sparse_vision_tpu.train.checkpoint import latest_epoch, load_checkpoint
 
-        restored = load_checkpoint(checkpoint_dir, cfg.checkpoint_epoch, like=params)
-        params = restored
+        # prefer the registry's known-good epoch; fall back to the newest available
+        epoch = cfg.checkpoint_epoch
+        import os
+
+        if not os.path.isdir(os.path.join(checkpoint_dir, f"epoch_{epoch}")):
+            epoch = latest_epoch(checkpoint_dir)
+        restored = load_checkpoint(checkpoint_dir, epoch)  # full saved tree
+        params = jax.tree.map(jnp.asarray, restored["params"])
     params = jax.lax.stop_gradient(params)
     return FrozenSAE(sae_model_name, params, cfg.expansion_factor)

@@ -159,3 +159,50 @@ def test_mis_with_original_model_rejected(tmp_path):
     except ValueError:
         rc = "raised"
     assert rc == "raised"
+
+
+def test_registry_checkpoint_contract(tmp_path):
+    """layer_ckpt_dir must name EXACTLY the directory Pipeline saves a registry-
+    hyperparameter SAE run into, and load_frozen_sae must restore those params."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vision_tpu.interp.registry import (
+        LAYER_SAE_CONFIGS,
+        layer_ckpt_dir,
+        load_frozen_sae,
+    )
+    from sparse_vision_tpu.train import checkpoint as ckpt
+    from sparse_vision_tpu.utils.paths import folder_paths
+
+    reg = LAYER_SAE_CONFIGS["mixed3a"]
+    # a Pipeline run training mixed3a's SAE with the registry hyperparameters
+    # (tiny width stand-in for the real 256-channel layer)
+    cfg = _base_cfg(
+        tmp_path, sae_layer="mixed3a",
+        sae_learning_rate=reg.learning_rate, sae_batch_size=reg.batch_size,
+        sae_optimizer_name=reg.optimizer, sae_expansion_factor=reg.expansion_factor,
+        sae_lambda_sparse=reg.lambda_sparse, dead_neurons_steps=reg.dead_neurons_steps,
+    )
+    p = Pipeline.__new__(Pipeline)  # only need the path scheme, not a real run
+    p.cfg = cfg
+    p.paths = folder_paths(cfg)
+    expected_dir = p._sae_ckpt_dir()
+    assert layer_ckpt_dir(p.paths["checkpoints"], "mixed3a") == expected_dir
+
+    # write a Pipeline-style checkpoint at the registry's known-good epoch and
+    # verify load_frozen_sae restores those exact params
+    from sparse_vision_tpu.models.sae import init_sae_mlp
+
+    width = 16
+    trained = init_sae_mlp(jax.random.key(42), width, reg.expansion_factor)
+    trained = {k: v + 1.5 for k, v in trained.items()}  # distinguish from random init
+    ckpt.save_checkpoint(
+        expected_dir, reg.checkpoint_epoch,
+        {"params": trained, "opt_state": {}, "step": jnp.int32(7),
+         "dead_acc": jnp.ones(width * reg.expansion_factor, bool)},
+    )
+    frozen = load_frozen_sae("mixed3a", width, checkpoint_dir=expected_dir)
+    np.testing.assert_allclose(
+        np.asarray(frozen.params["W_dec"]), np.asarray(trained["W_dec"]), rtol=1e-6
+    )
