@@ -206,3 +206,59 @@ def test_registry_checkpoint_contract(tmp_path):
     np.testing.assert_allclose(
         np.asarray(frozen.params["W_dec"]), np.asarray(trained["W_dec"]), rtol=1e-6
     )
+
+
+def test_store_faithfulness_update_in_place(tmp_path):
+    """Rows keyed on (variant, thresholds) update in place like the reference's xlsx
+    (compute_ie.py:917-944)."""
+    import csv as csvmod
+
+    from sparse_vision_tpu.interp.ie import store_faithfulness
+
+    path = str(tmp_path / "faithfulness.csv")
+    store_faithfulness(path, [
+        {"variant": "sae", "feature_node_threshold": 1e-4,
+         "error_node_threshold": 1e-4, "faithfulness": 0.5},
+        {"variant": "model", "feature_node_threshold": 1e-4,
+         "error_node_threshold": 1e-4, "faithfulness": 0.4},
+    ])
+    # same key again -> overwrite; new threshold -> append
+    store_faithfulness(path, [
+        {"variant": "sae", "feature_node_threshold": 1e-4,
+         "error_node_threshold": 1e-4, "faithfulness": 0.7},
+        {"variant": "sae", "feature_node_threshold": 1e-3,
+         "error_node_threshold": 1e-3, "faithfulness": 0.9},
+    ])
+    with open(path) as f:
+        rows = list(csvmod.DictReader(f))
+    assert len(rows) == 3
+    by_key = {(r["variant"], r["feature_node_threshold"]): r["faithfulness"]
+              for r in rows}
+    assert by_key[("sae", "0.0001")] == "0.7"  # overwritten
+    assert by_key[("sae", "0.001")] == "0.9"
+    assert by_key[("model", "0.0001")] == "0.4"
+
+
+def test_cli_line_out_of_range(tmp_path):
+    cfg = _base_cfg(tmp_path)
+    p = str(tmp_path / "params.jsonl")
+    with open(p, "w") as f:
+        f.write(cfg.to_json() + "\n")
+    with pytest.raises(IndexError):
+        cli_main(["--run_pipeline", "--parameters", p, "--line", "5"])
+
+
+def test_examples_run(tmp_path):
+    """The shipped examples must stay runnable (they are user-facing docs)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", "discover_circuit.py")],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "faithfulness=1.0000" in r.stdout
