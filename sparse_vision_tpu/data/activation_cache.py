@@ -193,12 +193,20 @@ class ActivationCache:
         q: queue.Queue = queue.Queue(maxsize=1)
 
         def producer():
-            for i in order:
-                # np.array COPIES: faulting the mmap pages in on this thread is the
-                # whole point of the read-ahead (np.asarray would be a lazy view and
-                # all IO would land back on the consumer)
-                q.put(np.array(self._load(i)))
-            q.put(None)
+            # Producer exceptions (truncated shard, ENOENT, ...) are enqueued and
+            # RE-RAISED on the consumer — same contract as data/prefetch.py. Without
+            # this the thread dies without the None sentinel and the consumer blocks
+            # on q.get() forever.
+            try:
+                for i in order:
+                    # np.array COPIES: faulting the mmap pages in on this thread is
+                    # the whole point of the read-ahead (np.asarray would be a lazy
+                    # view and all IO would land back on the consumer)
+                    q.put(np.array(self._load(i)))
+            except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+                q.put(e)
+            else:
+                q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -206,6 +214,9 @@ class ActivationCache:
             shard = q.get()
             if shard is None:
                 break
+            if isinstance(shard, BaseException):
+                t.join()
+                raise shard
             for s in block_starts(shard.shape[0]):
                 yield shard[s : s + tokens_per_step]
         t.join()

@@ -1,0 +1,76 @@
+"""ActivationCache error-path contract: a bad shard (missing/truncated) must raise
+promptly on the consumer, never hang it (the round-1 weak spot: the prefetch producer
+died without its sentinel and the consumer blocked on q.get() forever)."""
+
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from sparse_vision_tpu.data.activation_cache import ActivationCache
+
+
+def _make_cache(tmp_path, n_shards=3, tokens=64, dim=8):
+    rng = np.random.default_rng(0)
+    for i in range(n_shards):
+        np.save(tmp_path / f"acts_{i:05d}.npy", rng.normal(size=(tokens, dim)).astype(np.float32))
+    meta = {
+        "layer": "relu1",
+        "dim": dim,
+        "num_shards": n_shards,
+        "total_tokens": n_shards * tokens,
+        "shard_tokens": tokens,
+        "dtype": "float32",
+    }
+    (tmp_path / "meta.json").write_text(json.dumps(meta))
+    return ActivationCache(str(tmp_path))
+
+
+def _consume_with_timeout(gen, timeout=30.0):
+    """Drain gen on a worker thread; return (finished, exception)."""
+    result = {"exc": None, "done": False}
+
+    def run():
+        try:
+            for _ in gen:
+                pass
+        except BaseException as e:  # noqa: BLE001
+            result["exc"] = e
+        result["done"] = True
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout)
+    return result["done"], result["exc"]
+
+
+@pytest.mark.parametrize("break_mode", ["missing", "truncated"])
+def test_prefetch_bad_shard_raises_promptly(tmp_path, break_mode):
+    cache = _make_cache(tmp_path)
+    victim = tmp_path / "acts_00001.npy"
+    if break_mode == "missing":
+        os.remove(victim)
+    else:
+        raw = victim.read_bytes()
+        victim.write_bytes(raw[: len(raw) // 2])
+
+    done, exc = _consume_with_timeout(cache.batches(32, prefetch=True))
+    assert done, "consumer hung on a bad shard instead of raising"
+    assert exc is not None
+    assert isinstance(exc, (IOError, ValueError, EOFError))
+
+
+def test_prefetch_happy_path_matches_sync(tmp_path):
+    cache = _make_cache(tmp_path)
+    a = np.concatenate(list(cache.batches(32, prefetch=True)))
+    b = np.concatenate(list(cache.batches(32, prefetch=False)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_shuffled_matches_sync_same_seed(tmp_path):
+    cache = _make_cache(tmp_path)
+    a = np.concatenate(list(cache.batches(32, shuffle=True, seed=3, prefetch=True)))
+    b = np.concatenate(list(cache.batches(32, shuffle=True, seed=3, prefetch=False)))
+    np.testing.assert_array_equal(a, b)
