@@ -52,18 +52,36 @@ def make_sharded_fused_train_step(
     expansion_factor: int,
     fused_opts: Optional[dict] = None,
     fused: bool = True,
+    sae_model_name: str = "sae_mlp",
 ):
     """Data-parallel SAE train step: ``step(ts, acts)`` with ``acts`` [T, C] sharded
     over the 'data' axis and the train state replicated. ``fused=False`` runs the
-    stock jnp path per chip (e.g. CPU meshes, where Pallas would be interpreted)."""
+    stock jnp path per chip (e.g. CPU meshes, where Pallas would be interpreted).
+    Same loss dispatch + resample gating as the single-device
+    train.steps.make_sae_train_step_from_acts, so the two paths stay interchangeable
+    from the Pipeline."""
     opts = dict(fused_opts or {})
     n_data = mesh.shape["data"]
+    can_resample = sae_model_name == "sae_mlp"
+    if fused and sae_model_name not in ("sae_mlp", "gated_sae", "jumprelu_sae"):
+        raise ValueError("fused path supports sae_mlp, gated_sae, jumprelu_sae only")
 
     if fused:
-        from sparse_vision_tpu.ops.fused_sae import fused_sae_loss_terms
+        if sae_model_name == "jumprelu_sae":
+            from sparse_vision_tpu.ops.fused_jumprelu_sae import (
+                fused_jumprelu_sae_loss_terms as _loss_terms,
+            )
+        elif sae_model_name == "gated_sae":
+            from sparse_vision_tpu.ops.fused_gated_sae import (
+                fused_gated_sae_loss_terms as _loss_terms,
+            )
+        else:
+            from sparse_vision_tpu.ops.fused_sae import (
+                fused_sae_loss_terms as _loss_terms,
+            )
 
         def local_loss(params, act_local):
-            out = fused_sae_loss_terms(
+            out = _loss_terms(
                 params, act_local, lambda_sparse, expansion_factor, **opts
             )
             return out["loss"], out
@@ -72,7 +90,9 @@ def make_sharded_fused_train_step(
         from sparse_vision_tpu.ops.metrics import measure_inactive_units
 
         def local_loss(params, act_local):
-            out = sae_inference_and_loss("sae_mlp", params, act_local, lambda_sparse)
+            out = sae_inference_and_loss(
+                sae_model_name, params, act_local, lambda_sparse
+            )
             dead, sparsity, _ = measure_inactive_units(
                 out["encoded"], expansion_factor
             )
@@ -94,21 +114,22 @@ def make_sharded_fused_train_step(
         dead_acc = jnp.logical_and(ts.dead_acc, dead)
         rng, sub = jax.random.split(ts.rng)
 
-        def do_resample(p, o, acc):
-            p2, o2 = resample_dead_neurons(p, o, acc, sub)
-            return p2, o2, jnp.ones_like(acc)
+        if can_resample:
+            def do_resample(p, o, acc):
+                p2, o2 = resample_dead_neurons(p, o, acc, sub)
+                return p2, o2, jnp.ones_like(acc)
 
-        def no_resample(p, o, acc):
-            acc = jnp.where(
-                should_reset_measurement(step, dead_neurons_steps),
-                jnp.ones_like(acc), acc,
+            def no_resample(p, o, acc):
+                acc = jnp.where(
+                    should_reset_measurement(step, dead_neurons_steps),
+                    jnp.ones_like(acc), acc,
+                )
+                return p, o, acc
+
+            new_params, opt_state, dead_acc = jax.lax.cond(
+                should_resample(step, dead_neurons_steps),
+                do_resample, no_resample, new_params, opt_state, dead_acc,
             )
-            return p, o, acc
-
-        new_params, opt_state, dead_acc = jax.lax.cond(
-            should_resample(step, dead_neurons_steps),
-            do_resample, no_resample, new_params, opt_state, dead_acc,
-        )
 
         metrics = {
             "sae_loss": jax.lax.pmean(loss, "data"),
@@ -137,15 +158,26 @@ def make_sharded_fused_train_step(
     return step_fn
 
 
-def put_sharded(mesh: Mesh, ts: SAETrainState, acts: jax.Array):
-    """Place the train state replicated and the activations data-sharded."""
+def put_replicated_state(mesh: Mesh, ts: SAETrainState) -> SAETrainState:
+    """Replicate the train state over every mesh device."""
     rep = NamedSharding(mesh, P())
-    ts = SAETrainState(
+    return SAETrainState(
         params=jax.device_put(ts.params, rep),
         opt_state=jax.device_put(ts.opt_state, rep),
         step=jax.device_put(ts.step, rep),
         dead_acc=jax.device_put(ts.dead_acc, rep),
         rng=jax.device_put(ts.rng, rep),
     )
-    acts = jax.device_put(acts, NamedSharding(mesh, P("data", None)))
-    return ts, acts
+
+
+def put_tokens_sharded(mesh: Mesh, acts, token_axis: int = 0) -> jax.Array:
+    """Shard a token array over 'data' along ``token_axis``. Use token_axis=1 for
+    stacked [K, T, C] microbatch sequences (the lax.scan multi-step input)."""
+    spec = [None] * acts.ndim
+    spec[token_axis] = "data"
+    return jax.device_put(acts, NamedSharding(mesh, P(*spec)))
+
+
+def put_sharded(mesh: Mesh, ts: SAETrainState, acts: jax.Array):
+    """Place the train state replicated and the activations data-sharded."""
+    return put_replicated_state(mesh, ts), put_tokens_sharded(mesh, acts)

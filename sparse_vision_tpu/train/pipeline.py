@@ -247,19 +247,51 @@ class Pipeline:
         tps = cfg.cache_tokens_per_step
         from sparse_vision_tpu.ops.fused_sae import can_fuse
 
+        # multi-chip: tokens shard over the mesh 'data' axis, the fused kernel runs
+        # per chip on its local [tps/n_data, C] shard, grads/metrics pmean over ICI
+        # (parallel/sharded_steps.py; single-device parity: tests/test_sharded_fused.py)
+        mesh = self.mesh
+        n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        sharded = mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1
+        if sharded and tps % n_data:
+            raise ValueError(
+                f"cache_tokens_per_step={tps} not divisible by data mesh axis {n_data}"
+            )
+        local_t = tps // n_data
         tile_t = 1024 if cfg.sae_model_name == "gated_sae" else 2048
         fused = (
             cfg.use_pallas
             and jax.default_backend() != "cpu"
             and cfg.sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae")
-            and can_fuse(tps, self.num_units, tile_t=tile_t)
+            and can_fuse(local_t, self.num_units, tile_t=tile_t)
         )
         from sparse_vision_tpu.train.steps import make_sae_train_multi_step
 
-        step_fn = make_sae_train_step_from_acts(
-            cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
-            cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=fused,
-        )
+        if sharded:
+            from sparse_vision_tpu.parallel.sharded_steps import (
+                make_sharded_fused_train_step,
+                put_replicated_state,
+                put_tokens_sharded,
+            )
+
+            step_fn = make_sharded_fused_train_step(
+                mesh, cfg.sae_lambda_sparse, self.tx, cfg.dead_neurons_steps,
+                cfg.sae_expansion_factor, fused=fused,
+                sae_model_name=cfg.sae_model_name,
+            )
+            self.ts = put_replicated_state(mesh, self.ts)
+
+            def _put_tokens(arr, token_axis):
+                return put_tokens_sharded(mesh, np.ascontiguousarray(arr), token_axis)
+        else:
+            step_fn = make_sae_train_step_from_acts(
+                cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
+                cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=fused,
+            )
+
+            def _put_tokens(arr, token_axis):
+                return jnp.asarray(arr)
+
         multi_fn = make_sae_train_multi_step(step_fn)
         scan_k = 8  # steps per dispatch: amortizes host-dispatch latency (lax.scan)
         start = cfg.sae_checkpoint_epoch
@@ -271,13 +303,15 @@ class Pipeline:
                 for tok in cache.batches(tps, shuffle=True, seed=cfg.seed + epoch):
                     stack.append(tok)
                     if len(stack) == scan_k:
-                        self.ts, ms = multi_fn(self.ts, jnp.asarray(np.stack(stack)))
+                        self.ts, ms = multi_fn(
+                            self.ts, _put_tokens(np.stack(stack), 1)
+                        )
                         self.logger.log_train(
                             int(self.ts.step), {k: v[-1] for k, v in ms.items()}
                         )
                         stack = []
                 for tok in stack:  # tail (< scan_k) runs single-step
-                    self.ts, m = step_fn(self.ts, jnp.asarray(tok))
+                    self.ts, m = step_fn(self.ts, _put_tokens(tok, 0))
                     self.logger.log_train(int(self.ts.step), m)
             # async save: serialization overlaps the next epoch's compute
             ckpt.save_checkpoint(

@@ -168,6 +168,78 @@ def test_sharded_resample_crosses_boundary_with_parity(cpu_devices):
     )
 
 
+def test_pipeline_cached_sharded_matches_single_device(tmp_path_factory, cpu_devices):
+    """The PRODUCTION path: RunConfig(mesh_shape=(8,), use_activation_cache=True)
+    drives the sharded step from the Pipeline itself and matches the single-device
+    cached run (same seed → same cache, same token order, same resample schedule)."""
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    def run(mesh_shape):
+        d = tmp_path_factory.mktemp(f"mesh{len(mesh_shape)}")
+        cfg = RunConfig(
+            model_name="custom_mlp_9", sae_model_name="sae_mlp", sae_layer="fc1",
+            directory_path=str(d), dataset_name="synthetic",
+            model_epochs=1, model_learning_rate=1e-2, batch_size=64,
+            model_optimizer_name="adam",
+            sae_epochs=2, sae_learning_rate=1e-3,
+            sae_optimizer_name="constrained_adam", sae_batch_size=64,
+            sae_lambda_sparse=0.1, sae_expansion_factor=2,
+            dead_neurons_steps=3,  # resample boundary inside the 8-step run
+            use_activation_cache=True, cache_tokens_per_step=128,
+            mesh_shape=mesh_shape, log_every=1000,
+            original_model=False, training=True,
+        )
+        pipe = Pipeline(cfg)
+        res = pipe.train_sae()
+        return pipe, res
+
+    pipe1, res1 = run(())
+    pipe8, res8 = run((8,))
+    assert int(pipe1.ts.step) == int(pipe8.ts.step) > 0
+    for k in ("sae_rec_loss", "sae_loss", "perc_dead_units"):
+        np.testing.assert_allclose(res8[k], res1[k], rtol=1e-4, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        pipe8.ts.params, pipe1.ts.params,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pipe8.ts.dead_acc), np.asarray(pipe1.ts.dead_acc)
+    )
+
+
+def test_sharded_step_gated_and_jumprelu(cpu_devices):
+    """The generalized sharded step dispatches gated/jumprelu losses (stock path per
+    chip) and matches the single-device step."""
+    mesh = make_mesh((8,))
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    acts = jax.random.normal(jax.random.key(1), (T, C))
+    for name in ("gated_sae", "jumprelu_sae"):
+        params = init_sae(name, jax.random.key(0), C, K)
+        ts_single = init_sae_train_state(params, tx, C * K)
+        single = make_sae_train_step_from_acts(name, 0.5, tx, 50, K, fused=False)
+        ts_shard = init_sae_train_state(params, tx, C * K)
+        sharded = make_sharded_fused_train_step(
+            mesh, 0.5, tx, 50, K, fused=False, sae_model_name=name
+        )
+        ts_shard, acts_sharded = put_sharded(mesh, ts_shard, acts)
+        for step in range(2):
+            ts_single, m_single = single(ts_single, acts)
+            ts_shard, m_shard = sharded(ts_shard, acts_sharded)
+            np.testing.assert_allclose(
+                float(m_shard["sae_loss"]), float(m_single["sae_loss"]),
+                rtol=1e-5, err_msg=f"{name}@{step}",
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            ts_shard.params, ts_single.params,
+        )
+
+
 def test_bf16_activation_cache(tmp_path):
     """bfloat16 cache storage: half the bytes, exact bf16 roundtrip through all three
     read paths, and it feeds the fused train step directly."""
