@@ -100,6 +100,9 @@ class RunConfig:
     # ImageNet path (data/activation_cache.py)
     use_activation_cache: bool = False
     cache_tokens_per_step: int = 4096
+    # image-decode worker threads: -1 auto (min(16, cpus)), 0 synchronous — the
+    # reference uses 5-8 DataLoader workers (utils.py:354, 540-547)
+    data_workers: int = -1
 
     @property
     def use_sae(self) -> bool:

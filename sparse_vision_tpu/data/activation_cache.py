@@ -52,12 +52,17 @@ def dump_activations(
     max_batches: Optional[int] = None,
     shuffle_images: bool = False,
     seed: int = 0,
+    workers: Optional[int] = None,
 ) -> dict:
     """Run the frozen backbone over ``dataset``, flatten the tapped layer to tokens
     ([B, H, W, C] -> [B*H*W, C]), and write fixed-size shards. Returns the meta dict.
 
     ``shuffle_images=True`` streams the images in a shuffled order so cached token
-    blocks decorrelate across the dataset (recommended for training caches)."""
+    blocks decorrelate across the dataset (recommended for training caches).
+    Decode runs on a thread pool (``workers``; None -> auto) and batches are staged
+    onto the device one step ahead, so the tap pass is bound by backbone FLOPs or
+    disk bandwidth — not single-threaded PIL."""
+    from sparse_vision_tpu.data.prefetch import prefetch
     from sparse_vision_tpu.models.sae import tokens_from_act
 
     os.makedirs(out_dir, exist_ok=True)
@@ -98,7 +103,10 @@ def dump_activations(
                 break
 
     n = 0
-    for batch in dataset.batches(batch_size, shuffle=shuffle_images, seed=seed):
+    it = prefetch(
+        dataset.batches(batch_size, shuffle=shuffle_images, seed=seed, workers=workers)
+    )
+    for batch in it:
         tok = np.asarray(tap(batch.images), dtype=dtype)
         dim = tok.shape[1]
         buf.append(tok)

@@ -23,16 +23,30 @@ the flamingo class (utils.py:2163-2168) is exposed as an explicit opt-in filter.
 
 from __future__ import annotations
 
+import glob as _glob
 import gzip
+import io
+import json
 import os
 import pickle
 import struct
+import tarfile
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
 from sparse_vision_tpu.config import NUM_CLASSES, RunConfig, get_img_size
+
+
+def _auto_workers(workers: Optional[int]) -> int:
+    """None/-1 -> auto (PIL releases the GIL in its C decoders, so threads scale);
+    0 -> synchronous decode on the consumer thread."""
+    if workers is None or workers < 0:
+        return min(16, os.cpu_count() or 8)
+    return workers
 
 
 @dataclass
@@ -54,7 +68,10 @@ class ArrayDataset:
     def __len__(self) -> int:
         return self.images.shape[0]
 
-    def batches(self, batch_size: int, shuffle: bool, seed: int = 0) -> Iterator[Batch]:
+    def batches(
+        self, batch_size: int, shuffle: bool, seed: int = 0,
+        workers: Optional[int] = 0,
+    ) -> Iterator[Batch]:
         n = len(self)
         order = (
             np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
@@ -69,7 +86,13 @@ class ArrayDataset:
 
 
 class LazyImageDataset:
-    """File-backed dataset decoding images per batch (ImageNet / Tiny-ImageNet scale)."""
+    """File-backed dataset decoding images per batch (ImageNet / Tiny-ImageNet scale).
+
+    Decode is parallelized over a thread pool with a 2-batch lookahead — the TPU-side
+    replacement for the reference's DataLoader worker processes (utils.py:354: 5
+    workers for Tiny-ImageNet, utils.py:540-547: 8 for ImageNet). PIL's JPEG decoder
+    drops the GIL, so threads give near-linear scaling without pickling batches
+    across process boundaries."""
 
     def __init__(self, paths, labels, category_names, decode_fn):
         self.paths = list(paths)
@@ -80,15 +103,39 @@ class LazyImageDataset:
     def __len__(self) -> int:
         return len(self.paths)
 
-    def batches(self, batch_size: int, shuffle: bool, seed: int = 0) -> Iterator[Batch]:
+    def batches(
+        self, batch_size: int, shuffle: bool, seed: int = 0,
+        workers: Optional[int] = None,
+    ) -> Iterator[Batch]:
         n = len(self)
         order = (
             np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
         ).astype(np.int32)
-        for b in range(n // batch_size):
-            idx = order[b * batch_size : (b + 1) * batch_size]
-            imgs = np.stack([self.decode_fn(self.paths[i]) for i in idx])
-            yield Batch(imgs, self.labels[idx], idx)
+        nb = n // batch_size
+        w = _auto_workers(workers)
+        if w == 0:
+            for b in range(nb):
+                idx = order[b * batch_size : (b + 1) * batch_size]
+                imgs = np.stack([self.decode_fn(self.paths[i]) for i in idx])
+                yield Batch(imgs, self.labels[idx], idx)
+            return
+
+        lookahead = 2  # batches in flight beyond the one being consumed
+        ex = ThreadPoolExecutor(max_workers=w)
+        try:
+            def submit(b):
+                idx = order[b * batch_size : (b + 1) * batch_size]
+                return idx, [ex.submit(self.decode_fn, self.paths[i]) for i in idx]
+
+            pending: deque = deque(submit(b) for b in range(min(1 + lookahead, nb)))
+            for b in range(nb):
+                idx, futs = pending.popleft()
+                if b + 1 + lookahead < nb:
+                    pending.append(submit(b + 1 + lookahead))
+                imgs = np.stack([f.result() for f in futs])
+                yield Batch(imgs, self.labels[idx], idx)
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
 
     def num_batches(self, batch_size: int) -> int:
         return len(self) // batch_size
@@ -223,7 +270,20 @@ def imagenet_decode(path: str, crop: int = 229) -> np.ndarray:
     values minus 117."""
     from PIL import Image
 
-    img = Image.open(path).convert("RGB")
+    return _imagenet_transform(Image.open(path), crop)
+
+
+def imagenet_decode_bytes(data: bytes, crop: int = 229) -> np.ndarray:
+    """Same transform from encoded bytes (the tar-shard read path)."""
+    from PIL import Image
+
+    return _imagenet_transform(Image.open(io.BytesIO(data)), crop)
+
+
+def _imagenet_transform(img, crop: int) -> np.ndarray:
+    from PIL import Image
+
+    img = img.convert("RGB")
     w, h = img.size
     scale = 256 / min(w, h)
     img = img.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
@@ -251,6 +311,204 @@ def load_imagenet(
 
 
 # ---------------------------------------------------------------------------
+# Tar shards (webdataset layout) — the reference's production ImageNet format
+# (utils.py:520-547: wds.WebDataset over imagenet-train-{0000..0146}.tar with
+# .jpg/.cls member pairs, shard+sample shuffling, 8 decode workers)
+# ---------------------------------------------------------------------------
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp")
+
+
+def _scan_tar_shards(tar_paths: Sequence[str]) -> list[list[dict]]:
+    """Read tar headers once and return, per shard, the (offset, size, label) of each
+    image member. Labels come from the adjacent ``<key>.cls`` member (webdataset
+    convention); -1 when absent. The offsets make every later epoch a plain
+    seek+read — no tarfile layer on the hot path."""
+    shards = []
+    for p in tar_paths:
+        entries: dict[str, dict] = {}
+        with tarfile.open(p, "r:") as tf:  # uncompressed: members are seekable
+            for m in tf:
+                if not m.isfile():
+                    continue
+                key, ext = os.path.splitext(m.name)
+                ext = ext.lower()
+                if ext in _IMG_EXTS:
+                    e = entries.setdefault(key, {"label": -1})
+                    e["offset"] = m.offset_data
+                    e["size"] = m.size
+                    e["name"] = m.name
+                elif ext == ".cls":
+                    f = tf.extractfile(m)
+                    entries.setdefault(key, {})["label"] = int(f.read().decode().strip())
+        shards.append(
+            [e for _, e in sorted(entries.items()) if "offset" in e]
+        )
+    return shards
+
+
+class TarShardDataset:
+    """Streaming dataset over uncompressed webdataset-style tar shards.
+
+    On first open the tar headers are scanned into an offset index (cached as
+    ``<dir>/_svt_index.json`` so 100+-shard datasets don't rescan per run); batches
+    then read members with seek+read and decode on a thread pool. Shuffling follows
+    the reference's webdataset regime (utils.py:534-543): shard order shuffles per
+    epoch, samples shuffle within each shard, and reads stay shard-sequential so the
+    IO pattern is still large and linear per shard.
+
+    Sample indices are positions in the canonical (sorted-shard, sorted-key) catalog,
+    stable across epochs — the Batch contract top-k/MIS rely on."""
+
+    def __init__(self, tar_paths: Sequence[str], category_names: Sequence[str],
+                 decode_bytes_fn=imagenet_decode_bytes, index_cache: Optional[str] = None):
+        self.tar_paths = sorted(tar_paths)
+        if not self.tar_paths:
+            raise ValueError("no tar shards given")
+        self.category_names = list(category_names)
+        self.decode_bytes_fn = decode_bytes_fn
+
+        cache = index_cache
+        if cache is None:
+            cache = os.path.join(os.path.dirname(self.tar_paths[0]), "_svt_index.json")
+        self.entries = None
+        if cache and os.path.exists(cache):
+            with open(cache) as f:
+                idx = json.load(f)
+            if idx.get("tar_paths") == [os.path.basename(p) for p in self.tar_paths]:
+                self.entries = idx["shards"]
+        if self.entries is None:
+            self.entries = _scan_tar_shards(self.tar_paths)
+            if cache:
+                tmp = cache + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "tar_paths": [os.path.basename(p) for p in self.tar_paths],
+                            "shards": self.entries,
+                        },
+                        f,
+                    )
+                os.replace(tmp, cache)
+
+        # canonical global index per sample + labels array (Batch contract)
+        self._base = np.cumsum([0] + [len(s) for s in self.entries])
+        self.labels = np.asarray(
+            [e["label"] for s in self.entries for e in s], np.int32
+        )
+
+    def __len__(self) -> int:
+        return int(self._base[-1])
+
+    def num_batches(self, batch_size: int) -> int:
+        return len(self) // batch_size
+
+    def batches(
+        self, batch_size: int, shuffle: bool, seed: int = 0,
+        workers: Optional[int] = None,
+    ) -> Iterator[Batch]:
+        rng = np.random.default_rng(seed)
+        shard_order = np.arange(len(self.tar_paths))
+        if shuffle:
+            rng.shuffle(shard_order)
+        w = _auto_workers(workers)
+        ex = ThreadPoolExecutor(max_workers=max(w, 1))
+        try:
+            buf: list = []  # (future, label, global_idx) spilling across shards
+
+            def drain(min_keep: int):
+                # keep >= min_keep decode futures in flight behind the yielded batch
+                while len(buf) >= batch_size + min_keep:
+                    chunk = buf[:batch_size]
+                    del buf[:batch_size]
+                    imgs = np.stack([f.result() for f, _, _ in chunk])
+                    labels = np.asarray([l for _, l, _ in chunk], np.int32)
+                    idx = np.asarray([i for _, _, i in chunk], np.int32)
+                    yield Batch(imgs, labels, idx)
+
+            lookahead = 2 * batch_size
+            for si in shard_order:
+                entries = self.entries[si]
+                order = np.arange(len(entries))
+                if shuffle:
+                    rng.shuffle(order)
+                with open(self.tar_paths[si], "rb") as f:
+                    for j in order:
+                        e = entries[j]
+                        f.seek(e["offset"])
+                        data = f.read(e["size"])
+                        buf.append(
+                            (
+                                ex.submit(self.decode_bytes_fn, data),
+                                e["label"],
+                                int(self._base[si]) + int(j),
+                            )
+                        )
+                        if len(buf) > batch_size + lookahead:
+                            yield from drain(lookahead)
+            yield from drain(0)
+            # trailing partial batch dropped (drop_last semantics, utils.py:335-338)
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+
+
+def write_tar_shards(
+    paths: Sequence[str], labels: Sequence[int], out_dir: str,
+    shard_size: int = 1024, prefix: str = "train",
+) -> list[str]:
+    """Pack image files + labels into webdataset-style tar shards
+    (``<key>.jpg`` + ``<key>.cls`` pairs) — the converter from ImageFolder layout to
+    the reference's production format (utils.py:520-526)."""
+    os.makedirs(out_dir, exist_ok=True)
+    out_paths = []
+    for s in range(0, len(paths), shard_size):
+        op = os.path.join(out_dir, f"{prefix}-{s // shard_size:05d}.tar")
+        with tarfile.open(op, "w") as tf:
+            for i in range(s, min(s + shard_size, len(paths))):
+                key = f"{i:08d}"
+                ext = os.path.splitext(paths[i])[1].lower() or ".jpg"
+                with open(paths[i], "rb") as f:
+                    data = f.read()
+                info = tarfile.TarInfo(key + ext)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cls = str(int(labels[i])).encode()
+                info = tarfile.TarInfo(key + ".cls")
+                info.size = len(cls)
+                tf.addfile(info, io.BytesIO(cls))
+        out_paths.append(op)
+    return out_paths
+
+
+def load_imagenet_tars(
+    data_dir: str, split: str, decode_bytes_fn=imagenet_decode_bytes
+) -> Optional[TarShardDataset]:
+    """ImageNet from tar shards when present: ``<data_dir>/imagenet/<split>*.tar``
+    (also accepts the reference's ``imagenet-train-NNNN.tar`` naming). Returns None
+    when no shards exist so load_data can fall back to ImageFolder."""
+    base = os.path.join(data_dir, "imagenet")
+    pats = [
+        os.path.join(base, f"{split}*.tar"),
+        os.path.join(base, f"imagenet-{split}-*.tar"),
+        os.path.join(base, "shards", f"{split}*.tar"),
+    ]
+    tars: list[str] = []
+    for p in pats:
+        tars = sorted(_glob.glob(p))
+        if tars:
+            break
+    if not tars:
+        return None
+    names_file = os.path.join(base, "wnids.txt")
+    if os.path.exists(names_file):
+        with open(names_file) as f:
+            names = [l.strip() for l in f if l.strip()]
+    else:
+        names = [str(i) for i in range(NUM_CLASSES["imagenet"])]
+    return TarShardDataset(tars, names, decode_bytes_fn)
+
+
+# ---------------------------------------------------------------------------
 # factory (reference: utils.py:331-610 load_data)
 # ---------------------------------------------------------------------------
 
@@ -273,8 +531,15 @@ def load_data(cfg: RunConfig, class_filter: Optional[str] = None):
         train = load_tiny_imagenet(cfg.data_dir, "train")
         val = load_tiny_imagenet(cfg.data_dir, "val")
     elif name == "imagenet":
-        train = load_imagenet(cfg.data_dir, "train", class_filter)
-        val = load_imagenet(cfg.data_dir, "val", class_filter)
+        # production format first: webdataset tar shards (utils.py:520-547); fall
+        # back to ImageFolder. The class filter needs per-class file listing, so it
+        # stays on the folder path.
+        train = None if class_filter else load_imagenet_tars(cfg.data_dir, "train")
+        val = None if class_filter else load_imagenet_tars(cfg.data_dir, "val")
+        if train is None:
+            train = load_imagenet(cfg.data_dir, "train", class_filter)
+        if val is None:
+            val = load_imagenet(cfg.data_dir, "val", class_filter)
     else:
         raise ValueError(f"Unsupported dataset: {name}")
     return train, val, train.category_names, get_img_size(name)

@@ -31,7 +31,7 @@ import numpy as np
 
 from sparse_vision_tpu.config import RunConfig, get_img_size
 from sparse_vision_tpu.data.datasets import load_data
-from sparse_vision_tpu.data.prefetch import device_put_batch
+from sparse_vision_tpu.data.prefetch import device_put_batch, prefetch
 from sparse_vision_tpu.eval_tools import results as results_store
 from sparse_vision_tpu.models.backbone import (
     get_sae_input_size,
@@ -152,6 +152,14 @@ class Pipeline:
     def _put(self, batch):
         return device_put_batch(batch, self.batch_sharding)
 
+    def _batches(self, ds, batch_size: int, shuffle: bool, seed: int = 0):
+        """Decode-parallel host batches, staged onto the device(s) one step ahead
+        (data/prefetch.py double-buffering; decode worker pool per cfg.data_workers)."""
+        it = ds.batches(
+            batch_size, shuffle=shuffle, seed=seed, workers=self.cfg.data_workers
+        )
+        return prefetch(it, self.batch_sharding)
+
     # ------------------------------------------------------------------
     # mode dispatch (deploy_model, model_pipeline.py:1288-1425)
     # ------------------------------------------------------------------
@@ -197,10 +205,9 @@ class Pipeline:
         self.eval_modified(epoch=start, store=False)  # pre-training eval (deploy:1315-1320)
         for epoch in range(start, cfg.sae_epochs):
             with maybe_profile(cfg.profile_dir or None):
-                for batch in self.train_ds.batches(
-                    cfg.sae_batch_size, shuffle=True, seed=cfg.seed + epoch
+                for b in self._batches(
+                    self.train_ds, cfg.sae_batch_size, shuffle=True, seed=cfg.seed + epoch
                 ):
-                    b = self._put(batch)
                     self.ts, m = step_fn(
                         self.ts, self.frozen_params, self.net_state, b.images, b.labels
                     )
@@ -242,6 +249,7 @@ class Pipeline:
             dump_activations(
                 self.net, self.frozen_params, self.net_state, self.train_ds,
                 cfg.sae_layer, cache_dir, batch_size=cfg.sae_batch_size,
+                workers=cfg.data_workers,
             )
         cache = ActivationCache(cache_dir)
         tps = cfg.cache_tokens_per_step
@@ -362,8 +370,7 @@ class Pipeline:
         correct = 0
         total = 0
         bs = cfg.sae_batch_size
-        for batch in ds.batches(bs, shuffle=False):
-            b = self._put(batch)
+        for b in self._batches(ds, bs, shuffle=False):
             m, arrays = step_fn(
                 self.ts.params, self.frozen_params, self.net_state, b.images, b.labels
             )
@@ -466,10 +473,9 @@ class Pipeline:
             self.mts = self.mts._replace(opt_state=optim.advance_epoch(self.mts.opt_state))
         for epoch in range(start, cfg.model_epochs):
             self.eval_original(epoch) if epoch == 0 else None
-            for batch in self.train_ds.batches(
-                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
+            for b in self._batches(
+                self.train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch
             ):
-                b = self._put(batch)
                 self.mts, m = step_fn(self.mts, b.images, b.labels)
                 self.logger.log_train(int(self.mts.step), m)
             # per-epoch LR schedule step (reference: model_pipeline.py:963-965)
@@ -491,8 +497,7 @@ class Pipeline:
         net_state = self.mts.net_state if hasattr(self, "mts") else self.net_state
         sums: dict = {}
         num_batches = 0
-        for batch in self.val_ds.batches(cfg.batch_size, shuffle=False):
-            b = self._put(batch)
+        for b in self._batches(self.val_ds, cfg.batch_size, shuffle=False):
             m, _, _ = step_fn(params, net_state, b.images, b.labels)
             num_batches += 1
             for key, v in m.items():

@@ -258,7 +258,9 @@ def test_examples_run(tmp_path):
                PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
     r = subprocess.run(
         [sys.executable, os.path.join(root, "examples", "discover_circuit.py")],
-        env=env, capture_output=True, text=True, timeout=420,
+        # generous: on a 1-CPU box the parent pytest process's XLA device threads
+        # contend with this subprocess (observed 229s solo, >420s under suite load)
+        env=env, capture_output=True, text=True, timeout=560,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "faithfulness=1.0000" in r.stdout
