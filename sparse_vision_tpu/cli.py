@@ -24,12 +24,17 @@ from sparse_vision_tpu.config import RunConfig, read_jsonl
 
 
 def _load_parameters(path: str) -> list[RunConfig]:
+    """Sweep file loader: JSONL of RunConfig, legacy 24-field parameters.txt lines,
+    or legacy 17-field parameters_eval.txt lines (distinguished by field count)."""
     with open(path) as f:
         first = f.readline().strip()
     if first.startswith("{"):
         return read_jsonl(path)
+    n_fields = len(first.split(","))
+    parse = (RunConfig.from_legacy_eval_line if n_fields == 17
+             else RunConfig.from_legacy_line)
     with open(path) as f:
-        return [RunConfig.from_legacy_line(line) for line in f if line.strip()]
+        return [parse(line) for line in f if line.strip()]
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -90,19 +95,41 @@ def main(argv=None) -> int:
     if args.run_evaluation:
         from sparse_vision_tpu.eval_tools.ranking import (
             compute_sae_ranking,
+            evaluate_sweep_config,
             plot_rec_loss_vs_sparsity,
+            plot_rec_loss_vs_sparsity_all_epochs,
         )
 
-        if not args.results_csv:
-            print("--run_evaluation needs --results_csv", file=sys.stderr)
+        if args.parameters and not args.run_pipeline:
+            # eval-sweep spec (the parameters_eval.txt role: main.py:117-155) — each
+            # non-original-model entry maps to its sweep's merged results CSV through
+            # the path scheme and gets rank table + single + all-epochs Pareto grids
+            for cfg in _load_parameters(args.parameters):
+                if cfg.original_model:
+                    continue  # reference skips original-model lines (main.py:129-131)
+                out = evaluate_sweep_config(cfg)
+                print(f"Evaluated sweep -> {out['rank_table']}, "
+                      f"{out['pareto']}, {out['pareto_all_epochs']}")
+        elif args.results_csv:
+            out_dir = args.out_dir or os.path.dirname(args.results_csv)
+            df = compute_sae_ranking(
+                args.results_csv, os.path.join(out_dir, "sae_rank_table.csv")
+            )
+            plot_rec_loss_vs_sparsity(
+                args.results_csv, os.path.join(out_dir, "pareto.png")
+            )
+            try:
+                plot_rec_loss_vs_sparsity_all_epochs(
+                    args.results_csv, os.path.join(out_dir, "pareto_all_epochs.png")
+                )
+            except ValueError as e:  # single-epoch CSVs have no grid to expand
+                print(f"all-epochs grid skipped: {e}")
+            print(df.head(10).to_string())
+            print(f"Wrote sae_rank_table.csv and Pareto grids to {out_dir}")
+        else:
+            print("--run_evaluation needs --results_csv or --parameters",
+                  file=sys.stderr)
             return 2
-        out_dir = args.out_dir or os.path.dirname(args.results_csv)
-        df = compute_sae_ranking(
-            args.results_csv, os.path.join(out_dir, "sae_rank_table.csv")
-        )
-        plot_rec_loss_vs_sparsity(args.results_csv, os.path.join(out_dir, "pareto.png"))
-        print(df.head(10).to_string())
-        print(f"Wrote sae_rank_table.csv and pareto.png to {out_dir}")
     return 0
 
 

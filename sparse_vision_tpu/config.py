@@ -44,6 +44,37 @@ LEGACY_FIELDS = (
 )
 
 
+# Field order of a legacy parameters_eval.txt line (specify_parameters.py:296-312):
+# the 24-field schema minus sae_lambda_sparse, sae_expansion_factor, training,
+# criteria, mis, and compute_ie — one line identifies a SWEEP's results file, not a
+# single run.
+LEGACY_EVAL_FIELDS = (
+    "model_name",
+    "sae_model_name",
+    "sae_layer",
+    "directory_path",
+    "wandb_status",
+    "model_epochs",
+    "model_learning_rate",
+    "batch_size",
+    "model_optimizer_name",
+    "sae_epochs",
+    "sae_learning_rate",
+    "sae_optimizer_name",
+    "sae_batch_size",
+    "dataset_name",
+    "original_model",
+    "dead_neurons_steps",
+    "sae_checkpoint_epoch",
+)
+
+
+def _fmt_legacy(v: Any) -> str:
+    if isinstance(v, bool):
+        return "True" if v else "False"
+    return str(v)
+
+
 def _parse_bool(s: str) -> bool:
     # The reference uses eval("True") (execute_project.py:40-64); we parse strictly.
     if s in ("True", "true", "1"):
@@ -103,6 +134,10 @@ class RunConfig:
     # image-decode worker threads: -1 auto (min(16, cpus)), 0 synchronous — the
     # reference uses 5-8 DataLoader workers (utils.py:354, 540-547)
     data_workers: int = -1
+    # initialize the SAE from a weight file instead of random init: native .npz or a
+    # reference-format torch .pth (either key convention — utils.py:197-225), e.g.
+    # the reference author's published SAE checkpoints (train/sae_io.py)
+    sae_weights_path: str = ""
 
     @property
     def use_sae(self) -> bool:
@@ -147,13 +182,45 @@ class RunConfig:
         kwargs.update(overrides)
         return cls(**kwargs)
 
-    def to_legacy_line(self) -> str:
-        def fmt(v: Any) -> str:
-            if isinstance(v, bool):
-                return "True" if v else "False"
-            return str(v)
+    @classmethod
+    def from_legacy_eval_line(cls, line: str, **overrides: Any) -> "RunConfig":
+        """Parse one 17-field parameters_eval.txt line (the reference's separate
+        eval-sweep spec: specify_parameters.py:296-322, consumed by main.py:117-155).
+        Eval-only fields default to a frozen-SAE evaluation run."""
+        values = [v.strip() for v in line.strip().split(",")]
+        if len(values) != len(LEGACY_EVAL_FIELDS):
+            raise ValueError(
+                f"Expected {len(LEGACY_EVAL_FIELDS)} fields, got {len(values)}: {line!r}"
+            )
+        raw = dict(zip(LEGACY_EVAL_FIELDS, values))
+        kwargs: dict[str, Any] = dict(
+            model_name=raw["model_name"],
+            sae_model_name=raw["sae_model_name"],
+            sae_layer=raw["sae_layer"],
+            directory_path=raw["directory_path"],
+            wandb_status=_parse_bool(raw["wandb_status"]),
+            model_epochs=int(raw["model_epochs"]),
+            model_learning_rate=float(raw["model_learning_rate"]),
+            batch_size=int(raw["batch_size"]),
+            model_optimizer_name=raw["model_optimizer_name"],
+            sae_epochs=int(raw["sae_epochs"]),
+            sae_learning_rate=float(raw["sae_learning_rate"]),
+            sae_optimizer_name=raw["sae_optimizer_name"],
+            sae_batch_size=int(raw["sae_batch_size"]),
+            dataset_name=raw["dataset_name"],
+            original_model=_parse_bool(raw["original_model"]),
+            dead_neurons_steps=int(raw["dead_neurons_steps"]),
+            sae_checkpoint_epoch=int(raw["sae_checkpoint_epoch"]),
+            training=False,
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
 
-        return ",".join(fmt(getattr(self, f)) for f in LEGACY_FIELDS)
+    def to_legacy_line(self) -> str:
+        return ",".join(_fmt_legacy(getattr(self, f)) for f in LEGACY_FIELDS)
+
+    def to_legacy_eval_line(self) -> str:
+        return ",".join(_fmt_legacy(getattr(self, f)) for f in LEGACY_EVAL_FIELDS)
 
     # ---- json --------------------------------------------------------------
     def to_json(self) -> str:
@@ -212,6 +279,21 @@ class Sweep:
                 f.write(cfg.to_legacy_line() + "\n")
                 n += 1
         return n
+
+    def write_legacy_eval(self, path: str) -> int:
+        """Write the companion eval-sweep file (the parameters_eval.txt role,
+        specify_parameters.py:296-322): the DISTINCT 17-field combos of the sweep —
+        per-λ/per-k runs of one sweep share one results CSV, so they collapse to one
+        eval line."""
+        seen: list[str] = []
+        for cfg in self:
+            line = cfg.to_legacy_eval_line()
+            if line not in seen:
+                seen.append(line)
+        with open(path, "w") as f:
+            for line in seen:
+                f.write(line + "\n")
+        return len(seen)
 
 
 def read_jsonl(path: str) -> list[RunConfig]:

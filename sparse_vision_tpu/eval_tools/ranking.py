@@ -88,31 +88,97 @@ def plot_rec_loss_vs_sparsity(
     return out_path
 
 
+def evaluate_sweep_config(cfg) -> dict:
+    """Post-hoc evaluation for one eval-sweep entry (the reference's
+    ExecuteProject.evaluation role, execute_project.py:221-235): locate the sweep's
+    merged results CSV through the path scheme and produce the rank table, the
+    single-epoch Pareto grid, and the all-epochs Pareto grid."""
+    from sparse_vision_tpu.utils.paths import folder_paths
+
+    folder = folder_paths(cfg)["evaluation_results"]
+    csv_path = os.path.join(folder, "sae_eval_results.csv")
+    if not os.path.exists(csv_path):
+        raise FileNotFoundError(
+            f"No results CSV at {csv_path} — run the training sweep first"
+        )
+    rank_path = os.path.join(folder, "sae_rank_table.csv")
+    compute_sae_ranking(csv_path, rank_path)
+    p1 = plot_rec_loss_vs_sparsity(csv_path, os.path.join(folder, "pareto.png"))
+    p2 = plot_rec_loss_vs_sparsity_all_epochs(
+        csv_path, os.path.join(folder, "pareto_all_epochs.png")
+    )
+    return {"csv": csv_path, "rank_table": rank_path, "pareto": p1,
+            "pareto_all_epochs": p2}
+
+
 def plot_rec_loss_vs_sparsity_all_epochs(
-    csv_paths: dict[int, str], out_path: str, rec_loss: str = "nrmse_loss"
+    csv_path: str,
+    out_path: str,
+    rec_loss: str = "nrmse_loss",
+    epochs: Optional[list] = None,
 ) -> str:
-    """Multi-epoch grid: one loss-vs-sparsity panel per epoch
-    (reference evaluation.py:285-470)."""
+    """Multi-epoch Pareto grid from ONE merged results CSV: the per-epoch rows (the
+    ``epochs`` column the results store writes every eval epoch) expand into one
+    loss-vs-density panel per epoch, lines grouped by expansion factor and points
+    colored by lambda, with axis limits SHARED across panels so epochs are visually
+    comparable (reference evaluation.py:285-470; its hardcoded per-layer axis-limit
+    tables become data-derived global limits)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    epochs = sorted(csv_paths)
+    df = pd.read_csv(csv_path)
+    if "epochs" not in df.columns:
+        raise ValueError(f"{csv_path} has no 'epochs' column")
+    all_epochs = sorted(df["epochs"].dropna().unique())
+    epochs = [e for e in (epochs or all_epochs) if e in set(all_epochs)]
+    if not epochs:
+        raise ValueError(f"no matching epochs in {csv_path} (have {all_epochs})")
     n = len(epochs)
-    cols = min(4, n)
+    cols = min(3, n)
     rows = (n + cols - 1) // cols
     fig, axs = plt.subplots(rows, cols, figsize=(5 * cols, 4 * rows), squeeze=False)
+
+    exp_facs = sorted(df["expansion_factor"].unique())
+    lambdas = sorted(df["lambda_sparse"].unique())
+    cmap = plt.colormaps.get_cmap("tab10")
+    k_color = {k: cmap(i % 10) for i, k in enumerate(exp_facs)}
+    l_color = {l: cmap((i + len(exp_facs)) % 10) for i, l in enumerate(lambdas)}
+
+    # shared limits with a 5% margin, from the rows actually plotted
+    sel = df[df["epochs"].isin(epochs)]
+    xs, ys = sel["rel_sparsity"], sel[rec_loss]
+
+    def limits(v):
+        lo, hi = float(v.min()), float(v.max())
+        pad = 0.05 * (hi - lo) or 0.05 * max(abs(hi), 1.0)
+        return lo - pad, hi + pad
+
+    xlim, ylim = limits(xs), limits(ys)
+
     for ax_idx, e in enumerate(epochs):
         ax = axs[ax_idx // cols][ax_idx % cols]
-        df = pd.read_csv(csv_paths[e])
-        for k in sorted(df["expansion_factor"].unique()):
-            sub = df[df["expansion_factor"] == k].sort_values("rel_sparsity")
-            ax.plot(sub["rel_sparsity"], sub[rec_loss], "o-", label=f"k={k}")
-        ax.set_title(f"epoch {e}")
-        ax.set_xlabel("rel_sparsity")
-        ax.set_ylabel(rec_loss)
-    axs[0][0].legend()
+        sub_e = df[df["epochs"] == e]
+        for k in exp_facs:
+            sub = sub_e[sub_e["expansion_factor"] == k].sort_values("rel_sparsity")
+            ax.plot(sub["rel_sparsity"], sub[rec_loss], "-", color=k_color[k],
+                    label=f"k={k}")
+            ax.scatter(sub["rel_sparsity"], sub[rec_loss],
+                       c=[l_color[l] for l in sub["lambda_sparse"]], zorder=3)
+        ax.set_xlim(*xlim)
+        ax.set_ylim(*ylim)
+        ax.text(0.5, 0.93, f"Epoch {int(e)}", ha="center", transform=ax.transAxes)
+    for ax_idx in range(n, rows * cols):
+        axs[ax_idx // cols][ax_idx % cols].axis("off")
+    from matplotlib.lines import Line2D
+
+    axs[0][-1].legend(title="expansion factor", loc="upper right")
+    lam_handles = [Line2D([], [], color=l_color[l], marker="o", linestyle="None",
+                          label=f"{l}") for l in lambdas]
+    axs[0][0].legend(handles=lam_handles, title="lambda", loc="upper left")
+    fig.supxlabel("Density")
+    fig.supylabel(f"Rec. loss ({rec_loss})")
     fig.tight_layout()
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     fig.savefig(out_path, dpi=150)

@@ -78,12 +78,27 @@ def test_sae_ranking_matches_reference_recipe(results_csv):
     assert os.path.exists(os.path.join(os.path.dirname(results_csv), "sae_rank_table.csv"))
 
 
-def test_pareto_plots_smoke(results_csv, tmp_path):
+def test_pareto_plots_smoke(results_csv, tmp_path, rng):
     p1 = ranking.plot_rec_loss_vs_sparsity(results_csv, str(tmp_path / "pareto.png"))
+    # add a second epoch's rows: the all-epochs grid expands the single CSV's
+    # `epochs` column into per-epoch panels (reference evaluation.py:285-470)
+    df = pd.read_csv(results_csv)
+    df2 = df.copy()
+    df2["epochs"] = 4
+    df2["nrmse_loss"] = rng.uniform(size=len(df2))
+    pd.concat([df, df2]).to_csv(results_csv, index=False)
     p2 = ranking.plot_rec_loss_vs_sparsity_all_epochs(
-        {1: results_csv, 2: results_csv}, str(tmp_path / "pareto_epochs.png")
+        results_csv, str(tmp_path / "pareto_epochs.png")
     )
     assert os.path.exists(p1) and os.path.exists(p2)
+    # selecting a subset of epochs works; asking for absent epochs raises
+    ranking.plot_rec_loss_vs_sparsity_all_epochs(
+        results_csv, str(tmp_path / "pareto_e3.png"), epochs=[3]
+    )
+    with pytest.raises(ValueError):
+        ranking.plot_rec_loss_vs_sparsity_all_epochs(
+            results_csv, str(tmp_path / "nope.png"), epochs=[99]
+        )
 
 
 # ---------------------------------------------------------------------------
