@@ -403,6 +403,17 @@ class TarShardDataset:
     def num_batches(self, batch_size: int) -> int:
         return len(self) // batch_size
 
+    def get_image(self, i: int) -> np.ndarray:
+        """Random access by canonical sample index — the integrated equivalent of the
+        reference's extract-activating-images-from-tars step (utils.py:2367-2445),
+        used by the top-k sample grids (eval_tools/viz.gather_topk_images)."""
+        si = int(np.searchsorted(self._base, i, side="right") - 1)
+        e = self.entries[si][i - int(self._base[si])]
+        with open(self.tar_paths[si], "rb") as f:
+            f.seek(e["offset"])
+            data = f.read(e["size"])
+        return self.decode_bytes_fn(data)
+
     def batches(
         self, batch_size: int, shuffle: bool, seed: int = 0,
         workers: Optional[int] = None,

@@ -126,9 +126,17 @@ def show_top_k_samples(
 def gather_topk_images(dataset, topk_indices: np.ndarray, units: Sequence[int]) -> dict:
     """Fetch the images behind a TopKState's dataset indices for selected units.
     Sentinel (-1) entries are dropped; a unit with no real entries (dead unit, or
-    fewer samples than k) yields an empty [0, H, W, C] array."""
-    sample = (dataset.images[0] if hasattr(dataset, "images")
-              else dataset.decode_fn(dataset.paths[0]))
+    fewer samples than k) yields an empty [0, H, W, C] array.
+
+    Works with every dataset kind: in-memory arrays (``.images``), lazy files
+    (``.paths`` + ``.decode_fn``), and tar shards (``.get_image`` random access)."""
+    if hasattr(dataset, "images"):
+        fetch = lambda i: dataset.images[i]  # noqa: E731
+    elif hasattr(dataset, "get_image"):
+        fetch = dataset.get_image
+    else:
+        fetch = lambda i: dataset.decode_fn(dataset.paths[i])  # noqa: E731
+    sample = fetch(0)
     out = {}
     for u in units:
         idx = [int(i) for i in topk_indices[:, u] if int(i) >= 0]
@@ -137,7 +145,7 @@ def gather_topk_images(dataset, topk_indices: np.ndarray, units: Sequence[int]) 
         elif hasattr(dataset, "images"):
             out[u] = dataset.images[np.asarray(idx, np.int64)]
         else:
-            out[u] = np.stack([dataset.decode_fn(dataset.paths[i]) for i in idx])
+            out[u] = np.stack([fetch(i) for i in idx])
     return out
 
 

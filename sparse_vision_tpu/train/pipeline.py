@@ -22,6 +22,7 @@ replicated: epochs iterate all batches.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -65,6 +66,9 @@ class Pipeline:
         self.logger = logger or RunLogger(
             self.run_id, use_wandb=cfg.wandb_status, log_every=cfg.log_every,
             resume=cfg.sae_checkpoint_epoch > 0,
+            # the full run config keys/filters the W&B run
+            # (reference: execute_project.py:146-184 passes every parameter)
+            config=json.loads(cfg.to_json()),
         )
         self.mesh = mesh if mesh is not None else (
             make_mesh(cfg.mesh_shape) if cfg.mesh_shape else None
@@ -104,6 +108,15 @@ class Pipeline:
                 cfg.sae_model_name, self.k_sae, self.sae_input_size,
                 cfg.sae_expansion_factor,
             )
+            if cfg.sae_weights_path:
+                # weight-only import: native .npz or reference-format torch .pth
+                # (load_pretrained_model parity, utils.py:197-225)
+                from sparse_vision_tpu.train.sae_io import import_any
+
+                self.sae_params = import_any(
+                    cfg.sae_weights_path, cfg.sae_model_name, like=self.sae_params
+                )
+                print(f"Initialized SAE weights from {cfg.sae_weights_path}.")
             self.num_units = self._num_latents()
             self.tx = optim.get_optimizer(cfg.sae_optimizer_name, cfg.sae_learning_rate)
             self.ts = init_sae_train_state(
@@ -182,7 +195,9 @@ class Pipeline:
         if cfg.use_sae and cfg.training:
             return self.train_sae()
         if cfg.use_sae:
-            return self.eval_modified(epoch=cfg.sae_checkpoint_epoch)
+            # a standalone eval is its own last epoch: the reference sets
+            # record_top_samples there (model_pipeline.py:529-533)
+            return self.eval_modified(epoch=cfg.sae_checkpoint_epoch, final=True)
         if cfg.training:
             return self.train_original()
         return self.eval_original()
@@ -223,8 +238,11 @@ class Pipeline:
                 },
                 blocking=False,
             )
-            last_eval = self.eval_modified(epoch=epoch + 1)
+            last_eval = self.eval_modified(
+                epoch=epoch + 1, final=(epoch + 1 == cfg.sae_epochs)
+            )
         ckpt.wait_for_saves()
+        self._export_sae_weights()
         return last_eval
 
     # ------------------------------------------------------------------
@@ -275,7 +293,28 @@ class Pipeline:
         )
         from sparse_vision_tpu.train.steps import make_sae_train_multi_step
 
-        if sharded:
+        tensor_parallel = (
+            mesh is not None and "model" in mesh.axis_names
+            and int(mesh.shape["model"]) > 1
+        )
+        if tensor_parallel:
+            # 2-D (data, model) mesh: latent dim shards over 'model' via GSPMD — the
+            # stock jitted step runs unchanged with sharded state placement
+            # (parallel/tensor_parallel.py; parity: tests/test_tensor_parallel.py)
+            from sparse_vision_tpu.parallel.tensor_parallel import (
+                put_tokens_tp,
+                put_tp_state,
+            )
+
+            step_fn = make_sae_train_step_from_acts(
+                cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
+                cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=False,
+            )
+            self.ts = put_tp_state(mesh, self.ts)
+
+            def _put_tokens(arr, token_axis):
+                return put_tokens_tp(mesh, np.ascontiguousarray(arr), token_axis)
+        elif sharded:
             from sparse_vision_tpu.parallel.sharded_steps import (
                 make_sharded_fused_train_step,
                 put_replicated_state,
@@ -332,9 +371,39 @@ class Pipeline:
                 },
                 blocking=False,
             )
-            last_eval = self.eval_modified(epoch=epoch + 1)
+            last_eval = self.eval_modified(
+                epoch=epoch + 1, final=(epoch + 1 == cfg.sae_epochs)
+            )
         ckpt.wait_for_saves()
+        self._export_sae_weights()
         return last_eval
+
+    # ------------------------------------------------------------------
+    def _export_sae_weights(self) -> None:
+        """Weight-only export to the path scheme's sae_weights folder after training
+        (save_model_weights parity, utils.py:187-195): the native .npz plus a torch
+        .pth in the reference's nn.Linear key layout so these SAEs load straight into
+        the reference codebase."""
+        from sparse_vision_tpu.train.sae_io import save_sae_weights, to_torch_state_dict
+
+        name = f"{self.cfg.sae_layer}_" + "_".join(
+            str(v) for v in sae_params_no_epochs(self.cfg).values()
+        )
+        folder = self.paths["sae_weights"]
+        path = save_sae_weights(self.ts.params, folder, file_name=f"{name}_model_weights")
+        try:
+            import torch
+
+            sd = {
+                k: torch.from_numpy(np.array(v))  # copy: jax buffers are read-only
+                for k, v in to_torch_state_dict(
+                    self.ts.params, self.cfg.sae_model_name
+                ).items()
+            }
+            torch.save(sd, os.path.join(folder, f"{name}_model_weights.pth"))
+        except Exception as e:  # torch export is a courtesy, never fails the run
+            print(f"[sae_io] torch export skipped: {e}")
+        print(f"Saved SAE weights to {path}")
 
     # ------------------------------------------------------------------
     # modified-model eval (mode 4) — also the per-epoch eval during training
@@ -358,58 +427,51 @@ class Pipeline:
         return self._model_eval_step_cache
 
     def eval_modified(self, epoch: int, store: bool = True, on_train_data: bool = False,
-                      k: int = 25):
+                      k: int = 25, final: bool = False):
         cfg = self.cfg
         step_fn = self._sae_eval_step_fn
         ds = self.train_ds if on_train_data else self.val_ds
-        sums: dict = {}
+        # everything accumulates ON DEVICE; the single host readback happens once per
+        # epoch after the batch loop (a per-batch float() would sync ~13 scalars every
+        # step and stall the prefetch pipeline)
+        sums = None  # pytree of metric sums
+        freq_sum = None  # [U] sum of per-batch activation frequencies
+        correct = None
         dead_acc = None
         top_state = init_topk(k, self.num_units, largest=True)
         small_state = init_topk(k, self.num_units, largest=False)
         num_batches = 0
-        correct = 0
-        total = 0
         bs = cfg.sae_batch_size
         for b in self._batches(ds, bs, shuffle=False):
             m, arrays = step_fn(
                 self.ts.params, self.frozen_params, self.net_state, b.images, b.labels
             )
             num_batches += 1
-            for key, v in m.items():
-                sums[key] = sums.get(key, 0.0) + float(v)
+            sums = m if sums is None else jax.tree.map(jnp.add, sums, m)
+            freq_sum = arrays["freq"] if freq_sum is None else freq_sum + arrays["freq"]
+            correct = arrays["correct"] if correct is None else correct + arrays["correct"]
             dead_acc = metrics.update_dead_accumulator(dead_acc, arrays["dead"])
             start_idx = jnp.int32((num_batches - 1) * bs)
             top_state = update_topk(top_state, arrays["topk_acts"], start_idx, b.indices)
             small_state = update_topk(small_state, arrays["topk_acts"], start_idx, b.indices)
-            correct += int(arrays["correct"])
-            total += bs
         if num_batches == 0:
             raise ValueError("Empty evaluation dataset")
-        means = {key: v / num_batches for key, v in sums.items()}
-        means["accuracy"] = correct / total  # exact, like reference (:669-672, 997)
-        means["perc_dead_units"] = float(jnp.sum(dead_acc) / dead_acc.shape[0])
+        host = jax.device_get(
+            {"sums": sums, "freq_sum": freq_sum, "correct": correct,
+             "dead_acc": dead_acc, "top": top_state, "small": small_state}
+        )
+        dead_acc, top_state, small_state = host["dead_acc"], host["top"], host["small"]
+        means = {key: float(v) / num_batches for key, v in host["sums"].items()}
+        # exact accuracy, like the reference (:669-672, 997)
+        means["accuracy"] = int(host["correct"]) / (num_batches * bs)
+        means["perc_dead_units"] = float(np.sum(dead_acc) / dead_acc.shape[0])
         self.logger.log_eval(epoch, means)
 
-        # per-epoch channel-activation-frequency histogram figure
-        # (reference: model_pipeline.py:1046-1068 logs one per eval epoch)
-        try:
-            import matplotlib
-
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-
-            freq = np.asarray(top_state.values[0])  # max channel-avg act per unit
-            fig, ax = plt.subplots(figsize=(8, 4))
-            ax.hist(freq[np.isfinite(freq)], bins=100, color="dodgerblue")
-            ax.set_xlabel("max channel-averaged activation per unit")
-            ax.set_ylabel("units")
-            ax.set_title(f"epoch {epoch}")
-            hist_dir = os.path.join(self.paths["evaluation_results"], "histograms")
-            os.makedirs(hist_dir, exist_ok=True)
-            fig.savefig(os.path.join(hist_dir, f"{self.run_id}_epoch_{epoch}.png"), dpi=120)
-            plt.close(fig)
-        except Exception as e:  # plotting must never fail a run
-            print(f"[eval] histogram figure skipped: {e}")
+        # per-batch-mean activation FREQUENCY per unit (model_pipeline.py:815-818, 1007)
+        freq = np.asarray(host["freq_sum"], np.float64) / num_batches
+        self._channel_frequency_figure(freq, epoch)
+        if final:
+            self._final_eval_figures(ds, top_state, small_state, dead_acc, epoch)
 
         # per-unit max/min sample indices for MIS (model_pipeline.py:948-961)
         fn_dir = os.path.join(self.paths["evaluation_results"], "filename_indices")
@@ -444,6 +506,124 @@ class Pipeline:
             results_store.store_run_result(folder, f"{self.run_id}_epoch_{epoch}", row)
             results_store.merge_results(folder)
         return means
+
+    # ------------------------------------------------------------------
+    # eval-epoch figures (reference model_pipeline.py:1046-1068, utils.py:1496-1784,
+    # 1934-1994 — rendered per eval epoch / in the final epoch, logged to W&B)
+    # ------------------------------------------------------------------
+    def _channel_frequency_figure(self, freq: np.ndarray, epoch: int) -> None:
+        """Histogram of per-unit activation FREQUENCY (how often each channel is
+        active), the reference's live per-eval-epoch figure (model_pipeline.py:1046-1068):
+        non-zero frequencies in 40 bins over [0, 1], never-active units as a red bar."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            zero = freq[freq == 0]
+            nonzero = freq[freq != 0]
+            fig, ax = plt.subplots(figsize=(8, 4))
+            ax.hist(nonzero, bins=40, range=[0, 1], edgecolor="black")
+            ax.bar(0, len(zero), width=0.025, color="red", edgecolor="black",
+                   align="edge", label="Zero Values")
+            ax.set_title(
+                f"Frequency of how often a channel is active, "
+                f"{self.cfg.sae_layer}, epoch {epoch}"
+            )
+            ax.set_xlabel("Frequency of activation")
+            ax.set_ylabel("No. of channels")
+            ax.legend()
+            name = "channel_frequency_histograms"
+            out_dir = os.path.join(self.paths["evaluation_results"], name)
+            os.makedirs(out_dir, exist_ok=True)
+            fig.savefig(os.path.join(out_dir, f"{self.run_id}_epoch_{epoch}.png"), dpi=120)
+            self.logger.log_figure(f"{name}/{self.cfg.sae_layer}_sae", fig, epoch)
+            plt.close(fig)
+        except Exception as e:  # plotting must never fail a run
+            print(f"[eval] channel-frequency figure skipped: {e}")
+
+    def _select_figure_units(self, dead_acc: np.ndarray, n: int = 10) -> np.ndarray:
+        """First n units that are not dead (reference model_pipeline.py:1506-1520),
+        padded with dead units when fewer than n are alive."""
+        alive = np.flatnonzero(~np.asarray(dead_acc, bool))
+        dead = np.flatnonzero(np.asarray(dead_acc, bool))
+        return np.concatenate([alive, dead])[:n].astype(np.int64)
+
+    def _final_eval_figures(self, ds, top_state, small_state, dead_acc, epoch: int) -> None:
+        """Last-epoch figure set: per-unit top-k/bottom-k activating-sample grids
+        (utils.py:1496-1784) and streaming per-unit activation histograms with fixed
+        bins from the recorded top/small values, filled by one extra inference pass
+        (model_pipeline.py:1488-1541, utils.py:1934-1994)."""
+        from sparse_vision_tpu.eval_tools.viz import gather_topk_images, show_top_k_samples
+        from sparse_vision_tpu.ops.histograms import (
+            init_histogram,
+            plot_histograms,
+            update_histogram,
+        )
+
+        units = self._select_figure_units(dead_acc, n=10)
+        k = top_state.values.shape[0]
+        n_show = max(1, int(np.sqrt(k)))  # reference: n=int(np.sqrt(self.k))
+        out_dir = self.paths["evaluation_results"]
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+
+            for state, tag in ((top_state, "top"), (small_state, "small")):
+                images = gather_topk_images(
+                    ds, np.asarray(state.dataset_indices)[:n_show], units
+                )
+                values = {int(u): np.asarray(state.values)[:n_show, u] for u in units}
+                path = os.path.join(
+                    out_dir, "top_k_samples",
+                    f"{self.run_id}_{tag}_k_samples_epoch_{epoch}.png",
+                )
+                show_top_k_samples(
+                    images, values, path,
+                    title=f"{tag}-{n_show} activating samples, "
+                          f"{self.cfg.sae_layer}, epoch {epoch}",
+                )
+                # wandb.Image accepts the saved file path directly
+                self.logger.log_figure(f"top_k_samples/{tag}", path, epoch)
+        except Exception as e:
+            print(f"[eval] top-k sample grids skipped: {e}")
+
+        try:
+            # fixed per-unit ranges from the recorded extrema (model_pipeline.py:1497-1531)
+            unit_idx = jnp.asarray(units)
+            mins = jnp.asarray(np.asarray(small_state.values)[0, units], jnp.float32)
+            maxs = jnp.asarray(np.asarray(top_state.values)[0, units], jnp.float32)
+            hstate = init_histogram(100, mins, maxs)
+            step_fn = self._sae_eval_step_fn
+
+            @jax.jit
+            def hist_update(hs, acts):
+                return update_histogram(hs, acts[:, unit_idx])
+
+            # "an extra round of inference to get the activation histogram"
+            # (model_pipeline.py:1490-1540)
+            for b in self._batches(ds, self.cfg.sae_batch_size, shuffle=False):
+                _, arrays = step_fn(
+                    self.ts.params, self.frozen_params, self.net_state,
+                    b.images, b.labels,
+                )
+                hstate = hist_update(hstate, arrays["topk_acts"])
+            path = os.path.join(
+                out_dir, "activation_histograms",
+                f"{self.run_id}_epoch_{epoch}.png",
+            )
+            plot_histograms(
+                hstate, units, path,
+                title=f"Histograms of neuron activations, "
+                      f"({self.cfg.sae_layer}, sae), epoch {epoch}",
+            )
+            self.logger.log_figure(
+                f"activation_histograms/{self.cfg.sae_layer}_sae", path, epoch
+            )
+        except Exception as e:
+            print(f"[eval] activation histograms skipped: {e}")
 
     # ------------------------------------------------------------------
     # MIS collection epoch (mode 5; reference epoch("mis"), model_pipeline.py:500-503,

@@ -1,0 +1,143 @@
+"""Weight-only SAE export/import with legacy torch key migration.
+
+Reference parity: ``save_model_weights`` / ``load_pretrained_model``
+(/root/reference/utils.py:187-225). The reference stores torch ``state_dict``s and
+migrates the older ``W_enc/W_dec`` key convention into ``encoder.weight``/
+``decoder.weight`` (with transposes) on load. Here:
+
+- native save format: ``.npz`` of this framework's parameter pytree (math-convention
+  layout — W_enc [d, h], W_dec [h, d]; see models/sae.py docstring)
+- import accepts three layouts and normalizes all of them to the native pytree:
+  1. native ``.npz``
+  2. torch ``.pth``/``.pt`` state_dicts with nn.Linear keys
+     (``encoder.weight`` [h, d], ``decoder.weight`` [d, h] — sae_mlp.py:26-40;
+     ``W_gate`` [h, d] + ``decoder.*`` — gated_sae.py:11-26)
+  3. torch state_dicts in the reference's LEGACY ``W_enc/W_dec`` convention
+     (utils.py:210-221: ``encoder.weight = W_enc.T`` ⇒ stored W_enc is [d, h],
+     stored W_dec is [h, d] — coincident with the native layout)
+- export back to torch: ``to_torch_state_dict`` produces the reference's nn.Linear
+  key layout so weights trained here load straight into the reference's models.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+# native parameter keys per SAE variant (models/sae.py init_* functions)
+_NATIVE_KEYS = {
+    "sae_mlp": ("W_enc", "b_enc", "W_dec", "b_dec"),
+    "gated_sae": ("W_gate", "b_gate", "b_mag", "r_mag", "W_dec", "b_dec"),
+    "jumprelu_sae": ("W_enc", "b_enc", "W_dec", "b_dec", "log_threshold"),
+}
+
+
+def save_sae_weights(params: dict, folder: str, file_name: str = "model_weights") -> str:
+    """Weight-only save to ``<folder>/<file_name>.npz`` (the reference's
+    save_model_weights role, utils.py:187-195). Atomic: temp + os.replace."""
+    os.makedirs(folder, exist_ok=True)
+    path = os.path.join(folder, f"{file_name}.npz")
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **{k: np.asarray(v) for k, v in params.items()})
+    os.replace(tmp, path)
+    return path
+
+
+def to_torch_state_dict(params: dict, sae_model_name: str) -> dict:
+    """Native pytree -> reference torch nn.Linear key layout (numpy values;
+    callers torch.save after mapping through torch.from_numpy if needed)."""
+    p = {k: np.asarray(v) for k, v in params.items()}
+    if sae_model_name == "gated_sae":
+        return {
+            "W_gate": p["W_gate"].T,  # torch stores [h, d]
+            "b_gate": p["b_gate"],
+            "b_mag": p["b_mag"],
+            "r_mag": p["r_mag"],
+            "decoder.weight": p["W_dec"].T,  # torch nn.Linear(h, d): [d, h]
+            "decoder.bias": p["b_dec"],
+        }
+    out = {
+        "encoder.weight": p["W_enc"].T,  # torch nn.Linear(d, h): [h, d]
+        "encoder.bias": p["b_enc"],
+        "decoder.weight": p["W_dec"].T,
+        "decoder.bias": p["b_dec"],
+    }
+    if sae_model_name == "jumprelu_sae" and "log_threshold" in p:
+        out["log_threshold"] = p["log_threshold"]
+    return out
+
+
+def _normalize_state_dict(sd: dict, sae_model_name: str) -> dict:
+    """Torch state_dict (either key convention) -> native pytree layout.
+
+    Mirrors the reference's load-time migration (utils.py:210-221), extended with the
+    inverse transposes into the math-convention layout."""
+    sd = dict(sd)
+    out: dict = {}
+    if sae_model_name == "gated_sae":
+        out["W_gate"] = np.asarray(sd["W_gate"]).T  # [h, d] -> [d, h]
+        out["b_gate"] = np.asarray(sd["b_gate"])
+        out["b_mag"] = np.asarray(sd["b_mag"])
+        out["r_mag"] = np.asarray(sd["r_mag"])
+    else:
+        if "encoder.weight" in sd:  # torch nn.Linear convention
+            out["W_enc"] = np.asarray(sd["encoder.weight"]).T
+            out["b_enc"] = np.asarray(sd["encoder.bias"])
+        else:  # legacy W_enc convention: stored [d, h], native already
+            out["W_enc"] = np.asarray(sd["W_enc"])
+            out["b_enc"] = np.asarray(sd["b_enc"])
+        if sae_model_name == "jumprelu_sae" and "log_threshold" in sd:
+            out["log_threshold"] = np.asarray(sd["log_threshold"])
+    if "decoder.weight" in sd:
+        out["W_dec"] = np.asarray(sd["decoder.weight"]).T
+        out["b_dec"] = np.asarray(sd["decoder.bias"])
+    else:  # legacy: stored W_dec is [h, d], native already
+        out["W_dec"] = np.asarray(sd["W_dec"])
+        out["b_dec"] = np.asarray(sd["b_dec"])
+    return out
+
+
+def load_sae_weights(path: str, sae_model_name: str = "sae_mlp") -> dict:
+    """Load SAE weights from a native ``.npz`` OR a reference-format torch
+    ``.pth``/``.pt`` file, returning the native jnp parameter pytree
+    (reference: load_pretrained_model, utils.py:197-225)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            raw = {k: z[k] for k in z.files}
+        missing = set(_NATIVE_KEYS.get(sae_model_name, ())) - set(raw)
+        # log_threshold optional for jumprelu imports from relu-SAE weights
+        missing -= {"log_threshold"}
+        if missing:
+            raise KeyError(f"{path} missing native keys {sorted(missing)}")
+        tree = raw
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+        tree = _normalize_state_dict(sd, sae_model_name)
+    return {k: jnp.asarray(v) for k, v in tree.items()}
+
+
+def validate_shapes(params: dict, like: dict, path: str = "") -> None:
+    """Raise if an imported tree's shapes don't match a freshly-initialized one."""
+    for k, v in like.items():
+        if k not in params:
+            raise KeyError(f"imported weights{f' ({path})' if path else ''} missing {k!r}")
+        if tuple(np.shape(params[k])) != tuple(np.shape(v)):
+            raise ValueError(
+                f"shape mismatch for {k!r}: imported {np.shape(params[k])} "
+                f"vs expected {np.shape(v)}"
+            )
+
+
+def import_any(path: str, sae_model_name: str, like: dict) -> dict:
+    """Load + validate against an expected parameter tree (the Pipeline entry point)."""
+    params = load_sae_weights(path, sae_model_name)
+    # tolerate missing log_threshold when importing plain-relu weights into jumprelu
+    if sae_model_name == "jumprelu_sae" and "log_threshold" not in params:
+        params["log_threshold"] = jnp.asarray(like["log_threshold"])
+    validate_shapes(params, like, path)
+    return params

@@ -49,6 +49,12 @@ class RunLogger:
             self.wandb.log({f"eval/{k}": float(v) for k, v in metrics.items()} | {"epoch": epoch})
         print(f"[eval epoch {epoch}] {self._fmt(metrics)}")
 
+    def log_figure(self, name: str, fig, epoch: int) -> None:
+        """Log a matplotlib figure under eval/<name> (reference logs every eval-epoch
+        figure as a wandb.Image, e.g. model_pipeline.py:1063, utils.py:1990)."""
+        if self.wandb is not None:
+            self.wandb.log({f"eval/{name}": self.wandb.Image(fig), "epoch": epoch})
+
     def finish(self) -> None:
         if self.wandb is not None:
             self.wandb.finish()

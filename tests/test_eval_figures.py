@@ -1,0 +1,123 @@
+"""Eval-epoch observability parity (VERDICT r1 item 4).
+
+The reference's live eval-epoch figure set:
+- channel-activation-FREQUENCY histogram every eval epoch (model_pipeline.py:1046-1068)
+- last epoch: per-unit top-k/bottom-k activating-sample grids (utils.py:1496-1784)
+  and streaming per-unit activation histograms with fixed bins from the recorded
+  extrema, filled by one extra inference pass (model_pipeline.py:1488-1541,
+  utils.py:1934-1994)
+
+These tests assert (a) the files exist after a final eval epoch, and (b) the
+channel-frequency figure is computed from the per-unit activation FREQUENCY
+(mean over batches of the per-batch active fraction), NOT the per-unit max.
+"""
+
+import glob
+import os
+
+import jax
+import numpy as np
+
+from sparse_vision_tpu.config import RunConfig
+from sparse_vision_tpu.train.pipeline import Pipeline
+
+
+def _cfg(tmp_path, **kw):
+    defaults = dict(
+        model_name="custom_mlp_9",
+        sae_model_name="sae_mlp",
+        sae_layer="fc1",
+        directory_path=str(tmp_path),
+        dataset_name="synthetic",
+        sae_epochs=1,
+        sae_batch_size=64,
+        sae_expansion_factor=2,
+        dead_neurons_steps=10_000,
+        log_every=1000,
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_final_eval_emits_reference_figure_set(tmp_path):
+    pipe = Pipeline(_cfg(tmp_path))
+    pipe.eval_modified(epoch=0, store=False, final=True)
+    res = pipe.paths["evaluation_results"]
+    assert glob.glob(os.path.join(res, "channel_frequency_histograms", "*_epoch_0.png"))
+    assert glob.glob(os.path.join(res, "top_k_samples", "*_top_k_samples_epoch_0.png"))
+    assert glob.glob(os.path.join(res, "top_k_samples", "*_small_k_samples_epoch_0.png"))
+    assert glob.glob(os.path.join(res, "activation_histograms", "*_epoch_0.png"))
+    # the MIS index artifact still appears alongside the figures
+    assert glob.glob(os.path.join(res, "filename_indices", "*_epoch_0.npz"))
+
+
+def test_non_final_eval_emits_frequency_histogram_only(tmp_path):
+    pipe = Pipeline(_cfg(tmp_path))
+    pipe.eval_modified(epoch=0, store=False, final=False)
+    res = pipe.paths["evaluation_results"]
+    assert glob.glob(os.path.join(res, "channel_frequency_histograms", "*_epoch_0.png"))
+    assert not glob.glob(os.path.join(res, "top_k_samples", "*"))
+    assert not glob.glob(os.path.join(res, "activation_histograms", "*"))
+
+
+def test_channel_frequency_figure_plots_frequency_not_max(tmp_path, monkeypatch):
+    pipe = Pipeline(_cfg(tmp_path))
+    captured = {}
+    orig = Pipeline._channel_frequency_figure
+
+    def capture(self, freq, epoch):
+        captured["freq"] = np.asarray(freq)
+        return orig(self, freq, epoch)
+
+    monkeypatch.setattr(Pipeline, "_channel_frequency_figure", capture)
+    pipe.eval_modified(epoch=0, store=False)
+
+    # independent recomputation: per-batch activation frequency, averaged over batches
+    # (reference model_pipeline.py:815-818, 1007)
+    step_fn = pipe._sae_eval_step_fn
+    freq_sum, n = None, 0
+    for b in pipe._batches(pipe.val_ds, pipe.cfg.sae_batch_size, shuffle=False):
+        _, arrays = step_fn(
+            pipe.ts.params, pipe.frozen_params, pipe.net_state, b.images, b.labels
+        )
+        f = np.asarray(arrays["freq"], np.float64)
+        freq_sum = f if freq_sum is None else freq_sum + f
+        n += 1
+    expected = freq_sum / n
+    np.testing.assert_allclose(captured["freq"], expected, rtol=1e-6)
+    # frequencies are fractions in [0, 1] — the old (wrong) figure plotted max
+    # activations, which are unbounded
+    assert captured["freq"].min() >= 0.0 and captured["freq"].max() <= 1.0
+
+
+def test_final_figures_cover_tar_shard_datasets(tmp_path):
+    """gather_topk_images random access works on TarShardDataset (get_image)."""
+    from sparse_vision_tpu.data.datasets import TarShardDataset, write_tar_shards
+    from sparse_vision_tpu.eval_tools.viz import gather_topk_images
+
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths, labels = [], []
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        p = str(img_dir / f"{i}.jpg")
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+        labels.append(i % 2)
+    shards = write_tar_shards(paths, labels, str(tmp_path / "shards"), shard_size=4)
+    ds = TarShardDataset(shards, ["a", "b"], decode_bytes_fn=_decode16)
+    topk = np.array([[0, 3], [5, -1]], np.int32)  # [k=2, U=2] with one sentinel
+    out = gather_topk_images(ds, topk, units=[0, 1])
+    assert out[0].shape == (2, 16, 16, 3)
+    assert out[1].shape == (1, 16, 16, 3)
+    np.testing.assert_array_equal(out[0][0], ds.get_image(0))
+
+
+def _decode16(data: bytes) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))

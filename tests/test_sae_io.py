@@ -1,0 +1,149 @@
+"""Weight-only SAE export/import (VERDICT r1 item 8).
+
+Reference parity target: save_model_weights / load_pretrained_model incl. the legacy
+W_enc -> encoder.weight.T key migration (/root/reference/utils.py:187-225)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from sparse_vision_tpu.models.sae import (
+    gated_sae_apply,
+    init_gated_sae,
+    init_sae_mlp,
+    sae_mlp_apply,
+)
+from sparse_vision_tpu.train.sae_io import (
+    import_any,
+    load_sae_weights,
+    save_sae_weights,
+    to_torch_state_dict,
+)
+
+D, K = 16, 4
+
+
+def test_npz_round_trip(tmp_path):
+    params = init_sae_mlp(jax.random.key(0), D, K)
+    path = save_sae_weights(params, str(tmp_path / "w"))
+    loaded = load_sae_weights(path, "sae_mlp")
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(loaded[k]), np.asarray(params[k]))
+
+
+def test_torch_linear_convention_import(tmp_path):
+    """A state_dict saved by the reference's SaeMLP (nn.Linear keys,
+    sae_mlp.py:26-40) loads and computes the same reconstruction."""
+    h = D * K
+    rng = np.random.default_rng(0)
+    sd = {
+        "encoder.weight": torch.from_numpy(rng.normal(size=(h, D)).astype(np.float32)),
+        "encoder.bias": torch.from_numpy(rng.normal(size=(h,)).astype(np.float32)),
+        "decoder.weight": torch.from_numpy(rng.normal(size=(D, h)).astype(np.float32)),
+        "decoder.bias": torch.from_numpy(rng.normal(size=(D,)).astype(np.float32)),
+    }
+    p = str(tmp_path / "ref_model_weights.pth")
+    torch.save(sd, p)
+    params = load_sae_weights(p, "sae_mlp")
+
+    x = rng.normal(size=(8, D)).astype(np.float32)
+    # torch forward (reference sae_mlp.py:42-53)
+    xt = torch.from_numpy(x)
+    x_cent = xt - sd["decoder.bias"]
+    pre = torch.nn.functional.linear(x_cent, sd["encoder.weight"], sd["encoder.bias"])
+    post = torch.relu(pre)
+    recon_t = torch.nn.functional.linear(post, sd["decoder.weight"], sd["decoder.bias"])
+
+    post_j, recon_j, pre_j = sae_mlp_apply(params, jnp.asarray(x))
+    # tolerance covers matmul accumulation-order differences between backends
+    np.testing.assert_allclose(np.asarray(recon_j), recon_t.numpy(), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(post_j), post.numpy(), rtol=2e-4, atol=1e-4)
+
+
+def test_legacy_w_enc_convention_import(tmp_path):
+    """The older W_enc/W_dec layout the reference migrates on load
+    (utils.py:210-221): stored W_enc is [d, h] (= encoder.weight.T)."""
+    h = D * K
+    rng = np.random.default_rng(1)
+    w_enc = rng.normal(size=(D, h)).astype(np.float32)
+    w_dec = rng.normal(size=(h, D)).astype(np.float32)
+    b_enc = rng.normal(size=(h,)).astype(np.float32)
+    b_dec = rng.normal(size=(D,)).astype(np.float32)
+    sd = {k: torch.from_numpy(v) for k, v in
+          dict(W_enc=w_enc, b_enc=b_enc, W_dec=w_dec, b_dec=b_dec).items()}
+    p = str(tmp_path / "legacy.pth")
+    torch.save(sd, p)
+    params = load_sae_weights(p, "sae_mlp")
+    np.testing.assert_array_equal(np.asarray(params["W_enc"]), w_enc)
+    np.testing.assert_array_equal(np.asarray(params["W_dec"]), w_dec)
+    np.testing.assert_array_equal(np.asarray(params["b_enc"]), b_enc)
+    np.testing.assert_array_equal(np.asarray(params["b_dec"]), b_dec)
+
+
+def test_gated_torch_round_trip(tmp_path):
+    """Export to the reference's GatedSae key layout and re-import: identity, and the
+    torch-layout shapes match gated_sae.py:11-26."""
+    params = init_gated_sae(jax.random.key(2), D, K)
+    sd = to_torch_state_dict(params, "gated_sae")
+    assert sd["W_gate"].shape == (D * K, D)  # torch [h, d]
+    assert sd["decoder.weight"].shape == (D, D * K)  # torch nn.Linear(h, d)
+    p = str(tmp_path / "gated.pth")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, p)
+    loaded = load_sae_weights(p, "gated_sae")
+    for k in params:
+        np.testing.assert_allclose(np.asarray(loaded[k]), np.asarray(params[k]), rtol=1e-6)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(8, D)).astype(np.float32))
+    enc_a, dec_a, *_ = gated_sae_apply(params, x)
+    enc_b, dec_b, *_ = gated_sae_apply(loaded, x)
+    np.testing.assert_allclose(np.asarray(dec_a), np.asarray(dec_b), rtol=1e-6)
+
+
+def test_import_any_validates_shapes(tmp_path):
+    params = init_sae_mlp(jax.random.key(0), D, K)
+    wrong = init_sae_mlp(jax.random.key(0), D, K + 1)
+    path = save_sae_weights(wrong, str(tmp_path / "w"))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_any(path, "sae_mlp", like=params)
+
+
+def test_pipeline_trains_then_exports_and_reimports(tmp_path):
+    """e2e: training writes the sae_weights folder (.npz + torch .pth); a new run with
+    sae_weights_path starts from those exact weights."""
+    import glob
+    import os
+
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        directory_path=str(tmp_path), dataset_name="synthetic", sae_epochs=1,
+        sae_batch_size=64, sae_expansion_factor=2, dead_neurons_steps=10_000,
+        log_every=1000,
+    )
+    pipe = Pipeline(cfg)
+    pipe.train_sae()
+    npz = glob.glob(os.path.join(pipe.paths["sae_weights"], "*_model_weights.npz"))
+    pth = glob.glob(os.path.join(pipe.paths["sae_weights"], "*_model_weights.pth"))
+    assert npz and pth
+
+    cfg2 = RunConfig(
+        directory_path=str(tmp_path / "fresh"), dataset_name="synthetic",
+        sae_weights_path=npz[0], training=False, log_every=1000,
+    )
+    pipe2 = Pipeline(cfg2)
+    for k in pipe.ts.params:
+        np.testing.assert_array_equal(
+            np.asarray(pipe2.ts.params[k]), np.asarray(pipe.ts.params[k])
+        )
+    # and the torch export loads back to the same weights too
+    cfg3 = RunConfig(
+        directory_path=str(tmp_path / "fresh2"), dataset_name="synthetic",
+        sae_weights_path=pth[0], training=False, log_every=1000,
+    )
+    pipe3 = Pipeline(cfg3)
+    for k in pipe.ts.params:
+        np.testing.assert_allclose(
+            np.asarray(pipe3.ts.params[k]), np.asarray(pipe.ts.params[k]), rtol=1e-6
+        )

@@ -1,0 +1,175 @@
+"""Tensor-parallel ('model'-axis) SAE training (VERDICT r1 item 9).
+
+Proves the GSPMD TP path on a (2, 4) data x model CPU mesh:
+- exact parity with the single-device step across a dead-neuron RESAMPLE boundary
+  (the resample's global live-latent statistics partition correctly),
+- the ConstrainedAdam unit-norm invariant holds on the sharded decoder,
+- params/opt-state are genuinely sharded (not silently replicated).
+
+conftest.py forces 8 virtual CPU devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sparse_vision_tpu.models.sae import init_sae
+from sparse_vision_tpu.ops import optim
+from sparse_vision_tpu.parallel.mesh import make_mesh, sae_param_sharding
+from sparse_vision_tpu.parallel.tensor_parallel import (
+    put_tokens_tp,
+    put_tp_state,
+)
+from sparse_vision_tpu.train.steps import (
+    init_sae_train_state,
+    make_sae_train_multi_step,
+    make_sae_train_step_from_acts,
+)
+
+D, K = 32, 4  # h = 128 latents, shards to 32 per model-chip on a (2, 4) mesh
+N_RESAMPLE = 2  # resample fires at step 2n+1 = 5
+STEPS = 7  # crosses the resample boundary
+TPS = 64  # tokens per step
+
+
+def _make(sae_model_name="sae_mlp", optimizer="constrained_adam"):
+    params = init_sae(sae_model_name, jax.random.key(0), D, K)
+    tx = optim.get_optimizer(optimizer, 1e-3)
+    h = next(v.shape[0] for k, v in params.items() if k in ("b_enc", "b_gate"))
+    ts = init_sae_train_state(params, tx, h, seed=0)
+    step_fn = make_sae_train_step_from_acts(
+        sae_model_name, 0.1, tx, N_RESAMPLE, K, fused=False
+    )
+    return ts, step_fn
+
+
+def _tokens(step, dead_cols=8):
+    rng = np.random.default_rng(100 + step)
+    x = rng.normal(size=(TPS, D)).astype(np.float32)
+    return x
+
+
+@pytest.mark.parametrize("sae_model_name", ["sae_mlp", "gated_sae"])
+def test_tp_matches_single_device_across_resample(sae_model_name):
+    mesh = make_mesh((2, 4))
+    ts_ref, step_fn = _make(sae_model_name)
+    ts_tp = put_tp_state(mesh, ts_ref)
+
+    for s in range(STEPS):
+        x = _tokens(s)
+        ts_ref, m_ref = step_fn(ts_ref, jnp.asarray(x))
+        ts_tp, m_tp = step_fn(ts_tp, put_tokens_tp(mesh, x))
+
+    # params and dead accumulator agree to float tolerance (same traced program;
+    # only reduction order differs under partitioning)
+    for k in ts_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(ts_tp.params[k]), np.asarray(ts_ref.params[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ts_tp.dead_acc), np.asarray(ts_ref.dead_acc)
+    )
+    assert int(ts_tp.step) == STEPS
+    for key in m_ref:
+        np.testing.assert_allclose(
+            float(m_tp[key]), float(m_ref[key]), rtol=1e-4, err_msg=key
+        )
+
+
+def test_tp_decoder_rows_stay_unit_norm():
+    """ConstrainedAdam's renorm is per-latent-row, i.e. local to each W_dec shard."""
+    mesh = make_mesh((2, 4))
+    ts, step_fn = _make("sae_mlp")
+    ts = put_tp_state(mesh, ts)
+    for s in range(3):
+        ts, _ = step_fn(ts, put_tokens_tp(mesh, _tokens(s)))
+    norms = np.linalg.norm(np.asarray(ts.params["W_dec"]), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_tp_state_is_actually_sharded():
+    mesh = make_mesh((2, 4))
+    ts, _ = _make("sae_mlp")
+    ts = put_tp_state(mesh, ts)
+    # W_dec [h, d] shards h over the 4-way model axis -> local rows = h/4
+    h = ts.params["b_enc"].shape[0]
+    shard_rows = {s.data.shape[0] for s in ts.params["W_dec"].addressable_shards}
+    assert shard_rows == {h // 4}
+    # Adam moments follow the params
+    import optax
+
+    adam_states = [s for s in jax.tree.leaves(
+        ts.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+    ) if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_states
+    mu_rows = {s.data.shape[0] for s in adam_states[0].mu["W_dec"].addressable_shards}
+    assert mu_rows == {h // 4}
+    # dead accumulator shards over model too
+    dead_sizes = {s.data.shape[0] for s in ts.dead_acc.addressable_shards}
+    assert dead_sizes == {h // 4}
+
+
+def test_tp_multi_step_scan():
+    """The lax.scan multi-step wrapper preserves TP shardings through donation."""
+    mesh = make_mesh((2, 4))
+    ts_ref, step_fn = _make("sae_mlp")
+    # independent state: the multi-step wrapper DONATES its input buffers, and
+    # put_tp_state may alias replicated leaves of its source
+    ts_tp = put_tp_state(mesh, _make("sae_mlp")[0])
+    multi = make_sae_train_multi_step(step_fn)
+
+    stack = np.stack([_tokens(s) for s in range(4)])  # [K, T, C]
+    ts_ref, _ = multi(ts_ref, jnp.asarray(stack))
+    ts_tp, _ = multi(ts_tp, put_tokens_tp(mesh, stack, token_axis=1))
+    for k in ts_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(ts_tp.params[k]), np.asarray(ts_ref.params[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+    # state stays sharded after the scan
+    assert len({s.data.shape[0] for s in ts_tp.params["W_dec"].addressable_shards}) == 1
+    assert ts_tp.params["W_dec"].addressable_shards[0].data.shape[0] == (D * K) // 4
+
+
+def test_pipeline_cached_tp_matches_single_device(tmp_path_factory):
+    """The PRODUCTION path under a 2-D mesh: RunConfig(mesh_shape=(2, 4),
+    use_activation_cache=True) routes through the tensor-parallel GSPMD step and
+    matches the single-device cached run exactly (mirror of the (8,) data-parallel
+    e2e in tests/test_sharded_fused.py)."""
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    def run(mesh_shape):
+        d = tmp_path_factory.mktemp(f"tpmesh{len(mesh_shape)}")
+        cfg = RunConfig(
+            directory_path=str(d), dataset_name="synthetic",
+            sae_epochs=2, sae_optimizer_name="constrained_adam", sae_batch_size=64,
+            sae_lambda_sparse=0.1, sae_expansion_factor=2,
+            dead_neurons_steps=3,  # resample boundary inside the run
+            use_activation_cache=True, cache_tokens_per_step=128,
+            mesh_shape=mesh_shape, log_every=1000,
+        )
+        pipe = Pipeline(cfg)
+        res = pipe.train_sae()
+        return pipe, res
+
+    pipe1, res1 = run(())
+    pipetp, restp = run((2, 4))
+    assert int(pipe1.ts.step) == int(pipetp.ts.step) > 0
+    for k in ("sae_rec_loss", "sae_loss", "perc_dead_units"):
+        np.testing.assert_allclose(restp[k], res1[k], rtol=1e-4, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        pipetp.ts.params, pipe1.ts.params,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pipetp.ts.dead_acc), np.asarray(pipe1.ts.dead_acc)
+    )
+    # the TP run really sharded its decoder over the model axis during training
+    h = pipetp.ts.params["b_enc"].shape[0]
+    assert {s.data.shape[0] for s in pipetp.ts.params["W_dec"].addressable_shards} == {h // 4}
