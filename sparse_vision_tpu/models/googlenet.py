@@ -8,10 +8,12 @@ addresses as ``mixed3a..mixed5b`` and maps to torchvision's ``inception3a..``
 
 Architecture matches torchvision's GoogLeNet exactly (BasicConv2d = bias-free conv +
 BatchNorm(eps=1e-3) + ReLU; inception branch3 uses a 3x3 kernel — torchvision's
-documented deviation from the paper's 5x5; all maxpools are ceil_mode). Aux
-classifiers are heads used only for torch's original training; the reference only ever
-runs the model in eval mode where they are dead (main output path), so they are not
-reproduced — the converter skips their weights.
+documented deviation from the paper's 5x5; all maxpools are ceil_mode). The aux
+classifiers (heads off mixed4a/mixed4d, used only by torch's original training; dead
+in eval, the only mode the reference runs) are available as an OPT-IN side module:
+``init_googlenet_aux`` / ``apply_googlenet_aux`` consume the taps dict that
+``SeqNet.apply`` already returns, and ``convert_torchvision_googlenet_aux`` maps the
+``aux1.*``/``aux2.*`` weights the main converter skips.
 
 Inputs are NHWC, 229x229 (the reference's lucent-convention crop, utils.py:318-329);
 any spatial size works since pooling is global.
@@ -170,6 +172,95 @@ def make_googlenet(num_classes: int = 1000) -> SeqNet:
 
 
 # ---------------------------------------------------------------------------
+# aux classifiers (torchvision InceptionAux; opt-in, see module docstring)
+# ---------------------------------------------------------------------------
+
+# tap layer -> input channels (torchvision: aux1 off inception4a, aux2 off inception4d)
+AUX_TAPS = {"aux1": ("mixed4a", 512), "aux2": ("mixed4d", 528)}
+
+
+def _adaptive_avgpool_nhwc(x: jax.Array, out: int) -> jax.Array:
+    """torch F.adaptive_avg_pool2d window semantics: window i spans
+    [floor(i*H/out), ceil((i+1)*H/out)) — windows may overlap/vary in size."""
+    _, h, w, _ = x.shape
+    rows = []
+    for i in range(out):
+        r0, r1 = (i * h) // out, -(-((i + 1) * h) // out)
+        cols = []
+        for j in range(out):
+            c0, c1 = (j * w) // out, -(-((j + 1) * w) // out)
+            cols.append(jnp.mean(x[:, r0:r1, c0:c1, :], axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # [B, out, out, C]
+
+
+def init_googlenet_aux(key: jax.Array, num_classes: int = 1000) -> tuple[dict, dict]:
+    """Parameters/state for both aux heads (InceptionAux: adaptive-avgpool 4x4 ->
+    BasicConv2d(in, 128, 1) -> fc1 2048->1024 + ReLU (+dropout 0.7 in torch train) ->
+    fc2 1024->num_classes)."""
+    params: dict = {}
+    state: dict = {}
+    keys = jax.random.split(key, len(AUX_TAPS))
+    for k_head, (name, (_, cin)) in zip(keys, AUX_TAPS.items()):
+        kc, k1, k2, kb1, kb2 = jax.random.split(k_head, 5)
+        conv_p, conv_s = _bc_init(kc, cin, 128, 1)
+        b1 = 1.0 / math.sqrt(2048)
+        b2 = 1.0 / math.sqrt(1024)
+        params[name] = {
+            "conv": conv_p,
+            "fc1": {
+                "w": jax.random.uniform(k1, (2048, 1024), jnp.float32, -b1, b1),
+                "b": jax.random.uniform(kb1, (1024,), jnp.float32, -b1, b1),
+            },
+            "fc2": {
+                "w": jax.random.uniform(k2, (1024, num_classes), jnp.float32, -b2, b2),
+                "b": jax.random.uniform(kb2, (num_classes,), jnp.float32, -b2, b2),
+            },
+        }
+        state[name] = {"conv": conv_s}
+    return params, state
+
+
+def apply_googlenet_aux(params: dict, state: dict, taps: dict) -> dict:
+    """Aux logits from the taps dict SeqNet.apply returns. Eval semantics (dropout
+    identity): matches torch eval-mode InceptionAux exactly; torch TRAIN mode adds
+    stochastic dropout(0.7), which has no deterministic counterpart."""
+    out = {}
+    for name, (tap, _) in AUX_TAPS.items():
+        p = params[name]
+        x = _adaptive_avgpool_nhwc(taps[tap], 4)
+        x, _ = _bc_apply(p["conv"], state[name]["conv"], x, train=False, stride=1, pad=0)
+        # torch flattens NCHW -> (C, H, W) order; our conv output is NHWC
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        x = jax.nn.relu(x @ p["fc1"]["w"] + p["fc1"]["b"])
+        out[name] = x @ p["fc2"]["w"] + p["fc2"]["b"]
+    return out
+
+
+def convert_torchvision_googlenet_aux(state_dict: dict) -> tuple[dict, dict]:
+    """Map torchvision's ``aux1.*``/``aux2.*`` weights (the keys the main converter
+    skips) to the (params, state) trees of apply_googlenet_aux."""
+    sd = state_dict
+    params: dict = {}
+    state: dict = {}
+    for name in AUX_TAPS:
+        conv_p, conv_s = _bc_from_torch(sd, f"{name}.conv")
+        params[name] = {
+            "conv": conv_p,
+            "fc1": {
+                "w": jnp.asarray(np.transpose(np.asarray(sd[f"{name}.fc1.weight"]))),
+                "b": jnp.asarray(np.asarray(sd[f"{name}.fc1.bias"])),
+            },
+            "fc2": {
+                "w": jnp.asarray(np.transpose(np.asarray(sd[f"{name}.fc2.weight"]))),
+                "b": jnp.asarray(np.asarray(sd[f"{name}.fc2.bias"])),
+            },
+        }
+        state[name] = {"conv": conv_s}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
 # torchvision weight converter
 # ---------------------------------------------------------------------------
 
@@ -198,8 +289,9 @@ _TV_BRANCHES = {
 
 def convert_torchvision_googlenet(state_dict: dict) -> tuple[dict, dict]:
     """Map a torchvision GoogLeNet state_dict (numpy-convertible values) to SeqNet
-    (params, state). Aux-classifier weights (``aux1.*``/``aux2.*``) are ignored — dead
-    in eval mode, the only mode the reference uses the model in."""
+    (params, state). Aux-classifier weights (``aux1.*``/``aux2.*``) are skipped here —
+    dead in eval mode, the only mode the reference uses the model in; convert them
+    separately with :func:`convert_torchvision_googlenet_aux` when needed."""
     sd = state_dict
     params: dict = {}
     state: dict = {}

@@ -285,3 +285,77 @@ def test_label_translation_matches_reference_loop():
     # full-table sanity: every translated id is valid (no missing-wid sentinels)
     table = L.torch_to_tf_label_table()
     assert int(jnp.min(table)) >= 1 and table.shape == (1000,)
+
+
+# ---------------------------------------------------------------------------
+# GoogLeNet aux classifiers (opt-in heads; torchvision InceptionAux semantics)
+# ---------------------------------------------------------------------------
+
+
+class InceptionAux(nn.Module):
+    """Plain-torch replication of torchvision's InceptionAux with identical
+    state_dict key names (torchvision googlenet.py)."""
+
+    def __init__(self, cin, num_classes):
+        super().__init__()
+        self.conv = BasicConv2d(cin, 128, kernel_size=1)
+        self.fc1 = nn.Linear(2048, 1024)
+        self.fc2 = nn.Linear(1024, num_classes)
+
+    def forward(self, x):
+        x = F.adaptive_avg_pool2d(x, (4, 4))
+        x = self.conv(x)
+        x = torch.flatten(x, 1)
+        x = F.relu(self.fc1(x))
+        # eval mode: dropout(0.7) is identity
+        return self.fc2(x)
+
+
+def test_googlenet_aux_matches_torch():
+    from sparse_vision_tpu.models.googlenet import (
+        AUX_TAPS,
+        apply_googlenet_aux,
+        convert_torchvision_googlenet_aux,
+    )
+
+    torch.manual_seed(3)
+    num_classes = 17
+    heads = {name: InceptionAux(cin, num_classes).eval()
+             for name, (_, cin) in AUX_TAPS.items()}
+    sd = {}
+    for name, head in heads.items():
+        for k, v in head.state_dict().items():
+            sd[f"{name}.{k}"] = v.numpy()
+    params, state = convert_torchvision_googlenet_aux(sd)
+
+    rng = np.random.default_rng(4)
+    taps = {}
+    torch_out = {}
+    with torch.no_grad():
+        for name, (tap, cin) in AUX_TAPS.items():
+            x = rng.normal(size=(2, 14, 14, cin)).astype(np.float32)
+            taps[tap] = jnp.asarray(x)
+            torch_out[name] = heads[name](
+                torch.from_numpy(x.transpose(0, 3, 1, 2))
+            ).numpy()
+    ours = apply_googlenet_aux(params, state, taps)
+    for name in AUX_TAPS:
+        np.testing.assert_allclose(
+            np.asarray(ours[name]), torch_out[name], rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_googlenet_aux_random_init_shapes():
+    from sparse_vision_tpu.models.googlenet import (
+        apply_googlenet_aux,
+        init_googlenet_aux,
+    )
+
+    params, state = init_googlenet_aux(jax.random.key(0), num_classes=1000)
+    taps = {
+        "mixed4a": jnp.zeros((2, 14, 14, 512)),
+        "mixed4d": jnp.zeros((2, 14, 14, 528)),
+    }
+    out = apply_googlenet_aux(params, state, taps)
+    assert out["aux1"].shape == (2, 1000) and out["aux2"].shape == (2, 1000)
