@@ -53,6 +53,7 @@ def dump_activations(
     shuffle_images: bool = False,
     seed: int = 0,
     workers: Optional[int] = None,
+    sharding=None,
 ) -> dict:
     """Run the frozen backbone over ``dataset``, flatten the tapped layer to tokens
     ([B, H, W, C] -> [B*H*W, C]), and write fixed-size shards. Returns the meta dict.
@@ -61,7 +62,12 @@ def dump_activations(
     blocks decorrelate across the dataset (recommended for training caches).
     Decode runs on a thread pool (``workers``; None -> auto) and batches are staged
     onto the device one step ahead, so the tap pass is bound by backbone FLOPs or
-    disk bandwidth — not single-threaded PIL."""
+    disk bandwidth — not single-threaded PIL.
+
+    ``sharding`` (a NamedSharding over a 'data' mesh axis) runs the tap pass
+    data-parallel over every chip: image batches are placed sharded, the jitted
+    forward partitions via GSPMD, and tokens gather to host for the shard writer
+    (batch_size must divide by the data-axis size)."""
     from sparse_vision_tpu.data.prefetch import prefetch
     from sparse_vision_tpu.models.sae import tokens_from_act
 
@@ -104,7 +110,8 @@ def dump_activations(
 
     n = 0
     it = prefetch(
-        dataset.batches(batch_size, shuffle=shuffle_images, seed=seed, workers=workers)
+        dataset.batches(batch_size, shuffle=shuffle_images, seed=seed, workers=workers),
+        sharding,
     )
     for batch in it:
         tok = np.asarray(tap(batch.images), dtype=dtype)

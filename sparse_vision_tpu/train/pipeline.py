@@ -268,6 +268,8 @@ class Pipeline:
                 self.net, self.frozen_params, self.net_state, self.train_ds,
                 cfg.sae_layer, cache_dir, batch_size=cfg.sae_batch_size,
                 workers=cfg.data_workers,
+                # multi-chip: the tap pass shards images over the 'data' axis
+                sharding=self.batch_sharding,
             )
         cache = ActivationCache(cache_dir)
         tps = cfg.cache_tokens_per_step

@@ -269,3 +269,26 @@ def test_bf16_activation_cache(tmp_path):
                                          fused_opts=FUSED_OPTS)
     ts, m = step(ts, jnp.asarray(a[:1024]))
     assert np.isfinite(float(m["sae_loss"]))
+
+
+def test_dump_activations_sharded_matches_single_device(tmp_path, cpu_devices):
+    """The activation-dump tap pass under a data mesh writes the SAME cache as the
+    single-device dump (per-sample conv/BN math is batch-independent)."""
+    from sparse_vision_tpu.data.datasets import make_synthetic
+    from sparse_vision_tpu.models.backbone import init_backbone, make_backbone
+    from sparse_vision_tpu.parallel.mesh import data_sharding
+
+    net = make_backbone("custom_cnn_1", "cifar_10")
+    ds = make_synthetic(num_samples=128, seed=0, img_size=(32, 32, 3), num_classes=10)
+    params, state = init_backbone(net, jax.random.key(0), "cifar_10")
+
+    d1 = str(tmp_path / "single")
+    d8 = str(tmp_path / "mesh8")
+    meta1 = dump_activations(net, params, state, ds, "conv2", d1, batch_size=32)
+    mesh = make_mesh((8,))
+    meta8 = dump_activations(net, params, state, ds, "conv2", d8, batch_size=32,
+                             sharding=data_sharding(mesh))
+    assert meta1["total_tokens"] == meta8["total_tokens"] > 0
+    c1, c8 = ActivationCache(d1), ActivationCache(d8)
+    for a, b in zip(c1.batches(512, shuffle=False), c8.batches(512, shuffle=False)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
