@@ -293,6 +293,11 @@ class Pipeline:
             and cfg.sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae")
             and can_fuse(local_t, self.num_units, tile_t=tile_t)
         )
+        # kernel matmul dtype from the config (kernels accumulate in f32 either way)
+        fused_opts = {
+            "compute_dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+            else jnp.float32
+        } if fused else None
         from sparse_vision_tpu.train.steps import make_sae_train_multi_step
 
         tensor_parallel = (
@@ -325,7 +330,7 @@ class Pipeline:
 
             step_fn = make_sharded_fused_train_step(
                 mesh, cfg.sae_lambda_sparse, self.tx, cfg.dead_neurons_steps,
-                cfg.sae_expansion_factor, fused=fused,
+                cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
                 sae_model_name=cfg.sae_model_name,
             )
             self.ts = put_replicated_state(mesh, self.ts)
@@ -336,6 +341,7 @@ class Pipeline:
             step_fn = make_sae_train_step_from_acts(
                 cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
                 cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=fused,
+                fused_opts=fused_opts,
             )
 
             def _put_tokens(arr, token_axis):
