@@ -683,13 +683,13 @@ class Pipeline:
         step_fn = self._model_eval_step_fn
         params = self.mts.params if hasattr(self, "mts") else self.frozen_params
         net_state = self.mts.net_state if hasattr(self, "mts") else self.net_state
-        sums: dict = {}
+        sums = None  # device-side sums; one host readback per epoch
         num_batches = 0
         for b in self._batches(self.val_ds, cfg.batch_size, shuffle=False):
             m, _, _ = step_fn(params, net_state, b.images, b.labels)
             num_batches += 1
-            for key, v in m.items():
-                sums[key] = sums.get(key, 0.0) + float(v)
-        means = {key: v / num_batches for key, v in sums.items()}
+            sums = m if sums is None else jax.tree.map(jnp.add, sums, m)
+        host = jax.device_get(sums)
+        means = {key: float(v) / num_batches for key, v in host.items()}
         self.logger.log_eval(epoch, means)
         return means
