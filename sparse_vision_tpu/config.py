@@ -140,6 +140,10 @@ class RunConfig:
     # reference-format torch .pth (either key convention — utils.py:197-225), e.g.
     # the reference author's published SAE checkpoints (train/sae_io.py)
     sae_weights_path: str = ""
+    # image batch size for eval/MIS epochs; 0 -> sae_batch_size. The stock (unfused)
+    # eval step materializes the [B*H*W, latents] matrix — at 16k latents that is
+    # ~13 GB for a 256-image conv batch, so large-latent evals need a smaller batch
+    eval_batch_size: int = 0
 
     @property
     def use_sae(self) -> bool:

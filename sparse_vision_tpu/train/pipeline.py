@@ -449,7 +449,7 @@ class Pipeline:
         top_state = init_topk(k, self.num_units, largest=True)
         small_state = init_topk(k, self.num_units, largest=False)
         num_batches = 0
-        bs = cfg.sae_batch_size
+        bs = cfg.eval_batch_size or cfg.sae_batch_size
         for b in self._batches(ds, bs, shuffle=False):
             m, arrays = step_fn(
                 self.ts.params, self.frozen_params, self.net_state, b.images, b.labels
@@ -612,7 +612,8 @@ class Pipeline:
 
             # "an extra round of inference to get the activation histogram"
             # (model_pipeline.py:1490-1540)
-            for b in self._batches(ds, self.cfg.sae_batch_size, shuffle=False):
+            ebs = self.cfg.eval_batch_size or self.cfg.sae_batch_size
+            for b in self._batches(ds, ebs, shuffle=False):
                 _, arrays = step_fn(
                     self.ts.params, self.frozen_params, self.net_state,
                     b.images, b.labels,
