@@ -100,13 +100,23 @@ def main(argv=None) -> int:
             plot_rec_loss_vs_sparsity_all_epochs,
         )
 
-        if args.parameters and not args.run_pipeline:
+        if args.parameters:
             # eval-sweep spec (the parameters_eval.txt role: main.py:117-155) — each
             # non-original-model entry maps to its sweep's merged results CSV through
-            # the path scheme and gets rank table + single + all-epochs Pareto grids
+            # the path scheme and gets rank table + single + all-epochs Pareto grids.
+            # With --run_pipeline in the same invocation, the training sweep file
+            # doubles as the eval spec: per-λ/per-k combos share one results folder,
+            # so evaluate each distinct folder once.
+            seen_folders: set = set()
+            from sparse_vision_tpu.utils.paths import folder_paths
+
             for cfg in _load_parameters(args.parameters):
                 if cfg.original_model:
                     continue  # reference skips original-model lines (main.py:129-131)
+                folder = folder_paths(cfg)["evaluation_results"]
+                if folder in seen_folders:
+                    continue
+                seen_folders.add(folder)
                 out = evaluate_sweep_config(cfg)
                 print(f"Evaluated sweep -> {out['rank_table']}, "
                       f"{out['pareto']}, {out['pareto_all_epochs']}")

@@ -206,32 +206,48 @@ class ActivationCache:
             return
 
         q: queue.Queue = queue.Queue(maxsize=1)
+        stop = threading.Event()
 
         def producer():
             # Producer exceptions (truncated shard, ENOENT, ...) are enqueued and
             # RE-RAISED on the consumer — same contract as data/prefetch.py. Without
             # this the thread dies without the None sentinel and the consumer blocks
-            # on q.get() forever.
+            # on q.get() forever. The stop event unblocks the producer when the
+            # consumer abandons the generator early, so no thread is left parked on
+            # q.put holding a full shard copy.
+            def put(item) -> bool:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             try:
                 for i in order:
                     # np.array COPIES: faulting the mmap pages in on this thread is
                     # the whole point of the read-ahead (np.asarray would be a lazy
                     # view and all IO would land back on the consumer)
-                    q.put(np.array(self._load(i)))
+                    if not put(np.array(self._load(i))):
+                        return
             except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
-                q.put(e)
+                put(e)
             else:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            shard = q.get()
-            if shard is None:
-                break
-            if isinstance(shard, BaseException):
-                t.join()
-                raise shard
-            for s in block_starts(shard.shape[0]):
-                yield shard[s : s + tokens_per_step]
-        t.join()
+        try:
+            while True:
+                shard = q.get()
+                if shard is None:
+                    break
+                if isinstance(shard, BaseException):
+                    t.join()
+                    raise shard
+                for s in block_starts(shard.shape[0]):
+                    yield shard[s : s + tokens_per_step]
+            t.join()
+        finally:
+            stop.set()

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import glob as _glob
 import gzip
+import hashlib
 import io
 import json
 import os
@@ -347,6 +348,18 @@ def _scan_tar_shards(tar_paths: Sequence[str]) -> list[list[dict]]:
     return shards
 
 
+class _Done:
+    """Pre-resolved stand-in for a Future (synchronous decode, workers=0)."""
+
+    __slots__ = ("_v",)
+
+    def __init__(self, v):
+        self._v = v
+
+    def result(self):
+        return self._v
+
+
 class TarShardDataset:
     """Streaming dataset over uncompressed webdataset-style tar shards.
 
@@ -368,14 +381,24 @@ class TarShardDataset:
         self.category_names = list(category_names)
         self.decode_bytes_fn = decode_bytes_fn
 
+        # cache identity: basenames + per-file (size, mtime_ns). The size/mtime
+        # stamp invalidates the index when shards are REGENERATED in place (stale
+        # offsets would silently read wrong members); the basename-set hash in the
+        # default file name keeps train/val shard sets in one directory from
+        # evicting each other's index.
+        basenames = [os.path.basename(p) for p in self.tar_paths]
+        stamps = [[os.path.getsize(p), os.stat(p).st_mtime_ns] for p in self.tar_paths]
         cache = index_cache
         if cache is None:
-            cache = os.path.join(os.path.dirname(self.tar_paths[0]), "_svt_index.json")
+            tag = hashlib.md5("\0".join(basenames).encode()).hexdigest()[:10]
+            cache = os.path.join(
+                os.path.dirname(self.tar_paths[0]), f"_svt_index_{tag}.json"
+            )
         self.entries = None
         if cache and os.path.exists(cache):
             with open(cache) as f:
                 idx = json.load(f)
-            if idx.get("tar_paths") == [os.path.basename(p) for p in self.tar_paths]:
+            if idx.get("tar_paths") == basenames and idx.get("stamps") == stamps:
                 self.entries = idx["shards"]
         if self.entries is None:
             self.entries = _scan_tar_shards(self.tar_paths)
@@ -384,7 +407,8 @@ class TarShardDataset:
                 with open(tmp, "w") as f:
                     json.dump(
                         {
-                            "tar_paths": [os.path.basename(p) for p in self.tar_paths],
+                            "tar_paths": basenames,
+                            "stamps": stamps,
                             "shards": self.entries,
                         },
                         f,
@@ -423,7 +447,14 @@ class TarShardDataset:
         if shuffle:
             rng.shuffle(shard_order)
         w = _auto_workers(workers)
-        ex = ThreadPoolExecutor(max_workers=max(w, 1))
+        if w == 0:
+            # honor the documented synchronous contract (_auto_workers: 0 -> decode
+            # on the consumer thread) — same as LazyImageDataset
+            ex = None
+            submit = lambda fn, a: _Done(fn(a))  # noqa: E731
+        else:
+            ex = ThreadPoolExecutor(max_workers=w)
+            submit = ex.submit
         try:
             buf: list = []  # (future, label, global_idx) spilling across shards
 
@@ -450,7 +481,7 @@ class TarShardDataset:
                         data = f.read(e["size"])
                         buf.append(
                             (
-                                ex.submit(self.decode_bytes_fn, data),
+                                submit(self.decode_bytes_fn, data),
                                 e["label"],
                                 int(self._base[si]) + int(j),
                             )
@@ -460,7 +491,8 @@ class TarShardDataset:
             yield from drain(0)
             # trailing partial batch dropped (drop_last semantics, utils.py:335-338)
         finally:
-            ex.shutdown(wait=False, cancel_futures=True)
+            if ex is not None:
+                ex.shutdown(wait=False, cancel_futures=True)
 
 
 def write_tar_shards(

@@ -176,7 +176,9 @@ def plot_rec_loss_vs_sparsity_all_epochs(
     axs[0][-1].legend(title="expansion factor", loc="upper right")
     lam_handles = [Line2D([], [], color=l_color[l], marker="o", linestyle="None",
                           label=f"{l}") for l in lambdas]
-    axs[0][0].legend(handles=lam_handles, title="lambda", loc="upper left")
+    # figure-level legend: an axes keeps only its LAST .legend() call, so with a
+    # single panel a second axes legend would replace the expansion-factor one
+    fig.legend(handles=lam_handles, title="lambda", loc="upper left")
     fig.supxlabel("Density")
     fig.supylabel(f"Rec. loss ({rec_loss})")
     fig.tight_layout()

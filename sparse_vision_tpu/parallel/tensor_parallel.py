@@ -74,7 +74,8 @@ def put_tp_state(mesh: Mesh, ts: SAETrainState) -> SAETrainState:
 
 def put_tokens_tp(mesh: Mesh, acts, token_axis: int = 0) -> jax.Array:
     """Tokens shard over 'data' and replicate over 'model' (every model-chip needs
-    the full d-dim activation of its token shard)."""
-    spec = [None] * acts.ndim
-    spec[token_axis] = "data"
-    return jax.device_put(acts, NamedSharding(mesh, P(*spec)))
+    the full d-dim activation of its token shard) — the same placement as the
+    data-parallel path."""
+    from sparse_vision_tpu.parallel.sharded_steps import put_tokens_sharded
+
+    return put_tokens_sharded(mesh, acts, token_axis)

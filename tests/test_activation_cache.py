@@ -74,3 +74,24 @@ def test_prefetch_shuffled_matches_sync_same_seed(tmp_path):
     a = np.concatenate(list(cache.batches(32, shuffle=True, seed=3, prefetch=True)))
     b = np.concatenate(list(cache.batches(32, shuffle=True, seed=3, prefetch=False)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_abandoned_generator_releases_producer(tmp_path):
+    """Closing the batches() generator early must unblock the producer thread
+    (stop-event contract, same as data/prefetch.py) — previously it stayed parked
+    on q.put forever, pinning a full shard copy."""
+    import threading
+    import time
+
+    cache = _make_cache(tmp_path)
+    before = set(threading.enumerate())
+    gen = cache.batches(32, prefetch=True)
+    next(gen)  # producer running, likely parked on the size-1 queue
+    gen.close()
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread leaked: {leaked}"

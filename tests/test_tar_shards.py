@@ -85,13 +85,73 @@ def test_tar_index_cache_reused(tmp_path, jpeg_dir):
     paths, labels = jpeg_dir
     tars = write_tar_shards(paths, labels, str(tmp_path), shard_size=16)
     ds1 = TarShardDataset(tars, ["x"], _raw_decode_bytes)
-    cache = tmp_path / "_svt_index.json"
-    assert cache.exists()
-    stamp = os.path.getmtime(cache)
+    caches = list(tmp_path.glob("_svt_index_*.json"))
+    assert len(caches) == 1
+    stamp = os.path.getmtime(caches[0])
     ds2 = TarShardDataset(tars, ["x"], _raw_decode_bytes)
-    assert os.path.getmtime(cache) == stamp  # not rewritten
+    assert os.path.getmtime(caches[0]) == stamp  # not rewritten
     assert ds2.entries == ds1.entries
     np.testing.assert_array_equal(ds2.labels, ds1.labels)
+
+
+def test_tar_index_cache_invalidated_on_regenerated_shards(tmp_path, jpeg_dir):
+    """Regenerating shards in place (same names, different content) must NOT be
+    read through stale cached offsets — size/mtime stamps invalidate the index."""
+    paths, labels = jpeg_dir
+    tars = write_tar_shards(paths, labels, str(tmp_path), shard_size=16)
+    ds1 = TarShardDataset(tars, ["x"], _raw_decode_bytes)
+    last_img = ds1.get_image(len(paths) - 1)  # before the files are overwritten
+    # regenerate with a different sample ordering/content under the SAME names
+    tars2 = write_tar_shards(paths[::-1], labels[::-1], str(tmp_path), shard_size=16)
+    os.utime(tars2[0])  # ensure mtime moves even on coarse filesystems
+    ds2 = TarShardDataset(tars2, ["x"], _raw_decode_bytes)
+    np.testing.assert_array_equal(ds2.labels, np.asarray(labels[::-1], np.int32))
+    # ds2 sample 0 is the reversed list's first item == the original list's last
+    np.testing.assert_array_equal(ds2.get_image(0), last_img)
+
+
+def test_tar_index_cache_split_specific(tmp_path, jpeg_dir):
+    """train-*.tar and val-*.tar in one directory keep SEPARATE index caches
+    (previously they shared one file and evicted each other every run)."""
+    paths, labels = jpeg_dir
+    half = len(paths) // 2
+    t_train = write_tar_shards(paths[:half], labels[:half], str(tmp_path),
+                               shard_size=16, prefix="train")
+    t_val = write_tar_shards(paths[half:], labels[half:], str(tmp_path),
+                             shard_size=16, prefix="val")
+    TarShardDataset(t_train, ["x"], _raw_decode_bytes)
+    TarShardDataset(t_val, ["x"], _raw_decode_bytes)
+    caches = sorted(tmp_path.glob("_svt_index_*.json"))
+    assert len(caches) == 2
+    stamps = [os.path.getmtime(c) for c in caches]
+    # second construction of both must hit both caches (no rewrites)
+    TarShardDataset(t_train, ["x"], _raw_decode_bytes)
+    TarShardDataset(t_val, ["x"], _raw_decode_bytes)
+    assert [os.path.getmtime(c) for c in caches] == stamps
+
+
+def test_tar_batches_workers_zero_is_synchronous(tmp_path, jpeg_dir):
+    """workers=0 must decode on the consumer thread (documented contract) and
+    produce identical batches to the threaded path."""
+    import threading
+
+    paths, labels = jpeg_dir
+    tars = write_tar_shards(paths, labels, str(tmp_path), shard_size=16)
+    main_thread = threading.get_ident()
+    seen_threads = set()
+
+    def tracking_decode(data):
+        seen_threads.add(threading.get_ident())
+        return _raw_decode_bytes(data)
+
+    ds = TarShardDataset(tars, ["x"], tracking_decode)
+    sync = list(ds.batches(8, shuffle=True, seed=3, workers=0))
+    assert seen_threads == {main_thread}
+    ds2 = TarShardDataset(tars, ["x"], _raw_decode_bytes)
+    thr = list(ds2.batches(8, shuffle=True, seed=3, workers=4))
+    for a, b in zip(sync, thr):
+        np.testing.assert_array_equal(a.images, b.images)
+        np.testing.assert_array_equal(a.indices, b.indices)
 
 
 def test_lazy_parallel_decode_matches_sync(jpeg_dir):
