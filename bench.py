@@ -21,10 +21,19 @@ touch HBM, backward recomputes them per tile, bf16 MXU compute with f32 accumula
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: remote/AOT compiles of the fused scan take minutes on
+# tunneled backends; cold compile happens once, repeat runs start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SVT_JAX_CACHE", os.path.expanduser("~/.cache/svt_jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
 def main():
@@ -41,7 +50,10 @@ def main():
     EXPANSION = 64  # 16,384 latents — the north-star size
     on_tpu = jax.default_backend() != "cpu"
     TOKENS = 65536 if on_tpu else 4096  # tokens per train step
-    SCAN = 10 if on_tpu else 2  # microbatches fused into one dispatch (lax.scan)
+    # 40 steps per dispatch: amortizes the host-dispatch round trip, worth ~10%
+    # measured on a tunneled backend (a real v5e host pays less per dispatch, but
+    # deeper scans never hurt — the state stays donated on device)
+    SCAN = 40 if on_tpu else 2  # microbatches fused into one dispatch (lax.scan)
     TRIPS = 2  # multi-step dispatches per timed trial
 
     key = jax.random.key(0)

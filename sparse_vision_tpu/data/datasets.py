@@ -364,7 +364,9 @@ class TarShardDataset:
     """Streaming dataset over uncompressed webdataset-style tar shards.
 
     On first open the tar headers are scanned into an offset index (cached as
-    ``<dir>/_svt_index.json`` so 100+-shard datasets don't rescan per run); batches
+    ``<dir>/_svt_index_<hash>.json`` so 100+-shard datasets don't rescan per run,
+    keyed by shard basenames + size/mtime stamps so regenerated shards and sibling
+    train/val sets never collide); batches
     then read members with seek+read and decode on a thread pool. Shuffling follows
     the reference's webdataset regime (utils.py:534-543): shard order shuffles per
     epoch, samples shuffle within each shard, and reads stay shard-sequential so the
