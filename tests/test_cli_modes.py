@@ -264,3 +264,20 @@ def test_examples_run(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "faithfulness=1.0000" in r.stdout
+
+
+def test_multichip_example_runs(tmp_path):
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", "multichip_cached_training.py"),
+         str(tmp_path)],
+        env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "multichip example OK" in r.stdout
+    assert "tensor-parallel mesh (2, 4)" in r.stdout
