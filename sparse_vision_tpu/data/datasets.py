@@ -348,6 +348,18 @@ def _scan_tar_shards(tar_paths: Sequence[str]) -> list[list[dict]]:
     return shards
 
 
+def fetch_images(dataset, indices) -> np.ndarray:
+    """Random-access image fetch by canonical sample index, across every dataset
+    kind: in-memory arrays (.images), tar shards (.get_image), lazy files
+    (.paths + .decode_fn). Used by the top-k sample grids and MIS scoring."""
+    idx = [int(i) for i in indices]
+    if hasattr(dataset, "images"):
+        return dataset.images[np.asarray(idx, np.int64)]
+    if hasattr(dataset, "get_image"):
+        return np.stack([dataset.get_image(i) for i in idx])
+    return np.stack([dataset.decode_fn(dataset.paths[i]) for i in idx])
+
+
 class _Done:
     """Pre-resolved stand-in for a Future (synchronous decode, workers=0)."""
 

@@ -130,22 +130,16 @@ def gather_topk_images(dataset, topk_indices: np.ndarray, units: Sequence[int]) 
 
     Works with every dataset kind: in-memory arrays (``.images``), lazy files
     (``.paths`` + ``.decode_fn``), and tar shards (``.get_image`` random access)."""
-    if hasattr(dataset, "images"):
-        fetch = lambda i: dataset.images[i]  # noqa: E731
-    elif hasattr(dataset, "get_image"):
-        fetch = dataset.get_image
-    else:
-        fetch = lambda i: dataset.decode_fn(dataset.paths[i])  # noqa: E731
-    sample = fetch(0)
+    from sparse_vision_tpu.data.datasets import fetch_images
+
+    sample = fetch_images(dataset, [0])[0]
     out = {}
     for u in units:
         idx = [int(i) for i in topk_indices[:, u] if int(i) >= 0]
         if not idx:
             out[u] = np.empty((0,) + sample.shape, sample.dtype)
-        elif hasattr(dataset, "images"):
-            out[u] = dataset.images[np.asarray(idx, np.int64)]
         else:
-            out[u] = np.stack([fetch(i) for i in idx])
+            out[u] = fetch_images(dataset, idx)
     return out
 
 

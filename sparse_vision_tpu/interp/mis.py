@@ -152,11 +152,9 @@ def compute_mis_for_run(pipeline, n_mis: int = 20, k_mis: int = 9):
     needed = sorted(set(max_idx.ravel().tolist()) | set(min_idx.ravel().tolist()))
     needed = [i for i in needed if i >= 0]  # drop top-k sentinel rows
 
-    train = pipeline.train_ds
-    if hasattr(train, "images"):
-        imgs = train.images[np.asarray(needed)]
-    else:  # LazyImageDataset
-        imgs = np.stack([train.decode_fn(train.paths[i]) for i in needed])
+    from sparse_vision_tpu.data.datasets import fetch_images
+
+    imgs = fetch_images(pipeline.train_ds, needed)
 
     @jax.jit
     def embed(x):
