@@ -117,6 +117,9 @@ class RunConfig:
     # --- TPU-native extensions (no reference equivalent) ---
     data_dir: str = ""  # where dataset files live; "" -> synthetic data
     mesh_shape: tuple = ()  # e.g. (8,) for 1-D data-parallel; () -> all devices on 'data'
+    # active latents per token for sae_model_name="topk_sae" (Gao et al. 2024;
+    # beyond-reference variant — sparsity via the activation, train with lambda=0)
+    sae_topk: int = 32
     # matmul dtype inside the fused Pallas kernels (accumulation always f32);
     # "float32" trades ~2x throughput for exact-f32 parity with the stock path
     compute_dtype: str = "bfloat16"

@@ -235,6 +235,29 @@ def sae_conv_apply(params: dict, x: jax.Array) -> tuple[jax.Array, jax.Array]:
 # factory + splice helper
 # ---------------------------------------------------------------------------
 
+def init_topk_sae(key: jax.Array, d: int, expansion_factor: int,
+                  dtype=jnp.float32) -> dict:
+    """TopK SAE (beyond-reference: Gao et al. 2024, arXiv:2406.04093 "Scaling and
+    evaluating sparse autoencoders"): identical parameter layout to the ReLU SAE —
+    sparsity comes from the TopK activation, not a weight change."""
+    return init_sae_mlp(key, d, expansion_factor, dtype)
+
+
+def topk_sae_apply(params: dict, x: jax.Array, k: int) -> tuple:
+    """Returns (encoded, decoded, pre) on token input [T, d].
+
+    Activation: keep the k largest PRE-activations per token (through ReLU — values
+    below zero contribute nothing even when selected), zero the rest. L0 is exactly
+    <= k by construction, so the training loss needs no L1 term (the paper's recipe;
+    pass lambda_sparse=0)."""
+    x_cent = x - params["b_dec"]
+    pre = x_cent @ params["W_enc"] + params["b_enc"]
+    kth = jax.lax.top_k(pre, k)[0][..., -1:]  # k-th largest value per token
+    post = jnp.where(pre >= kth, jax.nn.relu(pre), 0.0)
+    recon = post @ params["W_dec"] + params["b_dec"]
+    return post, recon, pre
+
+
 def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int, dtype=jnp.float32) -> dict:
     if name == "sae_mlp":
         return init_sae_mlp(key, d_or_c, expansion_factor, dtype)
@@ -244,6 +267,8 @@ def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int, dtyp
         return init_sae_conv(key, d_or_c, expansion_factor, dtype)
     if name == "jumprelu_sae":
         return init_jumprelu_sae(key, d_or_c, expansion_factor, dtype)
+    if name == "topk_sae":
+        return init_topk_sae(key, d_or_c, expansion_factor, dtype)
     raise ValueError(f"Unknown SAE model name {name}.")
 
 
@@ -265,6 +290,7 @@ def sae_inference_and_loss(
     params: dict,
     act: jax.Array,
     lambda_sparse: float,
+    topk: int = 32,
 ) -> dict:
     """SAE splice helper: reshape conv taps to tokens, run the SAE, compute all loss
     terms, reshape outputs back (reference: utils.py:2448-2482 sae_inference_and_loss).
@@ -286,6 +312,9 @@ def sae_inference_and_loss(
     tok, transformed = tokens_from_act(act)
     if sae_model_name == "sae_mlp":
         encoded, decoded, pre = sae_mlp_apply(params, tok)
+        terms = losses.sae_loss_terms(encoded, decoded, tok, lambda_sparse)
+    elif sae_model_name == "topk_sae":
+        encoded, decoded, pre = topk_sae_apply(params, tok, topk)
         terms = losses.sae_loss_terms(encoded, decoded, tok, lambda_sparse)
     elif sae_model_name == "jumprelu_sae":
         encoded, decoded, pre = jumprelu_sae_apply(params, tok)

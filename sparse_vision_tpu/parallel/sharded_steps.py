@@ -53,6 +53,7 @@ def make_sharded_fused_train_step(
     fused_opts: Optional[dict] = None,
     fused: bool = True,
     sae_model_name: str = "sae_mlp",
+    topk: int = 32,
 ):
     """Data-parallel SAE train step: ``step(ts, acts)`` with ``acts`` [T, C] sharded
     over the 'data' axis and the train state replicated. ``fused=False`` runs the
@@ -91,7 +92,7 @@ def make_sharded_fused_train_step(
 
         def local_loss(params, act_local):
             out = sae_inference_and_loss(
-                sae_model_name, params, act_local, lambda_sparse
+                sae_model_name, params, act_local, lambda_sparse, topk=topk
             )
             dead, sparsity, _ = measure_inactive_units(
                 out["encoded"], expansion_factor

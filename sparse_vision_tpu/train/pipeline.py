@@ -212,6 +212,7 @@ class Pipeline:
         step_fn = make_sae_train_step(
             self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
             self.tx, cfg.dead_neurons_steps, cfg.sae_expansion_factor, self.criterion,
+            topk=cfg.sae_topk,
         )
         from sparse_vision_tpu.utils.profiling import maybe_profile
 
@@ -316,6 +317,7 @@ class Pipeline:
             step_fn = make_sae_train_step_from_acts(
                 cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
                 cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=False,
+                topk=cfg.sae_topk,
             )
             self.ts = put_tp_state(mesh, self.ts)
 
@@ -331,7 +333,7 @@ class Pipeline:
             step_fn = make_sharded_fused_train_step(
                 mesh, cfg.sae_lambda_sparse, self.tx, cfg.dead_neurons_steps,
                 cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
-                sae_model_name=cfg.sae_model_name,
+                sae_model_name=cfg.sae_model_name, topk=cfg.sae_topk,
             )
             self.ts = put_replicated_state(mesh, self.ts)
 
@@ -341,7 +343,7 @@ class Pipeline:
             step_fn = make_sae_train_step_from_acts(
                 cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
                 cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=fused,
-                fused_opts=fused_opts,
+                fused_opts=fused_opts, topk=cfg.sae_topk,
             )
 
             def _put_tokens(arr, token_axis):
@@ -424,7 +426,7 @@ class Pipeline:
             cfg = self.cfg
             self._sae_eval_step_cache = make_sae_eval_step(
                 self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
-                cfg.sae_expansion_factor, self.criterion,
+                cfg.sae_expansion_factor, self.criterion, topk=cfg.sae_topk,
             )
         return self._sae_eval_step_cache
 

@@ -31,6 +31,7 @@ _NATIVE_KEYS = {
     "sae_mlp": ("W_enc", "b_enc", "W_dec", "b_dec"),
     "gated_sae": ("W_gate", "b_gate", "b_mag", "r_mag", "W_dec", "b_dec"),
     "jumprelu_sae": ("W_enc", "b_enc", "W_dec", "b_dec", "log_threshold"),
+    "topk_sae": ("W_enc", "b_enc", "W_dec", "b_dec"),
 }
 
 

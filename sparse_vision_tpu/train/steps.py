@@ -77,6 +77,7 @@ def make_sae_train_step(
     criterion,
     full_metrics: bool = True,
     last_stage: Optional[str] = None,
+    topk: int = 32,
 ):
     """Build the jitted SAE train step.
 
@@ -91,7 +92,9 @@ def make_sae_train_step(
     can_resample = sae_model_name == "sae_mlp"
 
     def loss_fn(sae_params, act):
-        out = sae_inference_and_loss(sae_model_name, sae_params, act, lambda_sparse)
+        out = sae_inference_and_loss(
+            sae_model_name, sae_params, act, lambda_sparse, topk=topk
+        )
         return out["loss"], out
 
     @jax.jit
@@ -176,6 +179,7 @@ def make_sae_train_step_from_acts(
     expansion_factor: int,
     fused: bool = False,
     fused_opts: Optional[dict] = None,
+    topk: int = 32,
 ):
     """SAE train step over pre-extracted activations (the activation-cache training
     mode; the reference abandoned an HDF5 version of this, utils.py:613-657 — here it
@@ -218,7 +222,9 @@ def make_sae_train_step_from_acts(
             return out["loss"], out
     else:
         def loss_fn(sae_params, act):
-            out = sae_inference_and_loss(sae_model_name, sae_params, act, lambda_sparse)
+            out = sae_inference_and_loss(
+                sae_model_name, sae_params, act, lambda_sparse, topk=topk
+            )
             return out["loss"], out
 
     @jax.jit
@@ -291,6 +297,7 @@ def make_sae_eval_step(
     expansion_factor: int,
     criterion,
     last_stage: Optional[str] = None,
+    topk: int = 32,
 ):
     """Eval step for the modified (SAE-spliced) model: all reference eval-epoch
     quantities for one batch (model_pipeline.py:661-714 + 806-878)."""
@@ -301,7 +308,9 @@ def make_sae_eval_step(
                 images: jax.Array, labels: jax.Array):
         logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
         act = taps[sae_layer]
-        out = sae_inference_and_loss(sae_model_name, sae_params, act, lambda_sparse)
+        out = sae_inference_and_loss(
+            sae_model_name, sae_params, act, lambda_sparse, topk=topk
+        )
         logits_mod = net.apply_segment(
             frozen_params, out["decoded"], after=sae_layer, upto=last, state=frozen_state
         )

@@ -1,0 +1,134 @@
+"""TopK SAE (beyond-reference: Gao et al. 2024, arXiv:2406.04093).
+
+Sparsity comes from the activation — keep the k largest pre-activations per token
+(through ReLU), zero the rest — so L0 <= k by construction and training needs no L1
+term. Parameter layout is identical to the ReLU SAE (weight IO round-trips through
+train/sae_io.py unchanged).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_vision_tpu.models.sae import (
+    init_sae,
+    sae_inference_and_loss,
+    topk_sae_apply,
+)
+
+D, EXP, K = 16, 4, 5
+
+
+def _numpy_topk_sae(params, x, k):
+    """Independent numpy replication of the TopK forward."""
+    x_cent = x - np.asarray(params["b_dec"])
+    pre = x_cent @ np.asarray(params["W_enc"]) + np.asarray(params["b_enc"])
+    post = np.zeros_like(pre)
+    for t in range(pre.shape[0]):
+        idx = np.argsort(pre[t])[::-1][:k]
+        post[t, idx] = np.maximum(pre[t, idx], 0.0)
+    recon = post @ np.asarray(params["W_dec"]) + np.asarray(params["b_dec"])
+    return post, recon, pre
+
+
+def test_topk_matches_numpy_golden():
+    params = init_sae("topk_sae", jax.random.key(0), D, EXP)
+    x = np.random.default_rng(0).normal(size=(32, D)).astype(np.float32)
+    enc, dec, pre = topk_sae_apply(params, jnp.asarray(x), K)
+    g_enc, g_dec, g_pre = _numpy_topk_sae(params, x, K)
+    np.testing.assert_allclose(np.asarray(pre), g_pre, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(enc), g_enc, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dec), g_dec, rtol=1e-5, atol=1e-6)
+
+
+def test_topk_l0_bounded_by_k():
+    params = init_sae("topk_sae", jax.random.key(1), D, EXP)
+    x = np.random.default_rng(1).normal(size=(64, D)).astype(np.float32)
+    enc, _, _ = topk_sae_apply(params, jnp.asarray(x), K)
+    l0 = np.count_nonzero(np.asarray(enc), axis=1)
+    assert (l0 <= K).all() and l0.max() == K  # <= k always; == k when pre > 0 exists
+
+
+def test_topk_inference_and_loss_token_reshape():
+    """4-D conv taps reshape through the same token path as the other variants."""
+    params = init_sae("topk_sae", jax.random.key(2), D, EXP)
+    act = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 3, 3, D)).astype(np.float32)
+    )
+    out = sae_inference_and_loss("topk_sae", params, act, 0.0, topk=K)
+    assert out["decoded"].shape == act.shape
+    assert out["encoded"].shape == (2, 3, 3, D * EXP)
+    assert out["encoded_pre"] is not None
+    assert float(out["loss"]) == float(out["rec_loss"])  # lambda=0: pure MSE
+
+
+def test_topk_gradients_flow_only_through_selected():
+    """d rec/d b_enc is nonzero only at latents selected somewhere in the batch."""
+    params = init_sae("topk_sae", jax.random.key(3), D, EXP)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(8, D)).astype(np.float32))
+
+    def loss(p):
+        enc, dec, _ = topk_sae_apply(p, x, K)
+        return jnp.mean(jnp.square(dec - x))
+
+    g = jax.grad(loss)(params)
+    enc, _, _ = topk_sae_apply(params, x, K)
+    selected = np.asarray(enc > 0).any(axis=0)
+    g_b = np.asarray(g["b_enc"])
+    assert (g_b[~selected] == 0).all()
+    assert np.abs(g_b[selected]).max() > 0
+
+
+def test_topk_trains_end_to_end(tmp_path):
+    """Pipeline mode 3 with the TopK variant: reconstruction improves, L0 stays at
+    the configured k, and the weight export round-trips."""
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        directory_path=str(tmp_path), dataset_name="synthetic",
+        sae_model_name="topk_sae", sae_lambda_sparse=0.0, sae_topk=8,
+        sae_epochs=2, sae_batch_size=64, sae_expansion_factor=2,
+        dead_neurons_steps=10_000, log_every=1000,
+    )
+    pipe = Pipeline(cfg)
+    before = pipe.eval_modified(epoch=0, store=False)
+    result = pipe.train_sae()
+    assert result["sae_rec_loss"] < before["sae_rec_loss"], (before, result)
+    # relative sparsity metric: active/(units/expansion) = L0/ (h/exp); h=dk=392*2?
+    # here d=784, exp=2 -> h=1568, h/exp=784; L0<=8 -> sparsity <= 8/784
+    assert result["sparsity"] <= cfg.sae_topk / (pipe.num_units / cfg.sae_expansion_factor) + 1e-6
+
+    import glob
+    import os
+
+    npz = glob.glob(os.path.join(pipe.paths["sae_weights"], "*_model_weights.npz"))
+    assert npz
+    cfg2 = dataclasses.replace(
+        cfg, directory_path=str(tmp_path / "re"), training=False,
+        sae_weights_path=npz[0],
+    )
+    pipe2 = Pipeline(cfg2)
+    for k in pipe.ts.params:
+        np.testing.assert_array_equal(
+            np.asarray(pipe2.ts.params[k]), np.asarray(pipe.ts.params[k])
+        )
+
+
+def test_topk_cached_path(tmp_path):
+    """The activation-cache production path trains the TopK variant (stock step —
+    no fused kernel for topk; the fused gate must exclude it, not crash)."""
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        directory_path=str(tmp_path), dataset_name="synthetic",
+        sae_model_name="topk_sae", sae_lambda_sparse=0.0, sae_topk=8,
+        sae_epochs=1, sae_batch_size=64, sae_expansion_factor=2,
+        dead_neurons_steps=10_000, log_every=1000,
+        use_activation_cache=True, cache_tokens_per_step=128,
+    )
+    res = Pipeline(cfg).train_sae()
+    assert np.isfinite(res["sae_rec_loss"])
