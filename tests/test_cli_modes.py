@@ -259,8 +259,9 @@ def test_examples_run(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(root, "examples", "discover_circuit.py")],
         # generous: on a 1-CPU box the parent pytest process's XLA device threads
-        # contend with this subprocess (observed 229s solo, >420s under suite load)
-        env=env, capture_output=True, text=True, timeout=560,
+        # contend with this subprocess (observed 229s solo, >560s under full-suite
+        # load as the suite grew)
+        env=env, capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "faithfulness=1.0000" in r.stdout
@@ -276,7 +277,7 @@ def test_multichip_example_runs(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(root, "examples", "multichip_cached_training.py"),
          str(tmp_path)],
-        env=env, capture_output=True, text=True, timeout=560,
+        env=env, capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "multichip example OK" in r.stdout
