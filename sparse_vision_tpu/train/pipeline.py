@@ -451,7 +451,7 @@ class Pipeline:
         top_state = init_topk(k, self.num_units, largest=True)
         small_state = init_topk(k, self.num_units, largest=False)
         num_batches = 0
-        bs = cfg.eval_batch_size or cfg.sae_batch_size
+        bs = cfg.eval_batch_size or self._auto_eval_batch_size()
         for b in self._batches(ds, bs, shuffle=False):
             m, arrays = step_fn(
                 self.ts.params, self.frozen_params, self.net_state, b.images, b.labels
@@ -516,6 +516,31 @@ class Pipeline:
             results_store.store_run_result(folder, f"{self.run_id}_epoch_{epoch}", row)
             results_store.merge_results(folder)
         return means
+
+    def _auto_eval_batch_size(self) -> int:
+        """sae_batch_size, clamped so the stock eval step's [B*H*W, latents] f32
+        intermediate stays under ~2 GB — at 16k latents a 256-image conv batch would
+        need ~13 GB of HBM just for that matrix. Explicit cfg.eval_batch_size wins."""
+        from sparse_vision_tpu.models.backbone import layer_dimensions
+
+        bs = self.cfg.sae_batch_size
+        try:
+            shape = layer_dimensions(self.net, self.cfg.dataset_name)[self.cfg.sae_layer]
+        except Exception:
+            return bs
+        tokens_per_image = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+        budget = 2 << 30  # bytes for the [B*H*W, latents] f32 block
+        max_bs = max(1, budget // max(tokens_per_image * self.num_units * 4, 1))
+        if max_bs < bs:
+            bs = int(max_bs)
+            if not getattr(self, "_eval_bs_warned", False):
+                self._eval_bs_warned = True
+                print(
+                    f"[eval] batch size clamped to {bs} "
+                    f"({tokens_per_image} tokens/image x {self.num_units} latents); "
+                    "set eval_batch_size to override"
+                )
+        return bs
 
     # ------------------------------------------------------------------
     # eval-epoch figures (reference model_pipeline.py:1046-1068, utils.py:1496-1784,
@@ -614,7 +639,7 @@ class Pipeline:
 
             # "an extra round of inference to get the activation histogram"
             # (model_pipeline.py:1490-1540)
-            ebs = self.cfg.eval_batch_size or self.cfg.sae_batch_size
+            ebs = self.cfg.eval_batch_size or self._auto_eval_batch_size()
             for b in self._batches(ds, ebs, shuffle=False):
                 _, arrays = step_fn(
                     self.ts.params, self.frozen_params, self.net_state,
