@@ -50,6 +50,43 @@ def main():
         _ = float(out[CIRCUIT_LAYERS[0]]["error"])
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]
+
+    # edge IE on one mixed3a->mixed3b pair, top-64 features per side — the
+    # reference's hottest loop (per-feature backward with retain_graph,
+    # compute_ie.py:589-624) runs here as ONE batched-cotangent vjp per pair
+    import numpy as np
+
+    feats = {n: list(range(64)) for n in CIRCUIT_LAYERS[:2]}
+    pair_layers = list(CIRCUIT_LAYERS[:2])
+    # smaller batch for the edge pass: the batched cotangent stack is
+    # [chunk, B, H, W, C] and must fit HBM alongside the retained forward
+    E_BATCH = 8
+    e_images, e_labels = images[:E_BATCH], labels[:E_BATCH]
+    e_batches = [(e_images, e_labels)]
+    # amortized per-batch rate within ONE call (compute_edge_ie traces its pair
+    # functions per invocation; production sweeps hundreds of batches per call)
+    t0 = time.perf_counter()
+    _ = eng.compute_edge_ie(e_batches, avgs, feats, custom_layers=pair_layers,
+                            cotangent_chunk=16)  # compile + 1 batch
+    t1 = time.perf_counter() - t0
+    N_EDGE = 6
+    t0 = time.perf_counter()
+    edges = eng.compute_edge_ie(e_batches * N_EDGE, avgs, feats,
+                                custom_layers=pair_layers, cotangent_chunk=16)
+    tN = time.perf_counter() - t0
+    edge_rate = (N_EDGE - 1) * E_BATCH / max(tN - t1, 1e-9) if tN > t1 else (
+        N_EDGE * E_BATCH / tN)
+    print(
+        json.dumps(
+            {
+                "metric": "edge_ie_images_per_sec",
+                "value": round(edge_rate, 2),
+                "unit": "images/s",
+                "pair": "->".join(pair_layers),
+                "features_per_side": 64,
+            }
+        )
+    )
     print(
         json.dumps(
             {
