@@ -12,7 +12,7 @@ import dataclasses
 import itertools
 import json
 from dataclasses import dataclass, field
-from typing import Any, Iterator, Sequence
+from typing import Any, Iterator
 
 # Field order of a legacy parameters.txt line (specify_parameters.py:250-272 + the
 # trailing sae_checkpoint_epoch appended at :287-293).

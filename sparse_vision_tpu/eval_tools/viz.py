@@ -15,7 +15,7 @@ from __future__ import annotations
 import math
 import os
 import tarfile
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

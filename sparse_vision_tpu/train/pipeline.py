@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sparse_vision_tpu.config import RunConfig, get_img_size
+from sparse_vision_tpu.config import RunConfig
 from sparse_vision_tpu.data.datasets import load_data
 from sparse_vision_tpu.data.prefetch import device_put_batch, prefetch
 from sparse_vision_tpu.eval_tools import results as results_store
@@ -41,7 +41,7 @@ from sparse_vision_tpu.models.backbone import (
 )
 from sparse_vision_tpu.models.sae import init_sae
 from sparse_vision_tpu.ops import metrics, optim
-from sparse_vision_tpu.ops.topk import TopKState, init_topk, update_topk
+from sparse_vision_tpu.ops.topk import init_topk, update_topk
 from sparse_vision_tpu.parallel.mesh import data_sharding, make_mesh
 from sparse_vision_tpu.train import checkpoint as ckpt
 from sparse_vision_tpu.train.steps import (

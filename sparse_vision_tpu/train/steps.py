@@ -25,7 +25,7 @@ import optax
 
 from sparse_vision_tpu.models.layers import SeqNet
 from sparse_vision_tpu.models.sae import sae_inference_and_loss
-from sparse_vision_tpu.ops import losses, metrics
+from sparse_vision_tpu.ops import metrics
 from sparse_vision_tpu.ops.resample import (
     resample_dead_neurons,
     should_reset_measurement,
