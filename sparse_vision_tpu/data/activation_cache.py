@@ -155,35 +155,13 @@ class ActivationCache:
         raw = np.load(self.shard_paths[i], mmap_mode="r")
         return _from_storage(raw, self.meta["dtype"])
 
-    def batches(
-        self, tokens_per_step: int, shuffle: bool = False, seed: int = 0,
-        prefetch: bool | str = True,
-    ) -> Iterator[np.ndarray]:
-        """Yield [tokens_per_step, C] arrays; shards visited in (optionally shuffled)
-        order, trailing partial steps dropped (drop_last semantics).
-
-        prefetch: False = synchronous memmap; True = Python-thread read-ahead;
+    def _iter_shards(self, order, prefetch) -> Iterator[np.ndarray]:
+        """Yield whole shard arrays in ``order``. Three engines:
+        prefetch=False = synchronous memmap; True = Python-thread read-ahead;
         "native" = C++ ring-buffer reader (data/native_io.py; GIL-free pread loops,
-        zero-copy views valid until the next shard — callers upload/copy per batch,
-        which jnp.asarray does). "native" falls back to True when no toolchain.
-
-        shuffle randomizes BOTH the shard order and the step-block starting offsets
-        within each shard; tokens inside one step stay contiguous (sequential IO).
-        Residual correlation matches the reference's regime — its hook-mode batches
-        are also all spatial tokens of a few consecutively-drawn images
-        (utils.py:2448-2451). For fully decorrelated tokens, dump the cache from a
-        shuffled image stream (dump_activations(..., shuffle_images=True))."""
-        rng = np.random.default_rng(seed)
-        order = np.arange(len(self.shard_paths))
-        if shuffle:
-            rng.shuffle(order)
-
-        def block_starts(n_tokens: int) -> np.ndarray:
-            starts = np.arange(0, n_tokens - tokens_per_step + 1, tokens_per_step)
-            if shuffle:
-                rng.shuffle(starts)
-            return starts
-
+        zero-copy views valid until the next shard). "native" falls back to True
+        when no toolchain. Producer errors re-raise on the consumer; abandoning the
+        generator releases the read-ahead thread (stop event)."""
         if prefetch == "native":
             from sparse_vision_tpu.data import native_io
 
@@ -192,17 +170,13 @@ class ActivationCache:
                     [self.shard_paths[i] for i in order]
                 )
                 for shard in it:
-                    shard = _from_storage(shard, self.meta["dtype"])
-                    for s in block_starts(shard.shape[0]):
-                        yield shard[s : s + tokens_per_step]
+                    yield _from_storage(shard, self.meta["dtype"])
                 return
             prefetch = True  # toolchain unavailable — degrade
 
         if not prefetch:
             for i in order:
-                shard = self._load(i)
-                for s in block_starts(shard.shape[0]):
-                    yield np.asarray(shard[s : s + tokens_per_step])
+                yield self._load(i)
             return
 
         q: queue.Queue = queue.Queue(maxsize=1)
@@ -246,8 +220,82 @@ class ActivationCache:
                 if isinstance(shard, BaseException):
                     t.join()
                     raise shard
-                for s in block_starts(shard.shape[0]):
-                    yield shard[s : s + tokens_per_step]
+                yield shard
             t.join()
         finally:
             stop.set()
+
+    def batches(
+        self, tokens_per_step: int, shuffle: bool = False, seed: int = 0,
+        prefetch: bool | str = True,
+    ) -> Iterator[np.ndarray]:
+        """Yield [tokens_per_step, C] arrays; shards visited in (optionally shuffled)
+        order, trailing partial steps dropped (drop_last semantics).
+
+        shuffle randomizes BOTH the shard order and the step-block starting offsets
+        within each shard; tokens inside one step stay contiguous (sequential IO).
+        Residual correlation matches the reference's regime — its hook-mode batches
+        are also all spatial tokens of a few consecutively-drawn images
+        (utils.py:2448-2451). For fully decorrelated tokens, dump the cache from a
+        shuffled image stream (dump_activations(..., shuffle_images=True))."""
+        rng = np.random.default_rng(seed)
+        order = np.arange(len(self.shard_paths))
+        if shuffle:
+            rng.shuffle(order)
+        for shard in self._iter_shards(order, prefetch):
+            starts = np.arange(
+                0, shard.shape[0] - tokens_per_step + 1, tokens_per_step
+            )
+            if shuffle:
+                rng.shuffle(starts)
+            for s in starts:
+                yield shard[s : s + tokens_per_step]
+
+    def stacks(
+        self, tokens_per_step: int, k: int, shuffle: bool = False, seed: int = 0,
+        prefetch: bool | str = True,
+    ) -> Iterator[np.ndarray]:
+        """Yield [k', tokens_per_step, C] stacked microbatch blocks for the lax.scan
+        multi-step dispatch (train/steps.make_sae_train_multi_step); the last stack
+        of the epoch may have k' < k (the caller runs those rows single-step).
+
+        When k*tokens_per_step divides the shard size, each full stack is a ZERO-COPY
+        reshape of a contiguous shard slice — no np.stack assembly of k blocks on the
+        consumer thread (at production shapes that copy is 10s-100s of MB per
+        dispatch). Shuffle granularity is then the stack block rather than the step
+        block (same shard-level randomization; tokens within a dispatch were already
+        contiguous-correlated)."""
+        block = tokens_per_step * k
+        shard_tokens = int(self.meta["shard_tokens"])
+        if shard_tokens % block == 0:
+            rng = np.random.default_rng(seed)
+            order = np.arange(len(self.shard_paths))
+            if shuffle:
+                rng.shuffle(order)
+            tail: list = []
+            for shard in self._iter_shards(order, prefetch):
+                n_full = shard.shape[0] // block
+                starts = np.arange(0, n_full * block, block)
+                if shuffle:
+                    rng.shuffle(starts)
+                for s in starts:
+                    yield shard[s : s + block].reshape(k, tokens_per_step, -1)
+                # leftover whole steps at the shard tail (short last shard)
+                for s in range(n_full * block, shard.shape[0] - tokens_per_step + 1,
+                               tokens_per_step):
+                    tail.append(np.asarray(shard[s : s + tokens_per_step]))
+                    if len(tail) == k:
+                        yield np.stack(tail)
+                        tail = []
+            if tail:
+                yield np.stack(tail)
+            return
+        # unaligned shard size: assemble stacks from step blocks
+        buf: list = []
+        for tok in self.batches(tokens_per_step, shuffle, seed, prefetch):
+            buf.append(np.asarray(tok))
+            if len(buf) == k:
+                yield np.stack(buf)
+                buf = []
+        if buf:
+            yield np.stack(buf)

@@ -356,20 +356,22 @@ class Pipeline:
         self.eval_modified(epoch=start, store=False)
         for epoch in range(start, cfg.sae_epochs):
             with maybe_profile(cfg.profile_dir or None):
-                stack: list = []
-                for tok in cache.batches(tps, shuffle=True, seed=cfg.seed + epoch):
-                    stack.append(tok)
-                    if len(stack) == scan_k:
+                # stacks are zero-copy shard views when scan_k*tps divides the
+                # shard size (ActivationCache.stacks) — no per-dispatch np.stack
+                for stack_arr in cache.stacks(
+                    tps, scan_k, shuffle=True, seed=cfg.seed + epoch
+                ):
+                    if stack_arr.shape[0] == scan_k:
                         self.ts, ms = multi_fn(
-                            self.ts, _put_tokens(np.stack(stack), 1)
+                            self.ts, _put_tokens(np.asarray(stack_arr), 1)
                         )
                         self.logger.log_train(
                             int(self.ts.step), {k: v[-1] for k, v in ms.items()}
                         )
-                        stack = []
-                for tok in stack:  # tail (< scan_k) runs single-step
-                    self.ts, m = step_fn(self.ts, _put_tokens(tok, 0))
-                    self.logger.log_train(int(self.ts.step), m)
+                    else:  # tail (< scan_k steps) runs single-step
+                        for tok in stack_arr:
+                            self.ts, m = step_fn(self.ts, _put_tokens(tok, 0))
+                            self.logger.log_train(int(self.ts.step), m)
             # async save: serialization overlaps the next epoch's compute
             ckpt.save_checkpoint(
                 self._sae_ckpt_dir(), epoch + 1,

@@ -95,3 +95,40 @@ def test_prefetch_abandoned_generator_releases_producer(tmp_path):
             break
         time.sleep(0.05)
     assert not leaked, f"producer thread leaked: {leaked}"
+
+
+def test_stacks_cover_same_tokens_as_batches(tmp_path):
+    """stacks(tps, k) visits exactly the tokens batches(tps) visits (same shuffle
+    regime at coarser granularity), full stacks first-dimension k, tail smaller."""
+    cache = _make_cache(tmp_path)
+    tps, k = 32, 4
+    stacked = list(cache.stacks(tps, k, shuffle=False))
+    flat = np.concatenate([s.reshape(-1, s.shape[-1]) for s in stacked])
+    ref = np.concatenate(list(cache.batches(tps, shuffle=False)))
+    np.testing.assert_array_equal(flat, ref)
+    assert all(s.shape[1] == tps for s in stacked)
+    assert all(s.shape[0] == k for s in stacked[:-1])
+
+
+def test_stacks_aligned_path_is_zero_copy(tmp_path):
+    """When k*tps divides the shard size, full stacks are views into the shard
+    buffer (no per-dispatch assembly copy)."""
+    cache = _make_cache(tmp_path)
+    st = int(cache.meta["shard_tokens"])
+    tps = st // 4
+    k = 4  # k*tps == shard_tokens -> one zero-copy stack per shard
+    for s in cache.stacks(tps, k, shuffle=False, prefetch=False):
+        if s.shape[0] == k:
+            assert s.base is not None  # a view, not an owning copy
+
+
+def test_stacks_shuffled_cover_all_tokens(tmp_path):
+    cache = _make_cache(tmp_path)
+    tps, k = 32, 3  # unaligned k: falls back to assembly, still full coverage
+    stacked = list(cache.stacks(tps, k, shuffle=True, seed=5))
+    flat = np.concatenate([s.reshape(-1, s.shape[-1]) for s in stacked])
+    ref = np.concatenate(list(cache.batches(tps, shuffle=False)))
+    # same token SET (order differs under shuffle): compare sorted rows
+    np.testing.assert_array_equal(
+        np.sort(flat.ravel()), np.sort(ref.ravel())
+    )
