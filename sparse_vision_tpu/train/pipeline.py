@@ -260,6 +260,7 @@ class Pipeline:
         from sparse_vision_tpu.utils.profiling import maybe_profile
 
         cfg = self.cfg
+        scan_k = 8  # steps per dispatch: amortizes host-dispatch latency (lax.scan)
         cache_dir = os.path.join(
             self.paths["evaluation_results"], "activation_cache", cfg.sae_layer
         )
@@ -269,6 +270,9 @@ class Pipeline:
                 self.net, self.frozen_params, self.net_state, self.train_ds,
                 cfg.sae_layer, cache_dir, batch_size=cfg.sae_batch_size,
                 workers=cfg.data_workers,
+                # shards sized to the scan dispatch block so training reads
+                # zero-copy stacks (ActivationCache.stacks alignment rule)
+                shard_tokens=max(1 << 16, scan_k * cfg.cache_tokens_per_step),
                 # multi-chip: the tap pass shards images over the 'data' axis
                 sharding=self.batch_sharding,
             )
@@ -350,7 +354,6 @@ class Pipeline:
                 return jnp.asarray(arr)
 
         multi_fn = make_sae_train_multi_step(step_fn)
-        scan_k = 8  # steps per dispatch: amortizes host-dispatch latency (lax.scan)
         start = cfg.sae_checkpoint_epoch
         last_eval = None
         self.eval_modified(epoch=start, store=False)
