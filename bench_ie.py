@@ -11,9 +11,18 @@ layer (proved gradient-equivalent in tests/test_patching.py).
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache (see bench.py / CLAUDE.md): compute_edge_ie retraces its
+# pair functions per invocation and remote AOT compiles take minutes otherwise
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SVT_JAX_CACHE", os.path.expanduser("~/.cache/svt_jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
 def main():

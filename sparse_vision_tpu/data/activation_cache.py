@@ -283,7 +283,10 @@ class ActivationCache:
                 # leftover whole steps at the shard tail (short last shard)
                 for s in range(n_full * block, shard.shape[0] - tokens_per_step + 1,
                                tokens_per_step):
-                    tail.append(np.asarray(shard[s : s + tokens_per_step]))
+                    # COPY: this buffer outlives the shard advance, and under the
+                    # native reader shard views die at the next shard (np.asarray
+                    # would keep a dangling ring-buffer view)
+                    tail.append(np.array(shard[s : s + tokens_per_step]))
                     if len(tail) == k:
                         yield np.stack(tail)
                         tail = []
@@ -293,7 +296,7 @@ class ActivationCache:
         # unaligned shard size: assemble stacks from step blocks
         buf: list = []
         for tok in self.batches(tokens_per_step, shuffle, seed, prefetch):
-            buf.append(np.asarray(tok))
+            buf.append(np.array(tok))  # copy: buffered across shard advances
             if len(buf) == k:
                 yield np.stack(buf)
                 buf = []

@@ -247,13 +247,22 @@ def topk_sae_apply(params: dict, x: jax.Array, k: int) -> tuple:
     """Returns (encoded, decoded, pre) on token input [T, d].
 
     Activation: keep the k largest PRE-activations per token (through ReLU — values
-    below zero contribute nothing even when selected), zero the rest. L0 is exactly
-    <= k by construction, so the training loss needs no L1 term (the paper's recipe;
-    pass lambda_sparse=0)."""
+    below zero contribute nothing even when selected), zero the rest. Selection
+    scatters the top-k INDICES (a value-threshold `pre >= kth` would activate every
+    latent tied at the k-th value, breaking the bound), so L0 <= k holds exactly.
+    Training needs no L1 term (the paper's recipe; pass lambda_sparse=0)."""
+    h = params["b_enc"].shape[0]
+    if k > h:
+        raise ValueError(f"sae_topk={k} exceeds the latent count {h}")
     x_cent = x - params["b_dec"]
     pre = x_cent @ params["W_enc"] + params["b_enc"]
-    kth = jax.lax.top_k(pre, k)[0][..., -1:]  # k-th largest value per token
-    post = jnp.where(pre >= kth, jax.nn.relu(pre), 0.0)
+    vals, idx = jax.lax.top_k(pre, k)  # [T, k]
+    t = pre.shape[0]
+    post = (
+        jnp.zeros_like(pre)
+        .at[jnp.arange(t)[:, None], idx]
+        .set(jax.nn.relu(vals))
+    )
     recon = post @ params["W_dec"] + params["b_dec"]
     return post, recon, pre
 

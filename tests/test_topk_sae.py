@@ -51,6 +51,27 @@ def test_topk_l0_bounded_by_k():
     assert (l0 <= K).all() and l0.max() == K  # <= k always; == k when pre > 0 exists
 
 
+def test_topk_l0_exact_under_ties():
+    """Index-scatter selection keeps L0 <= k even when many latents TIE at the
+    k-th value (a value-threshold selection would activate all of them)."""
+    params = init_sae("topk_sae", jax.random.key(4), D, EXP)
+    # degenerate input: x == b_dec makes every pre equal b_enc; zero b_enc means a
+    # total tie across all latents
+    params = dict(params, b_enc=jnp.zeros_like(params["b_enc"]))
+    x = jnp.broadcast_to(params["b_dec"], (4, D))
+    enc, _, _ = topk_sae_apply(params, x, K)
+    assert (np.count_nonzero(np.asarray(enc), axis=1) <= K).all()
+
+
+def test_topk_k_validated():
+    import pytest
+
+    params = init_sae("topk_sae", jax.random.key(5), D, EXP)
+    x = jnp.zeros((2, D))
+    with pytest.raises(ValueError, match="exceeds the latent count"):
+        topk_sae_apply(params, x, D * EXP + 1)
+
+
 def test_topk_inference_and_loss_token_reshape():
     """4-D conv taps reshape through the same token path as the other variants."""
     params = init_sae("topk_sae", jax.random.key(2), D, EXP)
