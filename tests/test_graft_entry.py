@@ -46,3 +46,6 @@ def test_dryrun_multichip_cold_process_no_env():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun_multichip OK" in r.stdout
     assert "fused/shard_map OK" in r.stdout
+    # the dryrun feeds NONZERO random data and asserts loss>0 + params-changed in
+    # every block — a zero loss would mean the artifact proves dispatch only
+    assert "loss=0.0000" not in r.stdout, r.stdout
