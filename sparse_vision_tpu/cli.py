@@ -110,6 +110,7 @@ def main(argv=None) -> int:
             seen_folders: set = set()
             from sparse_vision_tpu.utils.paths import folder_paths
 
+            failures = 0
             for cfg in _load_parameters(args.parameters):
                 if cfg.original_model:
                     continue  # reference skips original-model lines (main.py:129-131)
@@ -117,9 +118,19 @@ def main(argv=None) -> int:
                 if folder in seen_folders:
                     continue
                 seen_folders.add(folder)
-                out = evaluate_sweep_config(cfg)
+                # one entry with a missing/short results CSV must not abort the
+                # remaining sweep entries (mirrors the --results_csv path's
+                # ValueError handling below)
+                try:
+                    out = evaluate_sweep_config(cfg)
+                except (FileNotFoundError, ValueError) as e:
+                    failures += 1
+                    print(f"Sweep entry skipped ({folder}): {e}", file=sys.stderr)
+                    continue
                 print(f"Evaluated sweep -> {out['rank_table']}, "
                       f"{out['pareto']}, {out['pareto_all_epochs']}")
+            if failures and not (len(seen_folders) - failures):
+                return 1  # every entry failed: surface it to job arrays
         elif args.results_csv:
             out_dir = args.out_dir or os.path.dirname(args.results_csv)
             df = compute_sae_ranking(

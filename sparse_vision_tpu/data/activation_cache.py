@@ -71,6 +71,17 @@ def dump_activations(
     from sparse_vision_tpu.data.prefetch import prefetch
     from sparse_vision_tpu.models.sae import tokens_from_act
 
+    if sharding is not None:
+        n_data = int(dict(sharding.mesh.shape).get("data", 1))
+        if batch_size % max(n_data, 1):
+            # validated up front: a non-divisible batch otherwise surfaces as an
+            # opaque device_put sharding error mid-dump
+            raise ValueError(
+                f"batch_size={batch_size} (cfg.sae_batch_size) must be divisible by "
+                f"the data mesh axis size {n_data} (cfg.mesh_shape) for the sharded "
+                "activation dump."
+            )
+
     os.makedirs(out_dir, exist_ok=True)
 
     @jax.jit

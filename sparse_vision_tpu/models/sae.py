@@ -324,7 +324,10 @@ def sae_inference_and_loss(
         terms = losses.sae_loss_terms(encoded, decoded, tok, lambda_sparse)
     elif sae_model_name == "topk_sae":
         encoded, decoded, pre = topk_sae_apply(params, tok, topk)
-        terms = losses.sae_loss_terms(encoded, decoded, tok, lambda_sparse)
+        # TopK needs no L1 (Gao et al. recipe, topk_sae_apply docstring): the L1
+        # term is force-zeroed so the RunConfig default lambda_sparse=0.1 cannot
+        # silently shrink active latents; l1_loss stays reported as a metric.
+        terms = losses.sae_loss_terms(encoded, decoded, tok, 0.0)
     elif sae_model_name == "jumprelu_sae":
         encoded, decoded, pre = jumprelu_sae_apply(params, tok)
         terms = losses.jumprelu_loss_terms(
