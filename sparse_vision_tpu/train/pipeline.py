@@ -134,6 +134,17 @@ class Pipeline:
                 opt_state=self.tx.init(self.frozen_params),
                 step=jnp.zeros((), jnp.int32),
             )
+            # original-model MIS/top-k: sae_layer may name a BACKBONE layer whose
+            # channel-averaged activations get top-k collection (the reference
+            # reuses the sae_layer parameter for this, specify_parameters.py:245-247;
+            # collection rule model_pipeline.py:344-345). num_units = that layer's
+            # channel count; 0 when sae_layer doesn't name a layer (e.g. 'None').
+            try:
+                self.num_units = get_sae_input_size(
+                    self.net, cfg.dataset_name, cfg.sae_layer
+                )
+            except ValueError:
+                self.num_units = 0
 
     # ------------------------------------------------------------------
     def _num_latents(self) -> int:
@@ -178,10 +189,21 @@ class Pipeline:
     # ------------------------------------------------------------------
     def run(self):
         cfg = self.cfg
-        if cfg.original_model and (cfg.mis != "0" or cfg.compute_ie != "0"):
-            # reference guard (specify_parameters.py:222-236): MIS/IE run on a frozen
-            # SAE, never on the original model
-            raise ValueError("MIS/IE modes require an SAE run (original_model=False).")
+        if cfg.original_model and cfg.compute_ie != "0":
+            # reference guard (specify_parameters.py:229-230): IE runs on a frozen
+            # SAE only. MIS on the original model IS supported — the reference's
+            # control experiment (sae_layer names a backbone layer,
+            # specify_parameters.py:245-247) that produced the original-mixed3a
+            # MIS anchors (visualize_mis.py:24, 119-120).
+            raise ValueError(
+                "IE can only be computed for the SAE model, not the original model "
+                "(original_model=False)."
+            )
+        if cfg.original_model and cfg.mis != "0" and self.num_units == 0:
+            raise ValueError(
+                f"Original-model MIS needs sae_layer to name a backbone layer "
+                f"(got {cfg.sae_layer!r}; available: {self.net.stage_names})."
+            )
         if cfg.compute_ie != "0":
             from sparse_vision_tpu.interp.ie import run_ie
 
@@ -200,7 +222,11 @@ class Pipeline:
             return self.eval_modified(epoch=cfg.sae_checkpoint_epoch, final=True)
         if cfg.training:
             return self.train_original()
-        return self.eval_original()
+        # standalone original eval: when sae_layer names a backbone layer this is
+        # its own last epoch, with top-k collection + the figure set over that
+        # layer's channels (record_top_samples semantics, model_pipeline.py:529-533)
+        collect = self.num_units > 0 and cfg.sae_layer not in ("", "None")
+        return self.eval_original(collect_topk=collect, final=collect)
 
     # ------------------------------------------------------------------
     # SAE training (mode 3)
@@ -553,7 +579,8 @@ class Pipeline:
     # eval-epoch figures (reference model_pipeline.py:1046-1068, utils.py:1496-1784,
     # 1934-1994 — rendered per eval epoch / in the final epoch, logged to W&B)
     # ------------------------------------------------------------------
-    def _channel_frequency_figure(self, freq: np.ndarray, epoch: int) -> None:
+    def _channel_frequency_figure(self, freq: np.ndarray, epoch: int,
+                                  model_key: str = "sae") -> None:
         """Histogram of per-unit activation FREQUENCY (how often each channel is
         active), the reference's live per-eval-epoch figure (model_pipeline.py:1046-1068):
         non-zero frequencies in 40 bins over [0, 1], never-active units as a red bar."""
@@ -580,7 +607,7 @@ class Pipeline:
             out_dir = os.path.join(self.paths["evaluation_results"], name)
             os.makedirs(out_dir, exist_ok=True)
             fig.savefig(os.path.join(out_dir, f"{self.run_id}_epoch_{epoch}.png"), dpi=120)
-            self.logger.log_figure(f"{name}/{self.cfg.sae_layer}_sae", fig, epoch)
+            self.logger.log_figure(f"{name}/{self.cfg.sae_layer}_{model_key}", fig, epoch)
             plt.close(fig)
         except Exception as e:  # plotting must never fail a run
             print(f"[eval] channel-frequency figure skipped: {e}")
@@ -592,11 +619,16 @@ class Pipeline:
         dead = np.flatnonzero(np.asarray(dead_acc, bool))
         return np.concatenate([alive, dead])[:n].astype(np.int64)
 
-    def _final_eval_figures(self, ds, top_state, small_state, dead_acc, epoch: int) -> None:
+    def _final_eval_figures(self, ds, top_state, small_state, dead_acc, epoch: int,
+                            model_key: str = "sae") -> None:
         """Last-epoch figure set: per-unit top-k/bottom-k activating-sample grids
         (utils.py:1496-1784) and streaming per-unit activation histograms with fixed
         bins from the recorded top/small values, filled by one extra inference pass
-        (model_pipeline.py:1488-1541, utils.py:1934-1994)."""
+        (model_pipeline.py:1488-1541, utils.py:1934-1994).
+
+        ``model_key`` follows the reference's (layer, model_key) figure naming:
+        "sae" for the spliced SAE's latents, "original" for the original model's
+        channels (model_pipeline.py:108-116 model_layer_list)."""
         from sparse_vision_tpu.eval_tools.viz import gather_topk_images, show_top_k_samples
         from sparse_vision_tpu.ops.histograms import (
             init_histogram,
@@ -625,7 +657,7 @@ class Pipeline:
                 show_top_k_samples(
                     images, values, path,
                     title=f"{tag}-{n_show} activating samples, "
-                          f"{self.cfg.sae_layer}, epoch {epoch}",
+                          f"({self.cfg.sae_layer}, {model_key}), epoch {epoch}",
                 )
                 # wandb.Image accepts the saved file path directly
                 self.logger.log_figure(f"top_k_samples/{tag}", path, epoch)
@@ -638,21 +670,34 @@ class Pipeline:
             mins = jnp.asarray(np.asarray(small_state.values)[0, units], jnp.float32)
             maxs = jnp.asarray(np.asarray(top_state.values)[0, units], jnp.float32)
             hstate = init_histogram(100, mins, maxs)
-            step_fn = self._sae_eval_step_fn
 
             @jax.jit
             def hist_update(hs, acts):
                 return update_histogram(hs, acts[:, unit_idx])
 
+            if model_key == "original":
+                mstep = self._model_topk_eval_step_fn
+                params = self.mts.params if hasattr(self, "mts") else self.frozen_params
+                net_state = self.mts.net_state if hasattr(self, "mts") else self.net_state
+
+                def batch_acts(b):
+                    _, arrays, _ = mstep(params, net_state, b.images, b.labels)
+                    return arrays["topk_acts"]
+            else:
+                sstep = self._sae_eval_step_fn
+
+                def batch_acts(b):
+                    _, arrays = sstep(
+                        self.ts.params, self.frozen_params, self.net_state,
+                        b.images, b.labels,
+                    )
+                    return arrays["topk_acts"]
+
             # "an extra round of inference to get the activation histogram"
             # (model_pipeline.py:1490-1540)
             ebs = self.cfg.eval_batch_size or self._auto_eval_batch_size()
             for b in self._batches(ds, ebs, shuffle=False):
-                _, arrays = step_fn(
-                    self.ts.params, self.frozen_params, self.net_state,
-                    b.images, b.labels,
-                )
-                hstate = hist_update(hstate, arrays["topk_acts"])
+                hstate = hist_update(hstate, batch_acts(b))
             path = os.path.join(
                 out_dir, "activation_histograms",
                 f"{self.run_id}_epoch_{epoch}.png",
@@ -660,10 +705,10 @@ class Pipeline:
             plot_histograms(
                 hstate, units, path,
                 title=f"Histograms of neuron activations, "
-                      f"({self.cfg.sae_layer}, sae), epoch {epoch}",
+                      f"({self.cfg.sae_layer}, {model_key}), epoch {epoch}",
             )
             self.logger.log_figure(
-                f"activation_histograms/{self.cfg.sae_layer}_sae", path, epoch
+                f"activation_histograms/{self.cfg.sae_layer}_{model_key}", path, epoch
             )
         except Exception as e:
             print(f"[eval] activation histograms skipped: {e}")
@@ -674,8 +719,16 @@ class Pipeline:
     # ------------------------------------------------------------------
     def mis_epoch(self, n_mis: int = 20, k_mis: int = 9):
         k = n_mis * (k_mis + 1)
-        return self.eval_modified(
-            epoch=self.cfg.sae_checkpoint_epoch, store=False, on_train_data=True, k=k
+        if self.cfg.use_sae:
+            return self.eval_modified(
+                epoch=self.cfg.sae_checkpoint_epoch, store=False, on_train_data=True, k=k
+            )
+        # original-model MIS collection: same epoch over the backbone layer's
+        # channel-averaged activations (model_pipeline.py:344-345 collects top-k for
+        # the original layer when no SAE is in play)
+        return self.eval_original(
+            epoch=self.cfg.sae_checkpoint_epoch, on_train_data=True, k=k,
+            collect_topk=True,
         )
 
     # ------------------------------------------------------------------
@@ -713,18 +766,81 @@ class Pipeline:
         self.net_state = self.mts.net_state
         return self.mts
 
-    def eval_original(self, epoch: int = 0):
+    @property
+    def _model_topk_eval_step_fn(self):
+        # model eval step that also channel-averages the tapped backbone layer for
+        # top-k collection (built once; cache key includes the layer implicitly
+        # because cfg is immutable per Pipeline)
+        if not hasattr(self, "_model_topk_eval_step_cache"):
+            self._model_topk_eval_step_cache = make_model_eval_step(
+                self.net, self.criterion, topk_layer=self.cfg.sae_layer
+            )
+        return self._model_topk_eval_step_cache
+
+    def eval_original(self, epoch: int = 0, on_train_data: bool = False, k: int = 25,
+                      collect_topk: bool = False, final: bool = False):
+        """Original-model eval epoch (reference mode original_model=True,
+        training=False). With ``collect_topk`` it also streams per-unit top-k/small-k
+        over the channel-averaged activations of the backbone layer named by
+        cfg.sae_layer — the reference's original-model MIS/top-k collection
+        (model_pipeline.py:344-345; sae_layer parameter reuse
+        specify_parameters.py:245-247) — and saves the filename-indices npz that
+        compute_mis_for_run scores."""
         cfg = self.cfg
-        step_fn = self._model_eval_step_fn
+        if collect_topk and self.num_units == 0:
+            raise ValueError(
+                f"Top-k collection needs sae_layer to name a backbone layer "
+                f"(got {cfg.sae_layer!r}; available: {self.net.stage_names})."
+            )
+        step_fn = self._model_topk_eval_step_fn if collect_topk else self._model_eval_step_fn
         params = self.mts.params if hasattr(self, "mts") else self.frozen_params
         net_state = self.mts.net_state if hasattr(self, "mts") else self.net_state
+        ds = self.train_ds if on_train_data else self.val_ds
         sums = None  # device-side sums; one host readback per epoch
         num_batches = 0
-        for b in self._batches(self.val_ds, cfg.batch_size, shuffle=False):
-            m, _, _ = step_fn(params, net_state, b.images, b.labels)
+        freq_sum = None
+        dead_acc = None
+        if collect_topk:
+            top_state = init_topk(k, self.num_units, largest=True)
+            small_state = init_topk(k, self.num_units, largest=False)
+        for b in self._batches(ds, cfg.batch_size, shuffle=False):
+            m, arrays, _ = step_fn(params, net_state, b.images, b.labels)
             num_batches += 1
             sums = m if sums is None else jax.tree.map(jnp.add, sums, m)
-        host = jax.device_get(sums)
-        means = {key: float(v) / num_batches for key, v in host.items()}
+            if collect_topk:
+                freq_sum = arrays["freq"] if freq_sum is None else freq_sum + arrays["freq"]
+                dead_acc = metrics.update_dead_accumulator(dead_acc, arrays["dead"])
+                start_idx = jnp.int32((num_batches - 1) * cfg.batch_size)
+                top_state = update_topk(top_state, arrays["topk_acts"], start_idx, b.indices)
+                small_state = update_topk(small_state, arrays["topk_acts"], start_idx, b.indices)
+        if num_batches == 0:
+            raise ValueError("Empty evaluation dataset")
+        host = jax.device_get(
+            {"sums": sums, "freq_sum": freq_sum, "dead_acc": dead_acc,
+             "top": top_state, "small": small_state}
+            if collect_topk else {"sums": sums}
+        )
+        means = {key: float(v) / num_batches for key, v in host["sums"].items()}
         self.logger.log_eval(epoch, means)
+        if collect_topk:
+            dead_acc, top_state, small_state = (
+                host["dead_acc"], host["top"], host["small"]
+            )
+            freq = np.asarray(host["freq_sum"], np.float64) / num_batches
+            self._channel_frequency_figure(freq, epoch, model_key="original")
+            if final:
+                self._final_eval_figures(
+                    ds, top_state, small_state, dead_acc, epoch, model_key="original"
+                )
+            # per-unit max/min sample indices for MIS (model_pipeline.py:948-961)
+            # + dead-unit mask (:967-979), same contract as eval_modified so
+            # compute_mis_for_run scores original-layer channels unchanged
+            fn_dir = os.path.join(self.paths["evaluation_results"], "filename_indices")
+            os.makedirs(fn_dir, exist_ok=True)
+            np.savez(
+                os.path.join(fn_dir, f"{self.run_id}_epoch_{epoch}.npz"),
+                max_filename_indices=np.asarray(top_state.filename_indices),
+                min_filename_indices=np.asarray(small_state.filename_indices),
+                dead_units=np.asarray(dead_acc),
+            )
         return means

@@ -371,9 +371,19 @@ def make_model_train_step(net: SeqNet, tx: optax.GradientTransformation, criteri
     return step_fn
 
 
-def make_model_eval_step(net: SeqNet, criterion):
+def make_model_eval_step(net: SeqNet, criterion, topk_layer: Optional[str] = None):
     """Eval the original model (reference mode original_model=True, training=False):
-    loss/accuracy plus per-layer dead-unit & sparsity stats of the tapped layer."""
+    loss/accuracy plus per-layer dead-unit & sparsity stats of the tapped layer.
+
+    ``topk_layer`` names a backbone layer whose channel-averaged output is collected
+    for top-k/MIS on the ORIGINAL model's channels — the reference's
+    `original_model=True, mis != "0"` path, which reuses the sae_layer parameter to
+    name a backbone layer (specify_parameters.py:245-247) and collects top-k whenever
+    no SAE is in play (model_pipeline.py:344-345, use_output = output_avg_W_H). When
+    set, ``arrays`` gains 'topk_acts' [B, C], 'freq' [C], 'dead' [C] (expansion
+    factor 1, the reference's original-model sweep convention,
+    specify_parameters.py:236-243) and the full taps dict is dropped from the return
+    (it would pin every intermediate activation in HBM across the eval loop)."""
 
     @jax.jit
     def step_fn(params: dict, net_state: dict, images: jax.Array, labels: jax.Array):
@@ -385,6 +395,13 @@ def make_model_eval_step(net: SeqNet, criterion):
         arrays = {
             "correct": jnp.sum((jnp.argmax(logits, axis=1) == labels).astype(jnp.int32)),
         }
+        if topk_layer is not None:
+            act = taps[topk_layer]
+            dead, _, freq = metrics.measure_inactive_units(act, 1)
+            arrays["topk_acts"] = metrics.spatial_mean(act)
+            arrays["freq"] = freq
+            arrays["dead"] = dead
+            return m, arrays, {}
         return m, arrays, taps
 
     return step_fn

@@ -146,11 +146,11 @@ def test_cached_sae_training_mode(tmp_path):
     assert int(p2.ts.step) > int(p.ts.step)
 
 
-def test_mis_with_original_model_rejected(tmp_path):
-    import pytest
-
-    cfg = _base_cfg(tmp_path, original_model=True, training=False, mis="1")
-    with pytest.raises(ValueError, match="original_model"):
+def test_ie_with_original_model_rejected(tmp_path):
+    """IE stays SAE-only (reference guard specify_parameters.py:229-230); MIS on the
+    original model is supported (see test_mis_original_model_collect_then_score)."""
+    cfg = _base_cfg(tmp_path, original_model=True, training=False, compute_ie="1")
+    with pytest.raises(ValueError, match="original"):
         Pipeline(cfg).run()
     # the CLI validates configs before running them (the reference's sweep guards)
     rc = None
@@ -159,6 +159,55 @@ def test_mis_with_original_model_rejected(tmp_path):
     except ValueError:
         rc = "raised"
     assert rc == "raised"
+
+
+def test_mis_original_model_collect_then_score(tmp_path):
+    """MIS on the ORIGINAL model's channels — the reference's control experiment
+    (specify_parameters.py:245-247 reuses sae_layer to name a backbone layer;
+    model_pipeline.py:344-345 collects top-k when no SAE is in play). Produced the
+    original-mixed3a MIS anchors 0.834/0.804 (visualize_mis.py:24, 119-120)."""
+    # train the original model one epoch so trained weights exist
+    Pipeline(_base_cfg(tmp_path, original_model=True, training=True,
+                       model_epochs=1)).run()
+
+    # mode mis="1": collect per-unit max/min sample indices of the fc1 channels
+    collect_cfg = _base_cfg(tmp_path, original_model=True, training=False, mis="1")
+    p = Pipeline(collect_cfg)
+    p.run()
+    assert p.num_units == 16  # custom_mlp_9 fc1 width
+    fn_dir = os.path.join(p.paths["evaluation_results"], "filename_indices")
+    saved = [f for f in os.listdir(fn_dir) if f.endswith("_epoch_0.npz")]
+    assert saved
+    data = np.load(os.path.join(fn_dir, saved[0]))
+    assert data["max_filename_indices"].shape == (200, 16)  # n_mis*(k_mis+1) x units
+    assert (data["max_filename_indices"] >= 0).all()
+    assert data["dead_units"].shape == (16,)
+
+    # mode mis="2": score the original layer's channels
+    score_cfg = _base_cfg(tmp_path, original_model=True, training=False, mis="2")
+    p2 = Pipeline(score_cfg)
+    result = p2.run()
+    assert 0.0 <= result["median_mis"] <= 1.0
+    assert len(result["per_unit"]) == 16
+    mis_dir = os.path.join(p2.paths["evaluation_results"], "MIS")
+    assert os.listdir(mis_dir)
+
+
+def test_eval_original_final_figures(tmp_path):
+    """Standalone original-model eval with a named layer is its own last epoch:
+    top-k grids + activation histograms + frequency histogram over that layer's
+    channels (record_top_samples semantics for (layer, 'original'))."""
+    cfg = _base_cfg(tmp_path, original_model=True, training=False)
+    p = Pipeline(cfg)
+    means = p.run()
+    assert "accuracy" in means
+    res = p.paths["evaluation_results"]
+    assert any(f.endswith(".png") for f in
+               os.listdir(os.path.join(res, "top_k_samples")))
+    assert any(f.endswith(".png") for f in
+               os.listdir(os.path.join(res, "activation_histograms")))
+    assert any(f.endswith(".png") for f in
+               os.listdir(os.path.join(res, "channel_frequency_histograms")))
 
 
 def test_registry_checkpoint_contract(tmp_path):
