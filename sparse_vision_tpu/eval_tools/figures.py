@@ -8,6 +8,10 @@ scripts with hardcoded result values:
                                      the reference hardcodes the numbers at :29-87)
 - pixel- vs channel-sparsity         comparing_pixel_and_channel_sparsity.py
 - class-count dataset audits         class_*.py (per-class counts/ratios)
+- dead-unit-adjusted MIS             mis_adjust_for_dead_units.py (mean/median with
+                                     dead units' rows removed)
+- reinit-adjusted MIS                compute_mis_adjust_for_reinit_neurons.py (per-
+                                     epoch medians with re-initialized units dropped)
 """
 
 from __future__ import annotations
@@ -128,6 +132,84 @@ def plot_pixel_vs_channel_sparsity(
     ax.legend()
     fig.tight_layout()
     return _save(fig, path)
+
+
+def _load_mis_frame(mis_csv, layer_name: str | None):
+    """Per-unit MIS CSV -> frame, filtered to ``layer_name`` rows excluding
+    'bottleneck' variants like the reference (mis_adjust_for_dead_units.py:47-48,
+    compute_mis.py:20-22)."""
+    import pandas as pd
+
+    df = pd.read_csv(mis_csv) if isinstance(mis_csv, str) else mis_csv.copy()
+    if layer_name:
+        df = df[
+            df["layer_name"].astype(str).str.contains(layer_name)
+            & ~df["layer_name"].astype(str).str.contains("bottleneck")
+        ].reset_index(drop=True)
+    return df
+
+
+def _as_positions(indices) -> np.ndarray:
+    idx = np.asarray(indices)
+    return np.flatnonzero(idx) if idx.dtype == bool else idx.astype(np.int64)
+
+
+def mis_adjusted_for_dead_units(
+    mis_csv, dead_units, layer_name: str | None = None
+) -> dict:
+    """Dead-unit-adjusted MIS aggregation (mis_adjust_for_dead_units.py:1-109):
+    mean/median of MIS_confidence before removal, after dropping dead units' rows,
+    and over the dead units alone.
+
+    ``mis_csv``: per-unit MIS CSV path or frame (the compute_mis output);
+    ``dead_units``: bool mask or index array of dead units (the filename-indices
+    npz's 'dead_units' entry). Indices are POSITIONS within the (layer-filtered)
+    frame — the reference mixes .iloc and label-based .drop (:53-54), identical when
+    the file holds one layer; here both selections are positional."""
+    df = _load_mis_frame(mis_csv, layer_name)
+    dead = _as_positions(dead_units)
+    conf = df["MIS_confidence"]
+    dead_rows = conf.iloc[dead]
+    alive_rows = conf.drop(conf.index[dead])
+    return {
+        "n_dead": int(len(dead)),
+        "n_units": int(len(conf)),
+        "average_before": float(conf.mean()),
+        "median_before": float(conf.median()),
+        "average_after": float(alive_rows.mean()) if len(alive_rows) else None,
+        "median_after": float(alive_rows.median()) if len(alive_rows) else None,
+        "average_dead": float(dead_rows.mean()) if len(dead_rows) else None,
+        "median_dead": float(dead_rows.median()) if len(dead_rows) else None,
+    }
+
+
+def adjusted_median_mis(mis_csv, drop_indices, layer_name: str | None = None) -> float:
+    """Median MIS_confidence after dropping the given units' rows — the per-epoch core
+    of the reinit-adjusted aggregation (compute_mis_adjust_for_reinit_neurons.py:
+    84-105: read per-unit CSV, drop re-initialized neurons' indices, median of the
+    remaining MIS_confidence values)."""
+    df = _load_mis_frame(mis_csv, layer_name)
+    drop = _as_positions(drop_indices)
+    conf = df["MIS_confidence"].drop(df.index[drop])
+    return float(conf.median())
+
+
+def mis_adjusted_series(
+    mis_csvs: Mapping[int, str], drop_indices_by_epoch: Mapping[int, "np.ndarray"],
+    layer_name: str | None = None,
+) -> dict[int, float]:
+    """Reinit-adjusted median-MIS-over-epochs series: per epoch, drop that epoch's
+    re-initialized (or dead) units and take the median
+    (compute_mis_adjust_for_reinit_neurons.py:66-113 loop). Epochs without an index
+    file keep the unadjusted median. Feed the result to plot_mis_over_epochs for the
+    reference's adjusted-median figure (:116-137)."""
+    out: dict[int, float] = {}
+    for epoch, csv_path in mis_csvs.items():
+        drop = drop_indices_by_epoch.get(epoch)
+        out[epoch] = adjusted_median_mis(
+            csv_path, drop if drop is not None else np.zeros(0, np.int64), layer_name
+        )
+    return out
 
 
 def class_counts(labels: np.ndarray, num_classes: int) -> np.ndarray:

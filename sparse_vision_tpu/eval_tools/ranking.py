@@ -102,7 +102,17 @@ def evaluate_sweep_config(cfg) -> dict:
             f"No results CSV at {csv_path} — run the training sweep first"
         )
     rank_path = os.path.join(folder, "sae_rank_table.csv")
-    compute_sae_ranking(csv_path, rank_path)
+    df = compute_sae_ranking(csv_path, rank_path)
+    if getattr(cfg, "wandb_status", False):
+        # the reference logs the rank table as a wandb.Table keyed by the sweep's
+        # parameter string (evaluation.py:62-63)
+        from sparse_vision_tpu.utils.logging import RunLogger
+        from sparse_vision_tpu.utils.paths import run_id
+
+        rid = run_id(cfg)
+        logger = RunLogger(f"{rid}_evaluation", use_wandb=True)
+        logger.log_table(f"sae_eval_results/{rid}", df)
+        logger.finish()
     p1 = plot_rec_loss_vs_sparsity(csv_path, os.path.join(folder, "pareto.png"))
     p2 = plot_rec_loss_vs_sparsity_all_epochs(
         csv_path, os.path.join(folder, "pareto_all_epochs.png")

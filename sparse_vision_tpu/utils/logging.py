@@ -55,6 +55,15 @@ class RunLogger:
         if self.wandb is not None:
             self.wandb.log({f"eval/{name}": self.wandb.Image(fig), "epoch": epoch})
 
+    def log_table(self, name: str, df) -> None:
+        """Log a dataframe as a wandb.Table under eval/<name> (the reference logs the
+        SAE rank table this way, evaluation.py:62-63; commit=False like the
+        reference — the table flushes with the next commit or on finish())."""
+        if self.wandb is not None:
+            self.wandb.log(
+                {f"eval/{name}": self.wandb.Table(dataframe=df)}, commit=False
+            )
+
     def finish(self) -> None:
         if self.wandb is not None:
             self.wandb.finish()

@@ -118,3 +118,95 @@ def test_gather_topk_images_empty_unit():
     out = viz.gather_topk_images(ds, topk_idx, units=[0, 1])
     assert out[0].shape == (0, 28, 28, 1)
     assert out[1].shape[0] == 2
+
+
+def _mis_csv(tmp_path, confs):
+    import csv
+
+    path = str(tmp_path / "mis.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["unit_idx", "MIS", "MIS_confidence",
+                                          "layer_name"])
+        w.writeheader()
+        for i, c in enumerate(confs):
+            w.writerow({"unit_idx": i, "MIS": (c + 1) / 2, "MIS_confidence": c,
+                        "layer_name": "mixed3a"})
+    return path
+
+
+def test_mis_adjusted_for_dead_units(tmp_path):
+    """mis_adjust_for_dead_units.py:1-109 semantics: mean/median before, after
+    dropping dead rows, and over the dead rows alone."""
+    confs = [0.9, 0.8, 0.1, 0.7, 0.2]  # units 2 and 4 dead with low MIS
+    path = _mis_csv(tmp_path, confs)
+    dead_mask = np.array([False, False, True, False, True])
+    out = figures.mis_adjusted_for_dead_units(path, dead_mask, layer_name="mixed3a")
+    assert out["n_dead"] == 2 and out["n_units"] == 5
+    np.testing.assert_allclose(out["average_before"], np.mean(confs))
+    np.testing.assert_allclose(out["median_before"], np.median(confs))
+    np.testing.assert_allclose(out["average_after"], np.mean([0.9, 0.8, 0.7]))
+    np.testing.assert_allclose(out["median_after"], 0.8)
+    np.testing.assert_allclose(out["average_dead"], np.mean([0.1, 0.2]))
+    # index-array input agrees with the mask input
+    out2 = figures.mis_adjusted_for_dead_units(path, np.array([2, 4]))
+    assert out2 == out
+
+
+def test_mis_adjusted_layer_filter_excludes_bottleneck(tmp_path):
+    import csv
+
+    path = str(tmp_path / "mis.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["unit_idx", "MIS", "MIS_confidence",
+                                          "layer_name"])
+        w.writeheader()
+        w.writerow({"unit_idx": 0, "MIS": 0.9, "MIS_confidence": 0.8,
+                    "layer_name": "mixed3a"})
+        w.writerow({"unit_idx": 1, "MIS": 0.2, "MIS_confidence": 0.1,
+                    "layer_name": "mixed3a_bottleneck"})  # excluded (reference :47-48)
+        w.writerow({"unit_idx": 2, "MIS": 0.5, "MIS_confidence": 0.4,
+                    "layer_name": "mixed3b"})  # excluded by layer filter
+    out = figures.mis_adjusted_for_dead_units(path, np.zeros(0, np.int64),
+                                              layer_name="mixed3a")
+    assert out["n_units"] == 1
+    np.testing.assert_allclose(out["median_before"], 0.8)
+
+
+def test_reinit_adjusted_median_series(tmp_path):
+    """compute_mis_adjust_for_reinit_neurons.py:84-113: per-epoch medians with
+    re-initialized units dropped; epochs without indices keep the raw median."""
+    p1 = _mis_csv(tmp_path, [0.9, 0.1, 0.8])
+    np.testing.assert_allclose(figures.adjusted_median_mis(p1, np.array([1])), 0.85)
+    series = figures.mis_adjusted_series(
+        {1: p1, 2: p1}, {2: np.array([1])}
+    )
+    np.testing.assert_allclose(series[1], 0.8)  # unadjusted median
+    np.testing.assert_allclose(series[2], 0.85)
+
+
+def test_run_logger_log_table():
+    """log_table forwards a dataframe as wandb.Table under eval/ with commit=False
+    (reference evaluation.py:62-63)."""
+    import pandas as pd
+
+    from sparse_vision_tpu.utils.logging import RunLogger
+
+    calls = []
+
+    class FakeWandb:
+        class Table:
+            def __init__(self, dataframe):
+                self.df = dataframe
+
+        @staticmethod
+        def log(payload, commit=True):
+            calls.append((payload, commit))
+
+    logger = RunLogger.__new__(RunLogger)
+    logger.wandb = FakeWandb
+    df = pd.DataFrame({"a": [1, 2]})
+    logger.log_table("sae_eval_results/run", df)
+    (payload, commit), = calls
+    assert commit is False
+    assert list(payload) == ["eval/sae_eval_results/run"]
+    assert payload["eval/sae_eval_results/run"].df.equals(df)
