@@ -360,6 +360,52 @@ def fetch_images(dataset, indices) -> np.ndarray:
     return np.stack([dataset.decode_fn(dataset.paths[i]) for i in idx])
 
 
+def fetch_images_batches(
+    dataset, indices, batch_size: int, workers: Optional[int] = None
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Chunked random-access fetch with thread-pool decode and a 2-chunk lookahead —
+    the input-pipeline treatment for passes that embed an arbitrary index set (the
+    MIS embedding pass): same decode-parallel pattern as LazyImageDataset.batches,
+    but over explicit indices instead of an epoch order.
+
+    Yields ``(chunk_indices [b], images [b, H, W, C])``; the final chunk may be
+    shorter."""
+    idx = [int(i) for i in indices]
+    chunks = [idx[s : s + batch_size] for s in range(0, len(idx), batch_size)]
+    if hasattr(dataset, "images"):  # in-memory arrays: no decode cost to hide
+        for c in chunks:
+            a = np.asarray(c, np.int64)
+            yield a, dataset.images[a]
+        return
+    get = (
+        dataset.get_image
+        if hasattr(dataset, "get_image")
+        else (lambda i: dataset.decode_fn(dataset.paths[i]))
+    )
+    w = _auto_workers(workers)
+    if w == 0:
+        for c in chunks:
+            yield np.asarray(c, np.int64), np.stack([get(i) for i in c])
+        return
+    lookahead = 2
+    ex = ThreadPoolExecutor(max_workers=w)
+    try:
+        pending: deque = deque(
+            (c, [ex.submit(get, i) for i in c]) for c in chunks[: 1 + lookahead]
+        )
+        for b in range(len(chunks)):
+            c, futs = pending.popleft()
+            imgs = np.stack([f.result() for f in futs])
+            nxt = b + 1 + lookahead
+            if nxt < len(chunks):
+                pending.append(
+                    (chunks[nxt], [ex.submit(get, i) for i in chunks[nxt]])
+                )
+            yield np.asarray(c, np.int64), imgs
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
+
+
 class _Done:
     """Pre-resolved stand-in for a Future (synchronous decode, workers=0)."""
 

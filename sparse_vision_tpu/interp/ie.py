@@ -88,18 +88,20 @@ def build_engine(pipeline) -> CircuitEngine:
 
 def _batches(pipeline):
     """IE uses the train dataset (compute_ie.py:49-51), labels translated for
-    GoogLeNet's old-convention ids (utils.py:2072-2122) when on ImageNet."""
+    GoogLeNet's old-convention ids (utils.py:2072-2122) when on ImageNet.
+
+    Batches route through the Pipeline's decode-parallel + device-prefetch path
+    (pipeline._batches: thread-pool decode per cfg.data_workers, one batch staged
+    ahead) so all four IE passes overlap host decode/transfer with device compute
+    instead of paying it serially per batch."""
     cfg = pipeline.cfg
     translate = (
         cfg.model_name in ("inceptionv1", "googlenet") and cfg.dataset_name == "imagenet"
     )
-    for batch in pipeline.train_ds.batches(cfg.sae_batch_size, shuffle=False):
-        b = pipeline._put(batch)
-        labels = b.labels
-        if translate:
-            from sparse_vision_tpu.data.labels import remap_torch_to_tf_labels
-
-            labels = remap_torch_to_tf_labels(labels)
+    if translate:
+        from sparse_vision_tpu.data.labels import remap_torch_to_tf_labels
+    for b in pipeline._batches(pipeline.train_ds, cfg.sae_batch_size, shuffle=False):
+        labels = remap_torch_to_tf_labels(b.labels) if translate else b.labels
         yield b.images, labels
 
 

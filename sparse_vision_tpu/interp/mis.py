@@ -123,7 +123,6 @@ def compute_mis_for_run(pipeline, n_mis: int = 20, k_mis: int = 9):
     the reference requires are unavailable, utils.py:2251-2255), write the per-unit CSV
     and record the layer median into the run's results row."""
     import jax
-    import jax.numpy as jnp
 
     from sparse_vision_tpu.eval_tools import results as results_store
     from sparse_vision_tpu.ops.metrics import spatial_mean
@@ -152,9 +151,8 @@ def compute_mis_for_run(pipeline, n_mis: int = 20, k_mis: int = 9):
     needed = sorted(set(max_idx.ravel().tolist()) | set(min_idx.ravel().tolist()))
     needed = [i for i in needed if i >= 0]  # drop top-k sentinel rows
 
-    from sparse_vision_tpu.data.datasets import fetch_images
-
-    imgs = fetch_images(pipeline.train_ds, needed)
+    from sparse_vision_tpu.data.datasets import Batch, fetch_images_batches
+    from sparse_vision_tpu.data.prefetch import prefetch
 
     @jax.jit
     def embed(x):
@@ -163,13 +161,20 @@ def compute_mis_for_run(pipeline, n_mis: int = 20, k_mis: int = 9):
         )
         return spatial_mean(taps[penult])
 
+    # decode-parallel chunk fetch (cfg.data_workers thread pool) + one chunk staged
+    # on device ahead of the embed dispatch — the same input-pipeline treatment as
+    # every Pipeline epoch loop, instead of serial decode -> transfer -> embed
+    def _chunks():
+        for chunk_idx, imgs in fetch_images_batches(
+            pipeline.train_ds, needed, 64, workers=cfg.data_workers
+        ):
+            yield Batch(imgs, chunk_idx, chunk_idx.astype(np.int32))
+
     embs = {}
-    bs = 64
-    for s in range(0, len(needed), bs):
-        chunk = jnp.asarray(imgs[s : s + bs])
-        e = np.asarray(embed(chunk))
-        for local, ds_idx in enumerate(needed[s : s + bs]):
-            embs[ds_idx] = e[local]
+    for b in prefetch(_chunks(), None):
+        e = np.asarray(embed(b.images))
+        for local, ds_idx in enumerate(np.asarray(b.indices)):
+            embs[int(ds_idx)] = e[local]
 
     out_csv = os.path.join(
         pipeline.paths["evaluation_results"], "MIS",

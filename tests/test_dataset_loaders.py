@@ -128,3 +128,34 @@ def test_imagenet_imagefolder_layout_and_transform(tmp_path):
     # explicit class filter (the reference's flamingo artifact as an opt-in)
     only = D.load_imagenet(str(tmp_path), "train", class_filter="n01443537")
     assert len(only) == 2 and set(only.labels.tolist()) == {1}
+
+
+def test_fetch_images_batches_lazy_and_memory(tmp_path):
+    """fetch_images_batches yields the same images as fetch_images, chunked, with
+    decode parallelized (the MIS embedding pass's input pipeline)."""
+    root = tmp_path / "imagenet" / "train"
+    w = "n01440764"
+    (root / w).mkdir(parents=True)
+    for i in range(7):
+        _png(root / w / f"{w}_{i}.JPEG", (240, 240), (10 * i, 0, 0))
+    (tmp_path / "imagenet" / "val").mkdir()
+
+    ds = D.load_imagenet(str(tmp_path), "train")  # LazyImageDataset
+    want = [5, 0, 3, 6, 1]
+    ref = D.fetch_images(ds, want)
+    for workers in (0, 2):
+        got_idx, got = [], []
+        for ci, imgs in D.fetch_images_batches(ds, want, 2, workers=workers):
+            got_idx.extend(ci.tolist())
+            got.append(imgs)
+        assert got_idx == want
+        assert [a.shape[0] for a in got] == [2, 2, 1]  # final chunk shorter
+        np.testing.assert_array_equal(np.concatenate(got), ref)
+
+    # in-memory branch
+    class Mem:
+        images = np.arange(5 * 2 * 2 * 1, dtype=np.float32).reshape(5, 2, 2, 1)
+
+    (ci,), (imgs,) = zip(*D.fetch_images_batches(Mem(), [4, 2, 0], 3))
+    np.testing.assert_array_equal(ci, [4, 2, 0])
+    np.testing.assert_array_equal(imgs, Mem.images[[4, 2, 0]])
