@@ -204,6 +204,37 @@ def main() -> int:
         extrapolated_total_v5e8_s=round((dump_1chip_s + train_1chip_s) / 8, 1),
         decode_imgs_per_s_per_core=round(decode_per_core, 1),
     )
+    # ---- G. (opt-in) dump/train overlap: combined-phase wall time ------------
+    # NORTHSTAR_OVERLAP=1 reruns dump+first-epoch with overlap_dump_train=True in a
+    # fresh run dir and reports the combined wall time against the sequential
+    # dump-then-epoch sum measured above (VERDICT r2 #6). Compiles are warm (same
+    # jitted graphs + persistent cache), so the delta is the overlap saving.
+    if os.environ.get("NORTHSTAR_OVERLAP"):
+        import dataclasses
+        import shutil as _sh
+
+        ovl_runs = os.path.join(WORK, "runs_overlap")
+        _sh.rmtree(ovl_runs, ignore_errors=True)
+        ovl_cfg = dataclasses.replace(
+            cfg, directory_path=ovl_runs, sae_epochs=1, overlap_dump_train=True
+        )
+        t0 = time.perf_counter()
+        pipe2 = plmod.Pipeline(ovl_cfg)
+        eval_time["s"] = 0.0
+        pipe2.run()
+        t_ovl_total = time.perf_counter() - t0
+        t_ovl_compute = t_ovl_total - eval_time["s"]
+        seq_equiv = t_dump + (t_train / EPOCHS)  # sequential dump + one epoch
+        report.update(
+            t_overlap_dump_plus_epoch_s=round(t_ovl_compute, 1),
+            t_sequential_dump_plus_epoch_s=round(seq_equiv, 1),
+            overlap_saving_s=round(seq_equiv - t_ovl_compute, 1),
+        )
+        print(
+            f"overlap: dump+epoch combined {t_ovl_compute:.1f}s vs sequential "
+            f"{seq_equiv:.1f}s (saving {seq_equiv - t_ovl_compute:.1f}s)"
+        )
+
     print(json.dumps(report))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "docs", "northstar_v5e.json")

@@ -136,6 +136,12 @@ class RunConfig:
     # ImageNet path (data/activation_cache.py)
     use_activation_cache: bool = False
     cache_tokens_per_step: int = 4096
+    # overlap the activation dump with the FIRST training epoch: training consumes
+    # each cache shard as soon as its atomic write completes while the dump keeps
+    # writing later shards (on-disk cache stays byte-identical; the streamed epoch
+    # runs in dump order instead of shuffled). Sequential dump-then-train remains
+    # the default for reproducibility.
+    overlap_dump_train: bool = False
     # image-decode worker threads: -1 auto (min(16, cpus)), 0 synchronous — the
     # reference uses 5-8 DataLoader workers (utils.py:354, 540-547)
     data_workers: int = -1

@@ -54,6 +54,7 @@ def dump_activations(
     seed: int = 0,
     workers: Optional[int] = None,
     sharding=None,
+    shard_queue: Optional[queue.Queue] = None,
 ) -> dict:
     """Run the frozen backbone over ``dataset``, flatten the tapped layer to tokens
     ([B, H, W, C] -> [B*H*W, C]), and write fixed-size shards. Returns the meta dict.
@@ -67,7 +68,14 @@ def dump_activations(
     ``sharding`` (a NamedSharding over a 'data' mesh axis) runs the tap pass
     data-parallel over every chip: image batches are placed sharded, the jitted
     forward partitions via GSPMD, and tokens gather to host for the shard writer
-    (batch_size must divide by the data-axis size)."""
+    (batch_size must divide by the data-axis size).
+
+    ``shard_queue``: each finished shard's path is put on this queue as soon as its
+    atomic write completes — the dump/train overlap hook (stream_stacks consumes
+    shards while later ones are still being written). Shard files are always
+    published via temp-file + os.replace, so a path on the queue (or visible to a
+    directory listing) is always a complete shard; bytes are identical to the
+    sequential mode's."""
     from sparse_vision_tpu.data.prefetch import prefetch
     from sparse_vision_tpu.models.sae import tokens_from_act
 
@@ -111,7 +119,13 @@ def dump_activations(
                     got = take
             # force C order: device->host arrays can come back F-contiguous
             arr = np.ascontiguousarray(np.concatenate(chunk, axis=0))
-            np.save(os.path.join(out_dir, f"acts_{shard_idx:05d}.npy"), _to_storage(arr))
+            path = os.path.join(out_dir, f"acts_{shard_idx:05d}.npy")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, _to_storage(arr))
+            os.replace(tmp, path)  # atomic publish: readers never see partial shards
+            if shard_queue is not None:
+                shard_queue.put(path)
             shard_idx += 1
             total += arr.shape[0]
             buf = rest
@@ -146,6 +160,46 @@ def dump_activations(
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     return meta
+
+
+def stream_stacks(
+    shard_queue: queue.Queue,
+    tokens_per_step: int,
+    k: int,
+    logical_dtype: str = "float32",
+) -> Iterator[np.ndarray]:
+    """Yield [k', tokens_per_step, C] scan stacks from shard paths arriving on
+    ``shard_queue`` WHILE the dump is still writing later shards — the dump/train
+    overlap consumer (VERDICT r2 #6: train on shard i while the dump flushes i+1).
+
+    Queue items: a shard path (complete, atomically published by dump_activations),
+    ``None`` = dump finished, a BaseException = dump failed (re-raised here, same
+    error-forwarding contract as the prefetch readers). Remainder tokens carry
+    across shards; trailing partial steps are dropped (drop_last, matching
+    ActivationCache.batches). Order is dump order — the streamed first epoch has no
+    shard shuffle; later epochs read the completed cache with the usual shuffle."""
+    block = tokens_per_step * k
+    rem: Optional[np.ndarray] = None
+    while True:
+        item = shard_queue.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        arr = _from_storage(np.load(item, mmap_mode="r"), logical_dtype)
+        if rem is not None and rem.shape[0]:
+            # only the final (short) shard leaves a remainder when shard_tokens is a
+            # multiple of the block, so this concat copy is rare
+            arr = np.concatenate([rem, np.asarray(arr)], axis=0)
+        n_full = arr.shape[0] // block
+        for s in range(0, n_full * block, block):
+            yield np.asarray(arr[s : s + block]).reshape(k, tokens_per_step, -1)
+        rem = np.array(arr[n_full * block :])
+    if rem is not None and rem.shape[0] >= tokens_per_step:
+        n_steps = rem.shape[0] // tokens_per_step
+        yield rem[: n_steps * tokens_per_step].reshape(
+            n_steps, tokens_per_step, -1
+        )
 
 
 class ActivationCache:

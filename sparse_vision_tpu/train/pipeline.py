@@ -290,21 +290,51 @@ class Pipeline:
         cache_dir = os.path.join(
             self.paths["evaluation_results"], "activation_cache", cfg.sae_layer
         )
+        dump_kwargs = dict(
+            batch_size=cfg.sae_batch_size,
+            workers=cfg.data_workers,
+            # shards sized to a MULTIPLE of the scan dispatch block so
+            # training reads zero-copy stacks (stacks alignment rule holds for
+            # any cache_tokens_per_step, not just power-of-two ones)
+            shard_tokens=(scan_k * cfg.cache_tokens_per_step)
+            * max(1, -(-(1 << 16) // (scan_k * cfg.cache_tokens_per_step))),
+            # multi-chip: the tap pass shards images over the 'data' axis
+            sharding=self.batch_sharding,
+        )
+        stream_q = None  # non-None -> the FIRST epoch consumes shards as they land
+        dump_thread = None
         if not os.path.exists(os.path.join(cache_dir, "meta.json")):
-            print(f"Building activation cache at {cache_dir} ...")
-            dump_activations(
-                self.net, self.frozen_params, self.net_state, self.train_ds,
-                cfg.sae_layer, cache_dir, batch_size=cfg.sae_batch_size,
-                workers=cfg.data_workers,
-                # shards sized to a MULTIPLE of the scan dispatch block so
-                # training reads zero-copy stacks (stacks alignment rule holds for
-                # any cache_tokens_per_step, not just power-of-two ones)
-                shard_tokens=(scan_k * cfg.cache_tokens_per_step)
-                * max(1, -(-(1 << 16) // (scan_k * cfg.cache_tokens_per_step))),
-                # multi-chip: the tap pass shards images over the 'data' axis
-                sharding=self.batch_sharding,
-            )
-        cache = ActivationCache(cache_dir)
+            if cfg.overlap_dump_train and cfg.sae_epochs > cfg.sae_checkpoint_epoch:
+                # dump/train overlap: the dump runs on a background thread and
+                # publishes each shard path as its atomic write completes; epoch 0
+                # trains from those shards in dump order (stream_stacks). The
+                # on-disk cache is byte-identical to the sequential mode's.
+                import queue as _queue
+                import threading as _threading
+
+                print(f"Building activation cache at {cache_dir} (overlapped) ...")
+                stream_q = _queue.Queue()
+
+                def _dump_producer(q=stream_q):
+                    try:
+                        dump_activations(
+                            self.net, self.frozen_params, self.net_state,
+                            self.train_ds, cfg.sae_layer, cache_dir,
+                            shard_queue=q, **dump_kwargs,
+                        )
+                        q.put(None)
+                    except BaseException as e:  # forwarded to the training loop
+                        q.put(e)
+
+                dump_thread = _threading.Thread(target=_dump_producer, daemon=True)
+                dump_thread.start()
+            else:
+                print(f"Building activation cache at {cache_dir} ...")
+                dump_activations(
+                    self.net, self.frozen_params, self.net_state, self.train_ds,
+                    cfg.sae_layer, cache_dir, **dump_kwargs,
+                )
+        cache = None if stream_q is not None else ActivationCache(cache_dir)
         tps = cfg.cache_tokens_per_step
         from sparse_vision_tpu.ops.fused_sae import can_fuse
 
@@ -386,12 +416,22 @@ class Pipeline:
         last_eval = None
         self.eval_modified(epoch=start, store=False)
         for epoch in range(start, cfg.sae_epochs):
+            if stream_q is not None and epoch == start:
+                # overlapped first epoch: consume shards as the dump publishes them
+                from sparse_vision_tpu.data.activation_cache import stream_stacks
+
+                stacks_it = stream_stacks(stream_q, tps, scan_k)
+            else:
+                if cache is None:  # dump finished during the streamed epoch
+                    dump_thread.join()
+                    cache = ActivationCache(cache_dir)
+                stacks_it = cache.stacks(
+                    tps, scan_k, shuffle=True, seed=cfg.seed + epoch
+                )
             with maybe_profile(cfg.profile_dir or None):
                 # stacks are zero-copy shard views when scan_k*tps divides the
                 # shard size (ActivationCache.stacks) — no per-dispatch np.stack
-                for stack_arr in cache.stacks(
-                    tps, scan_k, shuffle=True, seed=cfg.seed + epoch
-                ):
+                for stack_arr in stacks_it:
                     if stack_arr.shape[0] == scan_k:
                         self.ts, ms = multi_fn(
                             self.ts, _put_tokens(np.asarray(stack_arr), 1)

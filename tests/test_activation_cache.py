@@ -152,3 +152,77 @@ def test_stacks_aligned_path_short_last_shard(tmp_path):
     for s in stacked:
         arr = np.asarray(s)
         assert arr.dtype == ref.dtype
+
+
+def test_stream_stacks_matches_sequential(tmp_path):
+    """stream_stacks over queued shard paths yields exactly the cache's tokens in
+    dump order, with remainder carry across shards and drop_last at the tail."""
+    import queue
+
+    from sparse_vision_tpu.data.activation_cache import stream_stacks
+
+    cache = _make_cache(tmp_path, n_shards=3, tokens=64, dim=8)
+    q = queue.Queue()
+    for p in cache.shard_paths:
+        q.put(p)
+    q.put(None)
+    # tps=16, k=2 -> block=32 divides 64: zero-copy whole-shard path
+    stacks = list(stream_stacks(q, 16, 2))
+    got = np.concatenate([s.reshape(-1, 8) for s in stacks])
+    want = np.concatenate([np.load(p) for p in cache.shard_paths])
+    np.testing.assert_array_equal(got, want)
+
+    # tps=24, k=2 -> block=48: remainder 16 tokens carries into the next shard;
+    # 192 total tokens -> 4 full stacks of 48 (192 = 4*48), no tail
+    q2 = queue.Queue()
+    for p in cache.shard_paths:
+        q2.put(p)
+    q2.put(None)
+    stacks = list(stream_stacks(q2, 24, 2))
+    got = np.concatenate([s.reshape(-1, 8) for s in stacks])
+    np.testing.assert_array_equal(got, want[: got.shape[0]])
+    assert got.shape[0] == 192
+
+
+def test_stream_stacks_forwards_producer_error(tmp_path):
+    import queue
+
+    from sparse_vision_tpu.data.activation_cache import stream_stacks
+
+    q = queue.Queue()
+    q.put(RuntimeError("dump died"))
+    with pytest.raises(RuntimeError, match="dump died"):
+        list(stream_stacks(q, 16, 2))
+
+
+def test_overlap_dump_train_pipeline(tmp_path):
+    """overlap_dump_train=True trains the first epoch while the dump writes, leaves a
+    byte-identical cache on disk, and later epochs read the completed cache."""
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    def cfg(d, **kw):
+        return RunConfig(
+            model_name="custom_mlp_9", sae_layer="fc1", dataset_name="synthetic",
+            directory_path=str(d), sae_epochs=2, sae_batch_size=64, batch_size=64,
+            dead_neurons_steps=100, use_activation_cache=True,
+            cache_tokens_per_step=512, log_every=1000, **kw,
+        )
+
+    p_seq = Pipeline(cfg(tmp_path / "seq"))
+    p_seq.run()
+    p_ovl = Pipeline(cfg(tmp_path / "ovl", overlap_dump_train=True))
+    p_ovl.run()
+    assert int(p_ovl.ts.step) == int(p_seq.ts.step) > 0
+
+    def cache_dir(p):
+        return os.path.join(p.paths["evaluation_results"], "activation_cache", "fc1")
+
+    seq_dir, ovl_dir = cache_dir(p_seq), cache_dir(p_ovl)
+    shards = sorted(f for f in os.listdir(seq_dir) if f.endswith(".npy"))
+    assert shards == sorted(f for f in os.listdir(ovl_dir) if f.endswith(".npy"))
+    for f in shards:
+        a = open(os.path.join(seq_dir, f), "rb").read()
+        b = open(os.path.join(ovl_dir, f), "rb").read()
+        assert a == b, f"shard {f} differs between sequential and overlapped dump"
+    assert not any(f.endswith(".tmp") for f in os.listdir(ovl_dir))
