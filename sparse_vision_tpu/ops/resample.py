@@ -115,3 +115,91 @@ def resample_dead_neurons(
         fix_state, opt_state, is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState)
     )
     return new_params, new_opt_state
+
+
+def resample_dead_neurons_tp(
+    params: dict,
+    opt_state,
+    dead_mask: jax.Array,  # bool [h_local], True = dead — the chip's latent shard
+    key: jax.Array,  # REPLICATED across the mesh
+    n_model: int,
+    model_axis: str = "model",
+) -> tuple[dict, object]:
+    """resample_dead_neurons under a 'model'-sharded latent axis (shard_map body).
+
+    Exact-parity construction: every chip draws the FULL global Kaiming matrices
+    from the replicated key (the reference normalizes the decoder draw per act-dim
+    row ACROSS the whole latent axis, resample_dead_neurons:87-88 — a global-h
+    operation — so a per-shard draw could not match anyway; at production shapes the
+    full draw is ~tens of MB, once every 2n steps) and slices its own latent rows,
+    while the live-latent statistics psum over ``model_axis``. With the same key and
+    dead mask this reproduces the single-device surgery bit-for-bit per shard
+    (tests/test_tensor_parallel.py pins it across a resample boundary)."""
+    w_enc, b_enc, w_dec = params["W_enc"], params["b_enc"], params["W_dec"]
+    d, h_l = w_enc.shape
+    h_g = h_l * n_model
+    live = ~dead_mask
+    n_live_g = jnp.maximum(jax.lax.psum(jnp.sum(live), model_axis), 1)
+    any_live = jax.lax.psum(jnp.sum(live.astype(jnp.int32)), model_axis) > 0
+
+    k_enc, k_dec = jax.random.split(key)
+    k_idx = jax.lax.axis_index(model_axis)
+
+    # --- encoder weights ---
+    enc_norms = jnp.linalg.norm(w_enc, axis=0)  # [h_l]
+    avg_l2_enc = jnp.where(
+        any_live,
+        jax.lax.psum(jnp.sum(jnp.where(live, enc_norms, 0.0)), model_axis) / n_live_g,
+        1.0,
+    )
+    new_enc_t = kaiming_uniform(k_enc, (h_g, d), fan_in=d, dtype=w_enc.dtype)
+    new_enc_t = new_enc_t / jnp.linalg.norm(new_enc_t, axis=1, keepdims=True) * avg_l2_enc
+    new_enc_t = jax.lax.dynamic_slice_in_dim(new_enc_t, k_idx * h_l, h_l, 0)
+    new_w_enc = jnp.where(dead_mask[None, :], new_enc_t.T, w_enc)
+
+    # --- encoder bias ---
+    avg_abs_b = jnp.where(
+        any_live,
+        jax.lax.psum(jnp.sum(jnp.where(live, jnp.abs(b_enc), 0.0)), model_axis)
+        / n_live_g,
+        0.0,
+    )
+    new_b_enc = jnp.where(dead_mask, avg_abs_b, b_enc)
+
+    # --- decoder weights (reference quirk preserved: per-act-dim norms across the
+    # GLOBAL live-latent axis, then mean) ---
+    dec_live = jnp.where(live[:, None], w_dec, 0.0)  # [h_l, d]
+    quirk_norms = jnp.sqrt(
+        jax.lax.psum(jnp.sum(jnp.square(dec_live), axis=0), model_axis)
+    )  # [d]
+    avg_l2_dec = jnp.where(any_live, jnp.mean(quirk_norms), 1.0)
+    new_dec_t = kaiming_uniform(k_dec, (d, h_g), fan_in=h_g, dtype=w_dec.dtype)
+    new_dec_t = new_dec_t / jnp.linalg.norm(new_dec_t, axis=1, keepdims=True) * avg_l2_dec
+    new_dec_t = jax.lax.dynamic_slice_in_dim(new_dec_t, k_idx * h_l, h_l, 1)
+    new_w_dec = jnp.where(dead_mask[:, None], new_dec_t.T, w_dec)
+    new_w_dec = new_w_dec / jnp.linalg.norm(new_w_dec, axis=1, keepdims=True)
+
+    new_params = dict(params)
+    new_params.update(W_enc=new_w_enc, b_enc=new_b_enc, W_dec=new_w_dec)
+
+    def zero_dead_moments(moments: dict) -> dict:
+        out = dict(moments)
+        if "W_enc" in out:
+            out["W_enc"] = jnp.where(dead_mask[None, :], 0.0, out["W_enc"])
+        if "b_enc" in out:
+            out["b_enc"] = jnp.where(dead_mask, 0.0, out["b_enc"])
+        if "W_dec" in out:
+            out["W_dec"] = jnp.where(dead_mask[:, None], 0.0, out["W_dec"])
+        return out
+
+    def fix_state(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=s.count, mu=zero_dead_moments(s.mu), nu=zero_dead_moments(s.nu)
+            )
+        return s
+
+    new_opt_state = jax.tree.map(
+        fix_state, opt_state, is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState)
+    )
+    return new_params, new_opt_state

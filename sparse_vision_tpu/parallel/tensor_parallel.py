@@ -16,9 +16,17 @@ the 'data' axis. XLA's SPMD partitioner then:
 
 Correctness follows from it being the SAME traced program as single-device — proved
 exactly in tests/test_tensor_parallel.py on a (2, 4) CPU mesh across a resample
-boundary. The fused Pallas kernels are data-parallel-only (a manual-collective TP
-variant would have to split their internal recon/MSE accumulation); the stock path
-used here still runs the matmuls on the MXU via XLA.
+boundary.
+
+Two TP engines ship:
+- GSPMD placement of the stock jitted step (above) — any SAE variant, zero custom
+  code, XLA-inserted collectives;
+- ``make_tp_fused_train_step`` — the fused Pallas kernels under an explicit
+  shard_map (ops/fused_sae_tp.py): per-chip partial reconstructions psum'd over
+  'model' before the MSE, H-local gradients psum'd over 'data', and a TP-aware
+  dead-neuron resample (ops/resample.resample_dead_neurons_tp). This is the
+  production path for >=16k latents, where the fused kernel's HBM savings matter
+  most (sae_mlp only, like the single-chip fused path).
 
 Layouts (parallel/mesh.py sae_param_sharding):
   W_enc [d, h]: P(None, 'model')    b_enc/b_gate/b_mag/r_mag [h]: P('model')
@@ -28,7 +36,10 @@ Layouts (parallel/mesh.py sae_param_sharding):
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -79,3 +90,100 @@ def put_tokens_tp(mesh: Mesh, acts, token_axis: int = 0) -> jax.Array:
     from sparse_vision_tpu.parallel.sharded_steps import put_tokens_sharded
 
     return put_tokens_sharded(mesh, acts, token_axis)
+
+
+def make_tp_fused_train_step(
+    mesh: Mesh,
+    ts_placed: SAETrainState,
+    lambda_sparse: float,
+    tx: optax.GradientTransformation,
+    dead_neurons_steps: int,
+    expansion_factor: int,
+    fused_opts: Optional[dict] = None,
+):
+    """Tensor-parallel FUSED train step: ``step(ts, acts)`` with the latent dim
+    sharded over 'model', tokens over 'data', and the fused Pallas kernels running
+    per chip on their local shards (ops/fused_sae_tp.py).
+
+    ``ts_placed`` must already be placed by put_tp_state — its leaf shardings
+    define the shard_map specs. Gradients come out of the TP op GLOBAL (psums live
+    inside its custom_vjp), so no further pmean is applied; the ConstrainedAdam
+    update and the W_dec unit-norm constraint are row-local on the 'model' shards;
+    the resample schedule uses the replicated step counter + rng with the TP-aware
+    global-statistics resample. sae_mlp only (the fused-kernel contract)."""
+    from sparse_vision_tpu.ops.fused_sae_tp import fused_sae_tp_loss_terms
+    from sparse_vision_tpu.ops.resample import (
+        resample_dead_neurons_tp,
+        should_reset_measurement,
+        should_resample,
+    )
+    from sparse_vision_tpu.parallel.sharded_steps import shard_map
+
+    n_data = int(mesh.shape["data"])
+    n_model = int(mesh.shape["model"])
+    opts = dict(fused_opts or {})
+
+    def local_loss(params, act_local):
+        out = fused_sae_tp_loss_terms(
+            params, act_local, lambda_sparse, expansion_factor, n_data, n_model,
+            **opts,
+        )
+        return out["loss"], out
+
+    def shard_body(ts: SAETrainState, act_local: jax.Array):
+        (loss, out), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            ts.params, act_local
+        )
+        # grads are already GLOBAL (the TP op psums inside its custom_vjp)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        step = ts.step + 1
+
+        # out["dead"] is already the global-batch statistic of the local shard
+        dead_acc = jnp.logical_and(ts.dead_acc, out["dead"])
+        rng, sub = jax.random.split(ts.rng)
+
+        def do_resample(p, o, acc):
+            p2, o2 = resample_dead_neurons_tp(p, o, acc, sub, n_model)
+            return p2, o2, jnp.ones_like(acc)
+
+        def no_resample(p, o, acc):
+            acc = jnp.where(
+                should_reset_measurement(step, dead_neurons_steps),
+                jnp.ones_like(acc), acc,
+            )
+            return p, o, acc
+
+        new_params, opt_state, dead_acc = jax.lax.cond(
+            should_resample(step, dead_neurons_steps),
+            do_resample, no_resample, new_params, opt_state, dead_acc,
+        )
+
+        h_g = dead_acc.shape[0] * n_model
+        metrics = {
+            "sae_loss": loss,
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sparsity": out["sparsity"],
+            "perc_dead": jax.lax.psum(jnp.sum(dead_acc), "model") / h_g,
+        }
+        return SAETrainState(new_params, opt_state, step, dead_acc, rng), metrics
+
+    state_specs = jax.tree.map(lambda x: x.sharding.spec, ts_placed)
+    rep = P()
+    sharded = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(state_specs, P("data", None)),
+        out_specs=(state_specs, rep),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step_fn(ts: SAETrainState, acts: jax.Array):
+        if acts.shape[0] % n_data:
+            raise ValueError(
+                f"token count {acts.shape[0]} not divisible by data={n_data}"
+            )
+        return sharded(ts, acts)
+
+    return step_fn

@@ -368,20 +368,42 @@ class Pipeline:
             and int(mesh.shape["model"]) > 1
         )
         if tensor_parallel:
-            # 2-D (data, model) mesh: latent dim shards over 'model' via GSPMD — the
-            # stock jitted step runs unchanged with sharded state placement
-            # (parallel/tensor_parallel.py; parity: tests/test_tensor_parallel.py)
+            # 2-D (data, model) mesh: latent dim shards over 'model'. Two engines:
+            # the FUSED Pallas step under explicit shard_map (ops/fused_sae_tp.py —
+            # the production path for >=16k latents, where the fused kernel's HBM
+            # savings matter most) when the local shard shapes tile; otherwise
+            # GSPMD placement of the stock jitted step. Parity for both:
+            # tests/test_tensor_parallel.py.
             from sparse_vision_tpu.parallel.tensor_parallel import (
+                make_tp_fused_train_step,
                 put_tokens_tp,
                 put_tp_state,
             )
 
-            step_fn = make_sae_train_step_from_acts(
-                cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
-                cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=False,
-                topk=cfg.sae_topk,
-            )
+            n_model = int(mesh.shape["model"])
             self.ts = put_tp_state(mesh, self.ts)
+            tp_fused = (
+                cfg.use_pallas
+                and jax.default_backend() != "cpu"
+                and cfg.sae_model_name == "sae_mlp"
+                and self.num_units % n_model == 0
+                and can_fuse(local_t, self.num_units // n_model, tile_t=tile_t)
+            )
+            if tp_fused:
+                step_fn = make_tp_fused_train_step(
+                    mesh, self.ts, cfg.sae_lambda_sparse, self.tx,
+                    cfg.dead_neurons_steps, cfg.sae_expansion_factor,
+                    fused_opts=fused_opts or {
+                        "compute_dtype": jnp.bfloat16
+                        if cfg.compute_dtype == "bfloat16" else jnp.float32
+                    },
+                )
+            else:
+                step_fn = make_sae_train_step_from_acts(
+                    cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
+                    cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=False,
+                    topk=cfg.sae_topk,
+                )
 
             def _put_tokens(arr, token_axis):
                 return put_tokens_tp(mesh, np.ascontiguousarray(arr), token_axis)
