@@ -1,8 +1,18 @@
-"""Circuit-tier benchmark: attribution-patching node IE throughput on GoogLeNet.
+"""Circuit-tier benchmark: attribution-patching throughput on GoogLeNet.
 
 Not the driver headline (bench.py is); this measures the BASELINE.json secondary
 metric "compute_ie images/sec" on the flagship configuration: all 8 mixed layers with
 per-layer frozen SAEs (registry expansion factors), 229px inputs.
+
+Sections (each prints one JSON line):
+- node_ie_images_per_sec            device-resident inputs (kernel truth)
+- node_ie_tar_input_images_per_sec  tar-shard JPEGs -> decode pool -> prefetch ->
+                                    node pass (the real-data rate, VERDICT r2 #5)
+- edge_ie_images_per_sec            one pair, 64 feats/side (quick mode)
+- IE_SCALE=full adds edge_ie_full_circuit: ALL 7 consecutive pairs + the loss node
+  at production feature counts (hundreds/layer from the node-IE ranking) through
+  the feature-chunked cotangent path, with peak-HBM reporting (VERDICT r2 #4;
+  reference hottest loop compute_ie.py:589-624 at its actual scale).
 
 The reference's node-IE pass runs 1 clean nnsight trace + 8 intervened traces with
 full backprops per batch (compute_ie.py:392-453). Here it is ONE fused jit per batch:
@@ -24,8 +34,19 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
+WORK = os.environ.get("IE_BENCH_DIR", "/tmp/ie_bench")
+
+
+def _peak_hbm_gb():
+    stats = jax.local_devices()[0].memory_stats()
+    if not stats:  # the tunneled axon runtime exposes no memory stats
+        return None
+    return round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+
 
 def main():
+    import numpy as np
+
     from sparse_vision_tpu.data.labels import remap_torch_to_tf_labels
     from sparse_vision_tpu.interp.circuit import CircuitEngine
     from sparse_vision_tpu.interp.registry import CIRCUIT_LAYERS, load_frozen_sae
@@ -59,12 +80,29 @@ def main():
         _ = float(out[CIRCUIT_LAYERS[0]]["error"])
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]
+    print(json.dumps({
+        "metric": "node_ie_images_per_sec",
+        "value": round(BATCH * STEPS / dt, 2),
+        "unit": "images/s",
+        "layers": len(CIRCUIT_LAYERS),
+    }))
 
-    # edge IE on one mixed3a->mixed3b pair, top-64 features per side — the
-    # reference's hottest loop (per-feature backward with retain_graph,
-    # compute_ie.py:589-624) runs here as ONE batched-cotangent vjp per pair
-    import numpy as np
+    # ---- node IE from tar-shard input (decode pool + device prefetch) ---------
+    # the interp/ie.py production loop reads tar shards through the same
+    # decode-parallel prefetch path as every Pipeline epoch; this measures that
+    # REAL-DATA rate (VERDICT r2 #5) against the device-resident number above.
+    try:
+        node_tar_rate = _node_ie_from_tars(eng, avgs, node_fn, BATCH)
+        print(json.dumps({
+            "metric": "node_ie_tar_input_images_per_sec",
+            "value": round(node_tar_rate, 2),
+            "unit": "images/s",
+            "host_cpus": os.cpu_count(),
+        }))
+    except Exception as e:  # PIL missing etc. — keep the kernel numbers flowing
+        print(f"tar-input node IE skipped: {e}")
 
+    # ---- edge IE: quick mode (one pair, 64 feats/side) ------------------------
     feats = {n: list(range(64)) for n in CIRCUIT_LAYERS[:2]}
     pair_layers = list(CIRCUIT_LAYERS[:2])
     # smaller batch for the edge pass: the batched cotangent stack is
@@ -85,27 +123,88 @@ def main():
     tN = time.perf_counter() - t0
     edge_rate = (N_EDGE - 1) * E_BATCH / max(tN - t1, 1e-9) if tN > t1 else (
         N_EDGE * E_BATCH / tN)
-    print(
-        json.dumps(
-            {
-                "metric": "edge_ie_images_per_sec",
-                "value": round(edge_rate, 2),
-                "unit": "images/s",
-                "pair": "->".join(pair_layers),
-                "features_per_side": 64,
-            }
+    print(json.dumps({
+        "metric": "edge_ie_images_per_sec",
+        "value": round(edge_rate, 2),
+        "unit": "images/s",
+        "pair": "->".join(pair_layers),
+        "features_per_side": 64,
+    }))
+
+    # ---- edge IE: FULL-CIRCUIT production scale (IE_SCALE=full) ---------------
+    if os.environ.get("IE_SCALE") == "full":
+        node = eng.compute_node_ie([(e_images, e_labels)], avgs)
+        n_feats = int(os.environ.get("IE_FEATURES", "256"))
+        chunk = int(os.environ.get("IE_CHUNK", "32"))
+        feature_indices = {
+            n: [int(i) for i in
+                np.argsort(-np.abs(np.asarray(node.features[n])))[:n_feats]]
+            for n in CIRCUIT_LAYERS
+        }
+        counts = {n: len(v) for n, v in feature_indices.items()}
+        t0 = time.perf_counter()
+        edges = eng.compute_edge_ie(
+            [(e_images, e_labels)], avgs, feature_indices,
+            cotangent_chunk=chunk,
         )
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "node_ie_images_per_sec",
-                "value": round(BATCH * STEPS / dt, 2),
-                "unit": "images/s",
-                "layers": len(CIRCUIT_LAYERS),
-            }
+        jax.block_until_ready(list(edges.values()))
+        t_compile1 = time.perf_counter() - t0
+        n_rep = int(os.environ.get("IE_FULL_BATCHES", "3"))
+        t0 = time.perf_counter()
+        edges = eng.compute_edge_ie(
+            [(e_images, e_labels)] * n_rep, avgs, feature_indices,
+            cotangent_chunk=chunk,
         )
-    )
+        jax.block_until_ready(list(edges.values()))
+        tN = time.perf_counter() - t0
+        full_rate = (n_rep - 1) * E_BATCH / max(tN - t_compile1, 1e-9) \
+            if tN > t_compile1 else n_rep * E_BATCH / tN
+        shapes = {n: list(np.asarray(m).shape) for n, m in edges.items()}
+        print(json.dumps({
+            "metric": "edge_ie_full_circuit_images_per_sec",
+            "value": round(full_rate, 3),
+            "unit": "images/s",
+            "pairs": len(CIRCUIT_LAYERS) - 1,
+            "loss_node": True,
+            "features_per_layer": counts,
+            "cotangent_chunk": chunk,
+            "batch": E_BATCH,
+            "compile_plus_first_batch_s": round(t_compile1, 1),
+            "peak_hbm_gb": _peak_hbm_gb(),
+            "edge_matrix_shapes": shapes,
+        }))
+
+
+def _node_ie_from_tars(eng, avgs, node_fn, batch: int) -> float:
+    """Node-IE rate with the full input pipeline: tar shards -> thread-pool JPEG
+    decode -> device prefetch -> fused node pass."""
+    from sparse_vision_tpu.data.datasets import load_imagenet_tars
+    from sparse_vision_tpu.data.labels import remap_torch_to_tf_labels
+    from sparse_vision_tpu.data.prefetch import prefetch
+
+    tar_dir = os.path.join(WORK, "imagenet")
+    n_imgs = int(os.environ.get("IE_TAR_IMAGES", "256"))
+    if not os.path.isdir(tar_dir):
+        from bench_northstar import make_standin_jpegs
+
+        make_standin_jpegs(n_imgs, WORK, seed=7, prefix="train")
+    ds = load_imagenet_tars(WORK, "train")
+    if ds is None:
+        raise RuntimeError(f"no tar shards under {tar_dir}")
+
+    def run_epoch():
+        n = 0
+        for b in prefetch(ds.batches(batch, shuffle=False, workers=None), None):
+            out = node_fn(b.images, remap_torch_to_tf_labels(b.labels),
+                          avgs.enc, avgs.err, avgs.out)
+            n += b.images.shape[0]
+        jax.block_until_ready(out[next(iter(out))]["error"])
+        return n
+
+    run_epoch()  # warm: tar index build + any residual compiles
+    t0 = time.perf_counter()
+    n = run_epoch()
+    return n / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

@@ -290,20 +290,6 @@ class CircuitEngine:
             _, vjp_fn = jax.vjp(prods_fn, zeros_e, zeros_d)
             n_out = len(idx_d) + 1
             eye = jnp.eye(n_out, dtype=enc_u0.dtype)
-            if n_out <= cotangent_chunk:
-                g_enc, g_dec = jax.vmap(lambda ct: vjp_fn(ct))(eye)
-            else:
-                # feature-chunked cotangents (SURVEY §7.3 #2): a [n_out, T, C*K]
-                # cotangent stack for thousands of features won't fit HBM; lax.map
-                # over chunks bounds the live set to chunk-size backward passes
-                pad = (-n_out) % cotangent_chunk
-                eye_p = jnp.pad(eye, ((0, pad), (0, 0)))
-                chunks = eye_p.reshape(-1, cotangent_chunk, n_out)
-                g_enc, g_dec = jax.lax.map(
-                    lambda cts: jax.vmap(lambda ct: vjp_fn(ct))(cts), chunks
-                )
-                g_enc = g_enc.reshape(-1, *g_enc.shape[2:])[:n_out]
-                g_dec = g_dec.reshape(-1, *g_dec.shape[2:])[:n_out]
 
             enc_u_sel = enc_u0[:, idx_u_arr]
             enc_avg_u_sel = enc_avg_u[..., idx_u_arr]
@@ -313,7 +299,25 @@ class CircuitEngine:
                 er = ie_all_channels(err_u, err_avg_u, g_d, b)
                 return jnp.concatenate([fe, er[None]])
 
-            cols = jax.vmap(col)(g_enc, g_dec)  # [D_sel+1, U_sel+1]
+            def apply_cts(cts):  # [k, n_out] cotangents -> [k, U_sel+1] columns
+                g_enc, g_dec = jax.vmap(lambda ct: vjp_fn(ct))(cts)
+                return jax.vmap(col)(g_enc, g_dec)
+
+            if n_out <= cotangent_chunk:
+                cols = apply_cts(eye)
+            else:
+                # feature-chunked cotangents (SURVEY §7.3 #2): a [n_out, T, C*K]
+                # cotangent stack for thousands of features won't fit HBM; lax.map
+                # over chunks bounds the live set to chunk-size backward passes.
+                # The IE reduction to [U_sel+1] columns happens INSIDE the chunk
+                # body — accumulating the raw [n_out, T, C*K] gradient stack across
+                # chunks would itself overflow HBM at production feature counts
+                # (257 x 6272 x 2048 f32 = 13 GB for one mixed3a batch of 8).
+                pad = (-n_out) % cotangent_chunk
+                eye_p = jnp.pad(eye, ((0, pad), (0, 0)))
+                chunks = eye_p.reshape(-1, cotangent_chunk, n_out)
+                cols = jax.lax.map(apply_cts, chunks)
+                cols = cols.reshape(-1, len(idx_u) + 1)[:n_out]
             return cols.T
 
         return f
