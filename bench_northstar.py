@@ -216,7 +216,8 @@ def main() -> int:
         ovl_runs = os.path.join(WORK, "runs_overlap")
         _sh.rmtree(ovl_runs, ignore_errors=True)
         ovl_cfg = dataclasses.replace(
-            cfg, directory_path=ovl_runs, sae_epochs=1, overlap_dump_train=True
+            cfg, directory_path=ovl_runs, sae_epochs=1, overlap_dump_train=True,
+            cache_dtype="bfloat16",  # match the sequential phase's bf16 dump
         )
         t0 = time.perf_counter()
         pipe2 = plmod.Pipeline(ovl_cfg)

@@ -136,6 +136,10 @@ class RunConfig:
     # ImageNet path (data/activation_cache.py)
     use_activation_cache: bool = False
     cache_tokens_per_step: int = 4096
+    # on-disk dtype of the activation cache ("float32" | "bfloat16"); bfloat16
+    # halves cache bytes + host<->device transfer and matches the fused kernels'
+    # matmul dtype (the production setting; docs/NORTHSTAR.md dumps bf16)
+    cache_dtype: str = "float32"
     # overlap the activation dump with the FIRST training epoch: training consumes
     # each cache shard as soon as its atomic write completes while the dump keeps
     # writing later shards (on-disk cache stays byte-identical; the streamed epoch
@@ -153,6 +157,13 @@ class RunConfig:
     # eval step materializes the [B*H*W, latents] matrix — at 16k latents that is
     # ~13 GB for a 256-image conv batch, so large-latent evals need a smaller batch
     eval_batch_size: int = 0
+    # edge-IE (compute_ie="3") feature count per layer: the top-|node IE| features
+    # enter the edge matrices (the reference hand-lists indices instead,
+    # compute_ie.py:81-88). Production scale is hundreds/layer (bench_ie.py
+    # IE_SCALE=full runs 256); the feature-chunked cotangent path bounds HBM
+    ie_top_features: int = 16
+    # cotangent chunk size for the edge-IE backward (interp/circuit.py)
+    ie_cotangent_chunk: int = 64
 
     @property
     def use_sae(self) -> bool:

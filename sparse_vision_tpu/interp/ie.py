@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import csv
 import os
+from typing import Optional
 
 import jax
 import numpy as np
@@ -156,7 +157,10 @@ def load_node_ie(path: str) -> NodeIE:
 # mode dispatch
 # ---------------------------------------------------------------------------
 
-def run_ie(pipeline, flag: str, top_features_per_layer: int = 16):
+def run_ie(pipeline, flag: str, top_features_per_layer: Optional[int] = None):
+    cfg = pipeline.cfg
+    if top_features_per_layer is None:
+        top_features_per_layer = cfg.ie_top_features
     eng = build_engine(pipeline)
     d = _ie_dir(pipeline)
     avg_path = os.path.join(d, "averages.npz")
@@ -198,7 +202,10 @@ def run_ie(pipeline, flag: str, top_features_per_layer: int = 16):
                 np.argsort(-np.abs(np.asarray(node.features[n])))[:top_features_per_layer]]
             for n in eng.layers
         }
-        edges = eng.compute_edge_ie(_batches(pipeline), avgs, feature_indices)
+        edges = eng.compute_edge_ie(
+            _batches(pipeline), avgs, feature_indices,
+            cotangent_chunk=cfg.ie_cotangent_chunk,
+        )
         np.savez(
             os.path.join(d, "edge_ie.npz"),
             **{n: np.asarray(m) for n, m in edges.items()},

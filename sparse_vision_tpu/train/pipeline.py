@@ -293,6 +293,7 @@ class Pipeline:
         dump_kwargs = dict(
             batch_size=cfg.sae_batch_size,
             workers=cfg.data_workers,
+            dtype="bfloat16" if cfg.cache_dtype == "bfloat16" else np.float32,
             # shards sized to a MULTIPLE of the scan dispatch block so
             # training reads zero-copy stacks (stacks alignment rule holds for
             # any cache_tokens_per_step, not just power-of-two ones)
@@ -442,7 +443,9 @@ class Pipeline:
                 # overlapped first epoch: consume shards as the dump publishes them
                 from sparse_vision_tpu.data.activation_cache import stream_stacks
 
-                stacks_it = stream_stacks(stream_q, tps, scan_k)
+                stacks_it = stream_stacks(
+                    stream_q, tps, scan_k, logical_dtype=cfg.cache_dtype
+                )
             else:
                 if cache is None:  # dump finished during the streamed epoch
                     dump_thread.join()

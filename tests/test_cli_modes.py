@@ -331,3 +331,19 @@ def test_multichip_example_runs(tmp_path):
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "multichip example OK" in r.stdout
     assert "tensor-parallel mesh (2, 4)" in r.stdout
+
+
+def test_mis_comparison_example_runs(tmp_path):
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", "mis_original_vs_sae.py"),
+         str(tmp_path)],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "MIS comparison example OK" in r.stdout
