@@ -120,6 +120,10 @@ class RunConfig:
     # active latents per token for sae_model_name="topk_sae" (Gao et al. 2024;
     # beyond-reference variant — sparsity via the activation, train with lambda=0)
     sae_topk: int = 32
+    # opt-in: select TopK latents with the TPU-native approximate top-k
+    # (lax.approx_max_k, recall_target 0.95 — measured recall 0.98, 11x faster than
+    # the exact sort at [16k, 16k] on v5e; models/sae.topk_sae_apply docstring)
+    sae_topk_approx: bool = False
     # matmul dtype inside the fused Pallas kernels (accumulation always f32);
     # "float32" trades ~2x throughput for exact-f32 parity with the stock path
     compute_dtype: str = "bfloat16"

@@ -54,6 +54,7 @@ def make_sharded_fused_train_step(
     fused: bool = True,
     sae_model_name: str = "sae_mlp",
     topk: int = 32,
+    topk_approx: bool = False,
 ):
     """Data-parallel SAE train step: ``step(ts, acts)`` with ``acts`` [T, C] sharded
     over the 'data' axis and the train state replicated. ``fused=False`` runs the
@@ -64,10 +65,25 @@ def make_sharded_fused_train_step(
     opts = dict(fused_opts or {})
     n_data = mesh.shape["data"]
     can_resample = sae_model_name == "sae_mlp"
-    if fused and sae_model_name not in ("sae_mlp", "gated_sae", "jumprelu_sae"):
-        raise ValueError("fused path supports sae_mlp, gated_sae, jumprelu_sae only")
+    if fused and sae_model_name not in (
+        "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae"
+    ):
+        raise ValueError(
+            "fused path supports sae_mlp, gated_sae, jumprelu_sae, topk_sae only"
+        )
 
-    if fused:
+    if fused and sae_model_name == "topk_sae":
+        # gather-based TopK fast path (ops/fast_topk_sae.py) — stock XLA per chip,
+        # same pmean/psum reductions as the Pallas variants
+        from sparse_vision_tpu.ops.fast_topk_sae import fast_topk_sae_loss_terms
+
+        def local_loss(params, act_local):
+            out = fast_topk_sae_loss_terms(
+                params, act_local, lambda_sparse, expansion_factor, topk,
+                approx=topk_approx,
+            )
+            return out["loss"], out
+    elif fused:
         if sae_model_name == "jumprelu_sae":
             from sparse_vision_tpu.ops.fused_jumprelu_sae import (
                 fused_jumprelu_sae_loss_terms as _loss_terms,
@@ -92,7 +108,7 @@ def make_sharded_fused_train_step(
 
         def local_loss(params, act_local):
             out = sae_inference_and_loss(
-                sae_model_name, params, act_local, lambda_sparse, topk=topk
+                sae_model_name, params, act_local, lambda_sparse, topk=topk, topk_approx=topk_approx
             )
             dead, sparsity, _ = measure_inactive_units(
                 out["encoded"], expansion_factor

@@ -238,7 +238,7 @@ class Pipeline:
         step_fn = make_sae_train_step(
             self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
             self.tx, cfg.dead_neurons_steps, cfg.sae_expansion_factor, self.criterion,
-            topk=cfg.sae_topk,
+            topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
         )
         from sparse_vision_tpu.utils.profiling import maybe_profile
 
@@ -354,8 +354,15 @@ class Pipeline:
         fused = (
             cfg.use_pallas
             and jax.default_backend() != "cpu"
-            and cfg.sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae")
-            and can_fuse(local_t, self.num_units, tile_t=tile_t)
+            and (
+                # TopK's fast path is gather-based stock XLA (ops/fast_topk_sae.py)
+                # — no Pallas tile constraint
+                cfg.sae_model_name == "topk_sae"
+                or (
+                    cfg.sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae")
+                    and can_fuse(local_t, self.num_units, tile_t=tile_t)
+                )
+            )
         )
         # kernel matmul dtype from the config (kernels accumulate in f32 either way)
         fused_opts = {
@@ -403,7 +410,7 @@ class Pipeline:
                 step_fn = make_sae_train_step_from_acts(
                     cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
                     cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=False,
-                    topk=cfg.sae_topk,
+                    topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
                 )
 
             def _put_tokens(arr, token_axis):
@@ -418,7 +425,7 @@ class Pipeline:
             step_fn = make_sharded_fused_train_step(
                 mesh, cfg.sae_lambda_sparse, self.tx, cfg.dead_neurons_steps,
                 cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
-                sae_model_name=cfg.sae_model_name, topk=cfg.sae_topk,
+                sae_model_name=cfg.sae_model_name, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
             )
             self.ts = put_replicated_state(mesh, self.ts)
 
@@ -428,7 +435,7 @@ class Pipeline:
             step_fn = make_sae_train_step_from_acts(
                 cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
                 cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=fused,
-                fused_opts=fused_opts, topk=cfg.sae_topk,
+                fused_opts=fused_opts, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
             )
 
             def _put_tokens(arr, token_axis):
@@ -524,7 +531,7 @@ class Pipeline:
             cfg = self.cfg
             self._sae_eval_step_cache = make_sae_eval_step(
                 self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
-                cfg.sae_expansion_factor, self.criterion, topk=cfg.sae_topk,
+                cfg.sae_expansion_factor, self.criterion, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
             )
         return self._sae_eval_step_cache
 

@@ -78,6 +78,7 @@ def make_sae_train_step(
     full_metrics: bool = True,
     last_stage: Optional[str] = None,
     topk: int = 32,
+    topk_approx: bool = False,
 ):
     """Build the jitted SAE train step.
 
@@ -93,7 +94,7 @@ def make_sae_train_step(
 
     def loss_fn(sae_params, act):
         out = sae_inference_and_loss(
-            sae_model_name, sae_params, act, lambda_sparse, topk=topk
+            sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx
         )
         return out["loss"], out
 
@@ -180,6 +181,7 @@ def make_sae_train_step_from_acts(
     fused: bool = False,
     fused_opts: Optional[dict] = None,
     topk: int = 32,
+    topk_approx: bool = False,
 ):
     """SAE train step over pre-extracted activations (the activation-cache training
     mode; the reference abandoned an HDF5 version of this, utils.py:613-657 — here it
@@ -191,10 +193,25 @@ def make_sae_train_step_from_acts(
     production TPU path; requires tile-divisible shapes. Parity with the stock path is
     tested in tests/test_fused_sae.py / tests/test_fused_gated_sae.py."""
     can_resample = sae_model_name == "sae_mlp"
-    if fused and sae_model_name not in ("sae_mlp", "gated_sae", "jumprelu_sae"):
-        raise ValueError("fused path supports sae_mlp, gated_sae, jumprelu_sae only")
+    if fused and sae_model_name not in (
+        "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae"
+    ):
+        raise ValueError(
+            "fused path supports sae_mlp, gated_sae, jumprelu_sae, topk_sae only"
+        )
 
-    if fused and sae_model_name == "jumprelu_sae":
+    if fused and sae_model_name == "topk_sae":
+        # TopK "fused" path is gather-based stock XLA, not Pallas (lax.top_k has no
+        # Pallas TPU lowering): ops/fast_topk_sae.py — no [T, H] materialization
+        from sparse_vision_tpu.ops.fast_topk_sae import fast_topk_sae_loss_terms
+
+        def loss_fn(sae_params, act):
+            out = fast_topk_sae_loss_terms(
+                sae_params, act, lambda_sparse, expansion_factor, topk,
+                approx=topk_approx,
+            )
+            return out["loss"], out
+    elif fused and sae_model_name == "jumprelu_sae":
         from sparse_vision_tpu.ops.fused_jumprelu_sae import (
             fused_jumprelu_sae_loss_terms,
         )
@@ -223,7 +240,7 @@ def make_sae_train_step_from_acts(
     else:
         def loss_fn(sae_params, act):
             out = sae_inference_and_loss(
-                sae_model_name, sae_params, act, lambda_sparse, topk=topk
+                sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx
             )
             return out["loss"], out
 
@@ -298,6 +315,7 @@ def make_sae_eval_step(
     criterion,
     last_stage: Optional[str] = None,
     topk: int = 32,
+    topk_approx: bool = False,
 ):
     """Eval step for the modified (SAE-spliced) model: all reference eval-epoch
     quantities for one batch (model_pipeline.py:661-714 + 806-878)."""
@@ -309,7 +327,7 @@ def make_sae_eval_step(
         logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
         act = taps[sae_layer]
         out = sae_inference_and_loss(
-            sae_model_name, sae_params, act, lambda_sparse, topk=topk
+            sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx
         )
         logits_mod = net.apply_segment(
             frozen_params, out["decoded"], after=sae_layer, upto=last, state=frozen_state

@@ -153,3 +153,124 @@ def test_topk_cached_path(tmp_path):
     )
     res = Pipeline(cfg).train_sae()
     assert np.isfinite(res["sae_rec_loss"])
+
+
+def test_topk_approx_selection():
+    """sae_topk_approx: lax.approx_max_k selection keeps the TopK contract —
+    L0 <= k exactly, selected set ~= the exact top-k (recall_target 0.95), and
+    gradients flow through the selected values (the opt-in fast path for
+    production latent counts; 11x faster selection measured on v5e at 16k)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vision_tpu.models.sae import init_sae, sae_inference_and_loss
+
+    d, exp, k, t = 64, 8, 8, 128  # h = 512
+    params = init_sae("topk_sae", jax.random.key(0), d, exp)
+    tok = jax.random.normal(jax.random.key(1), (t, d))
+
+    exact = sae_inference_and_loss("topk_sae", params, tok, 0.0, topk=k)
+    approx = sae_inference_and_loss("topk_sae", params, tok, 0.0, topk=k,
+                                    topk_approx=True)
+    l0 = np.count_nonzero(np.asarray(approx["encoded"]), axis=1)
+    assert (l0 <= k).all()
+    # recall vs the exact selection well above the 0.95 target on this size
+    sel_e = np.asarray(exact["encoded"]) != 0
+    sel_a = np.asarray(approx["encoded"]) != 0
+    recall = (sel_e & sel_a).sum() / max(sel_e.sum(), 1)
+    assert recall >= 0.9, recall
+
+    def loss(p):
+        return sae_inference_and_loss("topk_sae", p, tok, 0.0, topk=k,
+                                      topk_approx=True)["loss"]
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["W_dec"]).sum()) > 0
+    assert float(jnp.abs(g["W_enc"]).sum()) > 0
+
+
+def test_fast_topk_matches_stock_terms_and_grads():
+    """The gather-based fast TopK path (ops/fast_topk_sae.py) reproduces the stock
+    path's loss terms, gradients, and dead/sparsity stats exactly (exact selection
+    mode; the production default for fused=True on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vision_tpu.models.sae import init_sae, sae_inference_and_loss
+    from sparse_vision_tpu.ops.fast_topk_sae import fast_topk_sae_loss_terms
+    from sparse_vision_tpu.ops.metrics import measure_inactive_units
+
+    d, exp, k, t = 32, 8, 8, 96  # h = 256
+    params = init_sae("topk_sae", jax.random.key(0), d, exp)
+    tok = jax.random.normal(jax.random.key(1), (t, d))
+
+    fast = fast_topk_sae_loss_terms(params, tok, 0.1, exp, k)
+    stock = sae_inference_and_loss("topk_sae", params, tok, 0.1, topk=k)
+    dead_s, sparsity_s, freq_s = measure_inactive_units(stock["encoded"], exp)
+    for key in ("loss", "rec_loss", "l1_loss", "nrmse_loss", "rmse_loss"):
+        np.testing.assert_allclose(
+            float(fast[key]), float(stock[key]), rtol=1e-5, err_msg=key
+        )
+    np.testing.assert_allclose(
+        np.asarray(fast["decoded"]), np.asarray(stock["decoded"]), rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(np.asarray(fast["dead"]), np.asarray(dead_s))
+    # stock freq = 1 - mean(inactive f32) accumulates rounding; fast is exact int/t
+    np.testing.assert_allclose(
+        np.asarray(fast["activity_freq"]), np.asarray(freq_s), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(fast["sparsity"]), float(sparsity_s), rtol=1e-5)
+
+    def loss_fast(p):
+        return fast_topk_sae_loss_terms(p, tok, 0.1, exp, k)["loss"]
+
+    def loss_stock(p):
+        return sae_inference_and_loss("topk_sae", p, tok, 0.1, topk=k)["loss"]
+
+    gf = jax.grad(loss_fast)(params)
+    gs = jax.grad(loss_stock)(params)
+    for key in gf:
+        np.testing.assert_allclose(
+            np.asarray(gf[key]), np.asarray(gs[key]), rtol=1e-5, atol=1e-6,
+            err_msg=key,
+        )
+
+
+def test_fast_topk_train_step_matches_stock():
+    """make_sae_train_step_from_acts(fused=True) on topk_sae routes through the fast
+    path and tracks the stock trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vision_tpu.models.sae import init_sae
+    from sparse_vision_tpu.ops import optim
+    from sparse_vision_tpu.train.steps import (
+        init_sae_train_state,
+        make_sae_train_step_from_acts,
+    )
+
+    d, exp, k = 32, 4, 8
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    mk = lambda: init_sae_train_state(
+        init_sae("topk_sae", jax.random.key(0), d, exp), tx, d * exp
+    )
+    s_stock = make_sae_train_step_from_acts("topk_sae", 0.0, tx, 1000, exp,
+                                            fused=False, topk=k)
+    s_fast = make_sae_train_step_from_acts("topk_sae", 0.0, tx, 1000, exp,
+                                           fused=True, topk=k)
+    ts_a, ts_b = mk(), mk()
+    for s in range(4):
+        x = jnp.asarray(np.random.default_rng(s).normal(size=(64, d)),
+                        jnp.float32)
+        ts_a, ma = s_stock(ts_a, x)
+        ts_b, mb = s_fast(ts_b, x)
+        for key in ("sae_loss", "sae_rec_loss", "sparsity"):
+            np.testing.assert_allclose(float(mb[key]), float(ma[key]), rtol=1e-5,
+                                       err_msg=key)
+    for key in ts_a.params:
+        np.testing.assert_allclose(
+            np.asarray(ts_b.params[key]), np.asarray(ts_a.params[key]),
+            rtol=1e-5, atol=1e-6, err_msg=key,
+        )
+    np.testing.assert_array_equal(np.asarray(ts_b.dead_acc), np.asarray(ts_a.dead_acc))
