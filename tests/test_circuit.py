@@ -263,3 +263,41 @@ def test_edge_ie_chunked_cotangents_match_unchunked(engine):
     for name in full:
         np.testing.assert_allclose(np.asarray(chunked[name]), np.asarray(full[name]),
                                    rtol=1e-5, atol=1e-8, err_msg=name)
+
+
+def test_circuit_passes_shard_over_data_mesh(engine):
+    """Multi-chip circuit tier: averages + node IE with batches SHARDED over an
+    8-device 'data' mesh (GSPMD partitions the jitted passes; batch reductions
+    become collectives) match the unsharded results. The IE production loop places
+    batches with Pipeline.batch_sharding when cfg.mesh_shape is set, so this is the
+    compute_ie scale-out path."""
+    from sparse_vision_tpu.parallel.mesh import data_sharding, make_mesh
+
+    eng, _ = engine
+    mesh = make_mesh((8,))
+    sh = data_sharding(mesh)
+    key = jax.random.key(9)
+    batches, sharded = [], []
+    for i in range(2):
+        k1, k2, key = jax.random.split(key, 3)
+        img = jax.random.normal(k1, (16, H, W, 3))  # 16 images / 8 chips
+        lab = jax.random.randint(k2, (16,), 0, 4)
+        batches.append((img, lab))
+        sharded.append((jax.device_put(img, sh), jax.device_put(lab, sh)))
+
+    a_ref = eng.compute_averages(batches)
+    a_sh = eng.compute_averages(sharded)
+    for name in a_ref.enc:
+        np.testing.assert_allclose(np.asarray(a_sh.enc[name]),
+                                   np.asarray(a_ref.enc[name]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a_sh.dead[name]),
+                                      np.asarray(a_ref.dead[name]))
+
+    n_ref = eng.compute_node_ie(batches, a_ref)
+    n_sh = eng.compute_node_ie(sharded, a_ref)
+    for name in n_ref.features:
+        np.testing.assert_allclose(np.asarray(n_sh.features[name]),
+                                   np.asarray(n_ref.features[name]),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+        np.testing.assert_allclose(float(n_sh.error[name]),
+                                   float(n_ref.error[name]), rtol=1e-5)
