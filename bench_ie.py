@@ -110,19 +110,23 @@ def main():
     E_BATCH = 8
     e_images, e_labels = images[:E_BATCH], labels[:E_BATCH]
     e_batches = [(e_images, e_labels)]
-    # amortized per-batch rate within ONE call (compute_edge_ie traces its pair
-    # functions per invocation; production sweeps hundreds of batches per call)
+    # amortized per-batch rate. compute_edge_ie retraces its pair functions per
+    # invocation, so each call carries a trace(+cached-compile) prefix; two WARM
+    # calls with different batch counts cancel it exactly:
+    # rate = (N-1)*B / (t_warm(N) - t_warm(1)). A cold call1 would NOT cancel a
+    # warm call2's prefix and inflate the rate (round-3 review finding).
+    _ = eng.compute_edge_ie(e_batches, avgs, feats, custom_layers=pair_layers,
+                            cotangent_chunk=16)  # cold: compile (discarded)
     t0 = time.perf_counter()
     _ = eng.compute_edge_ie(e_batches, avgs, feats, custom_layers=pair_layers,
-                            cotangent_chunk=16)  # compile + 1 batch
-    t1 = time.perf_counter() - t0
+                            cotangent_chunk=16)
+    t1 = time.perf_counter() - t0  # warm: trace + 1 batch
     N_EDGE = 6
     t0 = time.perf_counter()
     edges = eng.compute_edge_ie(e_batches * N_EDGE, avgs, feats,
                                 custom_layers=pair_layers, cotangent_chunk=16)
-    tN = time.perf_counter() - t0
-    edge_rate = (N_EDGE - 1) * E_BATCH / max(tN - t1, 1e-9) if tN > t1 else (
-        N_EDGE * E_BATCH / tN)
+    tN = time.perf_counter() - t0  # warm: trace + N batches
+    edge_rate = (N_EDGE - 1) * E_BATCH / max(tN - t1, 1e-9)
     print(json.dumps({
         "metric": "edge_ie_images_per_sec",
         "value": round(edge_rate, 2),
@@ -142,23 +146,31 @@ def main():
             for n in CIRCUIT_LAYERS
         }
         counts = {n: len(v) for n, v in feature_indices.items()}
-        t0 = time.perf_counter()
-        edges = eng.compute_edge_ie(
-            [(e_images, e_labels)], avgs, feature_indices,
-            cotangent_chunk=chunk,
-        )
-        jax.block_until_ready(list(edges.values()))
-        t_compile1 = time.perf_counter() - t0
-        n_rep = int(os.environ.get("IE_FULL_BATCHES", "3"))
-        t0 = time.perf_counter()
-        edges = eng.compute_edge_ie(
-            [(e_images, e_labels)] * n_rep, avgs, feature_indices,
-            cotangent_chunk=chunk,
-        )
-        jax.block_until_ready(list(edges.values()))
-        tN = time.perf_counter() - t0
-        full_rate = (n_rep - 1) * E_BATCH / max(tN - t_compile1, 1e-9) \
-            if tN > t_compile1 else n_rep * E_BATCH / tN
+
+        def timed_call(n):
+            t0 = time.perf_counter()
+            edges = eng.compute_edge_ie(
+                [(e_images, e_labels)] * n, avgs, feature_indices,
+                cotangent_chunk=chunk,
+            )
+            jax.block_until_ready(list(edges.values()))
+            return time.perf_counter() - t0, edges
+
+        t_compile1, _ = timed_call(1)  # cold: compile + 1 batch (reported)
+        # steady-state marginal rate: each compute_edge_ie invocation retraces its
+        # pair functions — a per-CALL overhead of ~40-180 s (tunnel-variable) that
+        # production sweeps pay once over hundreds of batches. t(n) = trace + n*c;
+        # warm calls at two batch counts cancel the trace term, but the trace
+        # VARIANCE here is tens of seconds, so (a) the large call must carry enough
+        # batches that n*c dominates the noise and (b) min-of-2 per point filters
+        # the tail (round-3 measurement bug: a 2-point slope on small n reported
+        # trace noise as the rate).
+        timed_call(1)  # extra warmup: the remote-compile path speeds up early
+        n_small, n_big = 2, int(os.environ.get("IE_FULL_BATCHES", "40"))
+        t_a = min(timed_call(n_small)[0] for _ in range(2))
+        tN, edges = timed_call(n_big)
+        tN = min(tN, timed_call(n_big)[0])
+        full_rate = (n_big - n_small) * E_BATCH / max(tN - t_a, 1e-9)
         shapes = {n: list(np.asarray(m).shape) for n, m in edges.items()}
         print(json.dumps({
             "metric": "edge_ie_full_circuit_images_per_sec",
@@ -170,6 +182,9 @@ def main():
             "cotangent_chunk": chunk,
             "batch": E_BATCH,
             "compile_plus_first_batch_s": round(t_compile1, 1),
+            "per_call_trace_overhead_s": round(
+                t_a - n_small * (tN - t_a) / (n_big - n_small), 1
+            ),
             "peak_hbm_gb": _peak_hbm_gb(),
             "edge_matrix_shapes": shapes,
         }))
@@ -194,10 +209,15 @@ def _node_ie_from_tars(eng, avgs, node_fn, batch: int) -> float:
 
     def run_epoch():
         n = 0
+        out = None
         for b in prefetch(ds.batches(batch, shuffle=False, workers=None), None):
             out = node_fn(b.images, remap_torch_to_tf_labels(b.labels),
                           avgs.enc, avgs.err, avgs.out)
             n += b.images.shape[0]
+        if out is None:
+            raise RuntimeError(
+                f"no full batches: need >= {batch} tar images (IE_TAR_IMAGES)"
+            )
         jax.block_until_ready(out[next(iter(out))]["error"])
         return n
 

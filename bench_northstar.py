@@ -219,9 +219,11 @@ def main() -> int:
             cfg, directory_path=ovl_runs, sae_epochs=1, overlap_dump_train=True,
             cache_dtype="bfloat16",  # match the sequential phase's bf16 dump
         )
-        t0 = time.perf_counter()
+        # construct the Pipeline OUTSIDE the clock: the sequential comparand
+        # (t_dump + t_train/EPOCHS) excludes init too (backbone init, tar index)
         pipe2 = plmod.Pipeline(ovl_cfg)
         eval_time["s"] = 0.0
+        t0 = time.perf_counter()
         pipe2.run()
         t_ovl_total = time.perf_counter() - t0
         t_ovl_compute = t_ovl_total - eval_time["s"]

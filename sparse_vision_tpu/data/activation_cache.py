@@ -39,6 +39,23 @@ def _from_storage(arr: np.ndarray, logical_dtype: str) -> np.ndarray:
     return arr.view(_BF16) if logical_dtype == "bfloat16" else arr
 
 
+def validate_sharded_batch(batch_size: int, sharding) -> None:
+    """Fail fast on a batch size the sharded tap pass cannot split evenly — a
+    non-divisible batch otherwise surfaces as an opaque device_put sharding error
+    mid-dump. Called by dump_activations, and by train_sae_cached BEFORE spawning
+    the overlap dump thread (a thread-side raise would only surface after the
+    pre-training eval consumed the stream)."""
+    if sharding is None:
+        return
+    n_data = int(dict(sharding.mesh.shape).get("data", 1))
+    if batch_size % max(n_data, 1):
+        raise ValueError(
+            f"batch_size={batch_size} (cfg.sae_batch_size) must be divisible by "
+            f"the data mesh axis size {n_data} (cfg.mesh_shape) for the sharded "
+            "activation dump."
+        )
+
+
 def dump_activations(
     net,
     params: dict,
@@ -79,16 +96,7 @@ def dump_activations(
     from sparse_vision_tpu.data.prefetch import prefetch
     from sparse_vision_tpu.models.sae import tokens_from_act
 
-    if sharding is not None:
-        n_data = int(dict(sharding.mesh.shape).get("data", 1))
-        if batch_size % max(n_data, 1):
-            # validated up front: a non-divisible batch otherwise surfaces as an
-            # opaque device_put sharding error mid-dump
-            raise ValueError(
-                f"batch_size={batch_size} (cfg.sae_batch_size) must be divisible by "
-                f"the data mesh axis size {n_data} (cfg.mesh_shape) for the sharded "
-                "activation dump."
-            )
+    validate_sharded_batch(batch_size, sharding)
 
     os.makedirs(out_dir, exist_ok=True)
 

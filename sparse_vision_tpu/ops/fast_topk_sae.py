@@ -31,6 +31,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from sparse_vision_tpu.ops.losses import rmse_nrmse
+
 
 def fast_topk_sae_loss_terms(
     params: dict,
@@ -70,20 +72,13 @@ def fast_topk_sae_loss_terms(
         jax.lax.stop_gradient(idx).reshape(-1)
     ].add(active.reshape(-1).astype(jnp.int32))
     row_active = jnp.sum(active, axis=1)  # [T]
-    sq = jnp.square(jax.lax.stop_gradient(err))
-    sample_mse = jnp.mean(sq, axis=0)
-    sample_range = jnp.max(x, axis=0) - jnp.min(x, axis=0)
-    sample_rmse = jnp.sqrt(sample_mse)
-    valid = sample_range > 0
-    nrmse = jnp.sum(
-        jnp.where(valid, sample_rmse / jnp.where(valid, sample_range, 1.0), 0.0)
-    ) / jnp.maximum(jnp.sum(valid), 1)
+    rmse, nrmse = rmse_nrmse(jax.lax.stop_gradient(recon), x)
     return {
         "loss": rec,
         "rec_loss": rec,
         "l1_loss": l1,
         "nrmse_loss": nrmse,
-        "rmse_loss": jnp.mean(sample_rmse),
+        "rmse_loss": rmse,
         "aux_loss": jnp.zeros((), x.dtype),
         "decoded": recon,
         "dead": act_count == 0,

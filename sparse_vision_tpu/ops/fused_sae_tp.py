@@ -206,17 +206,20 @@ def fused_sae_tp_loss_terms(params: dict, x: jax.Array, lambda_sparse: float,
                             expansion_factor: int, n_data: int, n_model: int, *,
                             tile_t: int = 2048, tile_h: int = 2048,
                             compute_dtype=jnp.bfloat16,
-                            interpret: bool = False) -> dict:
+                            interpret: bool = False,
+                            data_axis: str = "data",
+                            model_axis: str = "model") -> dict:
     """Shard-local loss terms with GLOBAL loss scalars — the TP counterpart of
     fused_sae_loss_terms, for use inside the TP shard_map step. ``sparsity`` is the
     global relative sparsity (reference utils.py:2063-2067 semantics)."""
     op = make_fused_sae_tp_op(
-        n_data, n_model, tile_t, tile_h, compute_dtype, interpret
+        n_data, n_model, tile_t, tile_h, compute_dtype, interpret,
+        data_axis=data_axis, model_axis=model_axis,
     )
     out = op(params, x)
     h_g = params["b_enc"].shape[0] * n_model
     sparsity = jax.lax.pmean(
-        jnp.mean(out["row_active"] / (h_g / expansion_factor)), "data"
+        jnp.mean(out["row_active"] / (h_g / expansion_factor)), data_axis
     )
     return {
         "loss": out["rec_loss"] + lambda_sparse * out["l1_loss"],

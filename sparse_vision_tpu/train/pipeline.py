@@ -305,6 +305,11 @@ class Pipeline:
         stream_q = None  # non-None -> the FIRST epoch consumes shards as they land
         dump_thread = None
         if not os.path.exists(os.path.join(cache_dir, "meta.json")):
+            from sparse_vision_tpu.data.activation_cache import validate_sharded_batch
+
+            # fail fast HERE: in overlap mode a dump-thread raise would only
+            # surface after the pre-training eval consumed the stream
+            validate_sharded_batch(cfg.sae_batch_size, self.batch_sharding)
             if cfg.overlap_dump_train and cfg.sae_epochs > cfg.sae_checkpoint_epoch:
                 # dump/train overlap: the dump runs on a background thread and
                 # publishes each shard path as its atomic write completes; epoch 0
@@ -364,11 +369,13 @@ class Pipeline:
                 )
             )
         )
-        # kernel matmul dtype from the config (kernels accumulate in f32 either way)
+        # kernel matmul dtype from the config (kernels accumulate in f32 either
+        # way); built unconditionally — the TP fused gate below is independent of
+        # the DP `fused` flag and must not inherit its condition
         fused_opts = {
             "compute_dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
             else jnp.float32
-        } if fused else None
+        }
         from sparse_vision_tpu.train.steps import make_sae_train_multi_step
 
         tensor_parallel = (
@@ -401,10 +408,7 @@ class Pipeline:
                 step_fn = make_tp_fused_train_step(
                     mesh, self.ts, cfg.sae_lambda_sparse, self.tx,
                     cfg.dead_neurons_steps, cfg.sae_expansion_factor,
-                    fused_opts=fused_opts or {
-                        "compute_dtype": jnp.bfloat16
-                        if cfg.compute_dtype == "bfloat16" else jnp.float32
-                    },
+                    fused_opts=fused_opts,
                 )
             else:
                 step_fn = make_sae_train_step_from_acts(
