@@ -34,6 +34,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sparse_vision_tpu.ops.fused_gated_sae import (
+    _bwd_kernel as _gated_bwd_kernel,
+    _fwd_kernel as _gated_fwd_kernel,
+)
 from sparse_vision_tpu.ops.fused_sae import (
     _bwd_kernel,
     _compiler_params,
@@ -200,6 +204,197 @@ def make_fused_sae_tp_op(n_data: int, n_model: int, tile_t: int = 2048,
 
     op.defvjp(op_fwd, op_bwd)
     return op
+
+
+# ---------------------------------------------------------------------------
+# Gated SAE under TP: same decomposition as the ReLU op — the gated kernels emit
+# TWO partial token-space outputs (recon AND the aux path's via_gate), both psum
+# over 'model' with the (m-1)*b_dec correction. The aux path's decoder is FROZEN
+# (via = relu_pi @ stopgrad(W_dec) + stopgrad(b_dec)), so the only direct b_dec
+# term in the backward is sum(drecon) — the same single correction as the ReLU
+# op; via's centering path flows through dg and is H-local (psums over 'data').
+# Gated SAEs never resample (reference: reset_encoder_weights is SaeMLP-only), so
+# no TP resample is needed.
+# ---------------------------------------------------------------------------
+
+
+def _gated_operands(params, x, h, c, cast):
+    return (
+        cast(x), cast(params["W_gate"]),
+        params["b_gate"].reshape(1, h), params["b_mag"].reshape(1, h),
+        jnp.exp(params["r_mag"]).reshape(1, h).astype(jnp.float32),
+        cast(params["W_dec"]), params["b_dec"].reshape(1, c),
+    )
+
+
+def _gated_in_specs(tt, th, c, t_inner: bool):
+    if t_inner:
+        xs = pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+        hs = lambda shape: pl.BlockSpec(shape, lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        ds = pl.BlockSpec((th, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM)
+        cs = pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        xs = pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        hs = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        ds = pl.BlockSpec((th, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        cs = pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    return [xs, hs((c, th)), hs((1, th)), hs((1, th)), hs((1, th)), ds, cs]
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_gated_sae_tp_op(n_data: int, n_model: int, tile_t: int = 1024,
+                               tile_h: int = 2048, compute_dtype=jnp.bfloat16,
+                               interpret: bool = False, data_axis: str = "data",
+                               model_axis: str = "model"):
+    """TP fused Gated-SAE op (see module + section docstrings). Same contract as
+    make_fused_sae_tp_op, with gated params {W_gate, b_gate, b_mag, r_mag, W_dec,
+    b_dec} and an additional global 'aux_loss'."""
+    lowp = compute_dtype != jnp.float32
+
+    def cast(a):
+        return a.astype(compute_dtype) if lowp else a
+
+    axes_both = (data_axis, model_axis)
+
+    def _forward_raw(params, x):
+        t, c = x.shape
+        h = params["b_gate"].shape[0]
+        tt, th = _pick_tiles(t, h, tile_t, tile_h)
+        kernel = functools.partial(_gated_fwd_kernel, compute_dtype=compute_dtype)
+        recon_p, via_p, act_part, row_active, l1_sum = pl.pallas_call(
+            kernel,
+            grid=(t // tt, h // th),
+            in_specs=_gated_in_specs(tt, th, c, t_inner=False),
+            out_specs=[
+                pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, th), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((t, c), jnp.float32),
+                jax.ShapeDtypeStruct((t, c), jnp.float32),
+                jax.ShapeDtypeStruct((8 * t // tt, h), jnp.float32),
+                jax.ShapeDtypeStruct((t, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=_compiler_params(interpret),
+        )(*_gated_operands(params, x, h, c, cast))
+        bd = params["b_dec"].reshape(1, -1)
+        recon = jax.lax.psum(recon_p, model_axis) - (n_model - 1) * bd
+        via = jax.lax.psum(via_p, model_axis) - (n_model - 1) * bd
+        return recon, via, jnp.sum(act_part, axis=0), row_active, l1_sum
+
+    def _assemble(params, x, recon, via, act_count, row_active, l1_sum):
+        t_l = x.shape[0]
+        h_l = params["b_gate"].shape[0]
+        t_g = t_l * n_data
+        h_g = h_l * n_model
+        act_count_g = jax.lax.psum(act_count, data_axis)
+        return {
+            "rec_loss": jax.lax.pmean(jnp.mean(jnp.square(recon - x)), data_axis),
+            "aux_loss": jax.lax.pmean(jnp.mean(jnp.square(via - x)), data_axis),
+            "l1_loss": jax.lax.psum(l1_sum[0, 0], axes_both) / (t_g * h_g),
+            "recon": recon,
+            "dead": act_count_g == 0,
+            "activity_freq": act_count_g / t_g,
+            "row_active": jax.lax.psum(row_active[:, 0], model_axis),
+        }
+
+    @jax.custom_vjp
+    def op(params, x):
+        return _assemble(params, x, *_forward_raw(params, x))
+
+    def op_fwd(params, x):
+        recon, via, act_count, row_active, l1_sum = _forward_raw(params, x)
+        out = _assemble(params, x, recon, via, act_count, row_active, l1_sum)
+        return out, (params, x, recon - x, via - x)
+
+    def op_bwd(res, ct):
+        params, x, err_rec, err_via = res
+        t_l, c = x.shape
+        h_l = params["b_gate"].shape[0]
+        t_g = t_l * n_data
+        h_g = h_l * n_model
+        tt, th = _pick_tiles(t_l, h_l, tile_t, tile_h)
+        c_rec = ct["rec_loss"] * 2.0 / (t_g * c)
+        c_l1 = ct["l1_loss"] / (t_g * h_g)
+        c_aux = ct["aux_loss"] * 2.0 / (t_g * c)
+        coeffs = jnp.stack([c_rec, c_l1, c_aux]).reshape(1, 3).astype(jnp.float32)
+        kernel = functools.partial(_gated_bwd_kernel, compute_dtype=compute_dtype)
+        x_spec = pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+        hs = lambda shape: pl.BlockSpec(shape, lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(h_l // th, t_l // tt),
+            in_specs=_gated_in_specs(tt, th, c, t_inner=True) + [
+                x_spec, x_spec,
+                pl.BlockSpec((1, 3), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                hs((c, th)), hs((1, th)), hs((1, th)), hs((1, th)),
+                pl.BlockSpec((th, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((c, h_l), jnp.float32),
+                jax.ShapeDtypeStruct((1, h_l), jnp.float32),
+                jax.ShapeDtypeStruct((1, h_l), jnp.float32),
+                jax.ShapeDtypeStruct((1, h_l), jnp.float32),
+                jax.ShapeDtypeStruct((h_l, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=_compiler_params(interpret),
+        )(*_gated_operands(params, x, h_l, c, cast), err_rec, err_via, coeffs)
+        dw_gate, db_gate, db_mag, dr_mag, dw_dec, db_dec = outs
+        # the kernel adds the direct term sum(drecon) once per chip at j==0; the
+        # via path contributes NO direct term (frozen decoder/bias)
+        direct = c_rec * jnp.sum(err_rec.astype(jnp.float32), axis=0)
+        dparams = {
+            "W_gate": jax.lax.psum(dw_gate, data_axis),
+            "b_gate": jax.lax.psum(db_gate[0], data_axis),
+            "b_mag": jax.lax.psum(db_mag[0], data_axis),
+            "r_mag": jax.lax.psum(dr_mag[0], data_axis),
+            "W_dec": jax.lax.psum(dw_dec, data_axis),
+            "b_dec": jax.lax.psum(db_dec[0], axes_both)
+            - (n_model - 1) * jax.lax.psum(direct, data_axis),
+        }
+        return dparams, jnp.zeros_like(x)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def fused_gated_sae_tp_loss_terms(params: dict, x: jax.Array, lambda_sparse: float,
+                                  expansion_factor: int, n_data: int, n_model: int,
+                                  *, tile_t: int = 1024, tile_h: int = 2048,
+                                  compute_dtype=jnp.bfloat16,
+                                  interpret: bool = False,
+                                  data_axis: str = "data",
+                                  model_axis: str = "model") -> dict:
+    """TP counterpart of fused_gated_sae_loss_terms (loss = rec + λ·l1 + aux)."""
+    op = make_fused_gated_sae_tp_op(
+        n_data, n_model, tile_t, tile_h, compute_dtype, interpret,
+        data_axis=data_axis, model_axis=model_axis,
+    )
+    out = op(params, x)
+    h_g = params["b_gate"].shape[0] * n_model
+    sparsity = jax.lax.pmean(
+        jnp.mean(out["row_active"] / (h_g / expansion_factor)), data_axis
+    )
+    return {
+        "loss": out["rec_loss"] + lambda_sparse * out["l1_loss"] + out["aux_loss"],
+        "rec_loss": out["rec_loss"],
+        "l1_loss": out["l1_loss"],
+        "aux_loss": out["aux_loss"],
+        "decoded": out["recon"],
+        "dead": out["dead"],
+        "activity_freq": out["activity_freq"],
+        "sparsity": sparsity,
+    }
 
 
 def fused_sae_tp_loss_terms(params: dict, x: jax.Array, lambda_sparse: float,

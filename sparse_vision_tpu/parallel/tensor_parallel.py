@@ -100,6 +100,7 @@ def make_tp_fused_train_step(
     dead_neurons_steps: int,
     expansion_factor: int,
     fused_opts: Optional[dict] = None,
+    sae_model_name: str = "sae_mlp",
 ):
     """Tensor-parallel FUSED train step: ``step(ts, acts)`` with the latent dim
     sharded over 'model', tokens over 'data', and the fused Pallas kernels running
@@ -110,8 +111,13 @@ def make_tp_fused_train_step(
     inside its custom_vjp), so no further pmean is applied; the ConstrainedAdam
     update and the W_dec unit-norm constraint are row-local on the 'model' shards;
     the resample schedule uses the replicated step counter + rng with the TP-aware
-    global-statistics resample. sae_mlp only (the fused-kernel contract)."""
-    from sparse_vision_tpu.ops.fused_sae_tp import fused_sae_tp_loss_terms
+    global-statistics resample (sae_mlp only; gated never resamples, matching the
+    reference). sae_model_name selects the kernel pair: "sae_mlp" or
+    "gated_sae"."""
+    from sparse_vision_tpu.ops.fused_sae_tp import (
+        fused_gated_sae_tp_loss_terms,
+        fused_sae_tp_loss_terms,
+    )
     from sparse_vision_tpu.ops.resample import (
         resample_dead_neurons_tp,
         should_reset_measurement,
@@ -119,12 +125,21 @@ def make_tp_fused_train_step(
     )
     from sparse_vision_tpu.parallel.sharded_steps import shard_map
 
+    if sae_model_name not in ("sae_mlp", "gated_sae"):
+        raise ValueError(
+            f"TP fused step supports sae_mlp and gated_sae, not {sae_model_name!r}"
+        )
     n_data = int(mesh.shape["data"])
     n_model = int(mesh.shape["model"])
     opts = dict(fused_opts or {})
+    can_resample = sae_model_name == "sae_mlp"
+    terms_fn = (
+        fused_sae_tp_loss_terms if sae_model_name == "sae_mlp"
+        else fused_gated_sae_tp_loss_terms
+    )
 
     def local_loss(params, act_local):
-        out = fused_sae_tp_loss_terms(
+        out = terms_fn(
             params, act_local, lambda_sparse, expansion_factor, n_data, n_model,
             **opts,
         )
@@ -143,21 +158,22 @@ def make_tp_fused_train_step(
         dead_acc = jnp.logical_and(ts.dead_acc, out["dead"])
         rng, sub = jax.random.split(ts.rng)
 
-        def do_resample(p, o, acc):
-            p2, o2 = resample_dead_neurons_tp(p, o, acc, sub, n_model)
-            return p2, o2, jnp.ones_like(acc)
+        if can_resample:
+            def do_resample(p, o, acc):
+                p2, o2 = resample_dead_neurons_tp(p, o, acc, sub, n_model)
+                return p2, o2, jnp.ones_like(acc)
 
-        def no_resample(p, o, acc):
-            acc = jnp.where(
-                should_reset_measurement(step, dead_neurons_steps),
-                jnp.ones_like(acc), acc,
+            def no_resample(p, o, acc):
+                acc = jnp.where(
+                    should_reset_measurement(step, dead_neurons_steps),
+                    jnp.ones_like(acc), acc,
+                )
+                return p, o, acc
+
+            new_params, opt_state, dead_acc = jax.lax.cond(
+                should_resample(step, dead_neurons_steps),
+                do_resample, no_resample, new_params, opt_state, dead_acc,
             )
-            return p, o, acc
-
-        new_params, opt_state, dead_acc = jax.lax.cond(
-            should_resample(step, dead_neurons_steps),
-            do_resample, no_resample, new_params, opt_state, dead_acc,
-        )
 
         h_g = dead_acc.shape[0] * n_model
         metrics = {

@@ -400,7 +400,7 @@ class Pipeline:
             tp_fused = (
                 cfg.use_pallas
                 and jax.default_backend() != "cpu"
-                and cfg.sae_model_name == "sae_mlp"
+                and cfg.sae_model_name in ("sae_mlp", "gated_sae")
                 and self.num_units % n_model == 0
                 and can_fuse(local_t, self.num_units // n_model, tile_t=tile_t)
             )
@@ -408,7 +408,7 @@ class Pipeline:
                 step_fn = make_tp_fused_train_step(
                     mesh, self.ts, cfg.sae_lambda_sparse, self.tx,
                     cfg.dead_neurons_steps, cfg.sae_expansion_factor,
-                    fused_opts=fused_opts,
+                    fused_opts=fused_opts, sae_model_name=cfg.sae_model_name,
                 )
             else:
                 step_fn = make_sae_train_step_from_acts(
