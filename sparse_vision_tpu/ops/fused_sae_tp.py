@@ -38,6 +38,10 @@ from sparse_vision_tpu.ops.fused_gated_sae import (
     _bwd_kernel as _gated_bwd_kernel,
     _fwd_kernel as _gated_fwd_kernel,
 )
+from sparse_vision_tpu.ops.fused_jumprelu_sae import (
+    _bwd_kernel as _jr_bwd_kernel,
+    _fwd_kernel as _jr_fwd_kernel,
+)
 from sparse_vision_tpu.ops.fused_sae import (
     _bwd_kernel,
     _compiler_params,
@@ -390,6 +394,184 @@ def fused_gated_sae_tp_loss_terms(params: dict, x: jax.Array, lambda_sparse: flo
         "rec_loss": out["rec_loss"],
         "l1_loss": out["l1_loss"],
         "aux_loss": out["aux_loss"],
+        "decoded": out["recon"],
+        "dead": out["dead"],
+        "activity_freq": out["activity_freq"],
+        "sparsity": sparsity,
+    }
+
+
+# ---------------------------------------------------------------------------
+# JumpReLU SAE under TP: single token-space output (recon) like the ReLU op; the
+# STE threshold gradients are H-local (thresholds live on their latent shard) and
+# only need the 'data' psum; the L0 loss is a global per-token active count —
+# psum(sum(act_count)) / T_global over both axes.
+# ---------------------------------------------------------------------------
+
+
+def _jr_operands(params, x, h, c, cast):
+    return (
+        cast(x), cast(params["W_enc"]), params["b_enc"].reshape(1, h),
+        jnp.exp(params["log_threshold"]).reshape(1, h).astype(jnp.float32),
+        cast(params["W_dec"]), params["b_dec"].reshape(1, c),
+    )
+
+
+def _jr_in_specs(tt, th, c, t_inner: bool):
+    if t_inner:
+        xs = pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+        hs = lambda shape: pl.BlockSpec(shape, lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        ds = pl.BlockSpec((th, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM)
+        cs = pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        xs = pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        hs = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        ds = pl.BlockSpec((th, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        cs = pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    return [xs, hs((c, th)), hs((1, th)), hs((1, th)), ds, cs]
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_jumprelu_sae_tp_op(n_data: int, n_model: int, tile_t: int = 2048,
+                                  tile_h: int = 2048, compute_dtype=jnp.bfloat16,
+                                  interpret: bool = False, data_axis: str = "data",
+                                  model_axis: str = "model"):
+    """TP fused JumpReLU op — same contract as make_fused_sae_tp_op with
+    'l0_loss' (the training sparsity term) instead of gradient-carrying l1."""
+    lowp = compute_dtype != jnp.float32
+
+    def cast(a):
+        return a.astype(compute_dtype) if lowp else a
+
+    axes_both = (data_axis, model_axis)
+
+    def _forward_raw(params, x):
+        t, c = x.shape
+        h = params["b_enc"].shape[0]
+        tt, th = _pick_tiles(t, h, tile_t, tile_h)
+        kernel = functools.partial(_jr_fwd_kernel, compute_dtype=compute_dtype)
+        recon_p, act_part, row_active, l1_sum = pl.pallas_call(
+            kernel,
+            grid=(t // tt, h // th),
+            in_specs=_jr_in_specs(tt, th, c, t_inner=False),
+            out_specs=[
+                pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, th), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((t, c), jnp.float32),
+                jax.ShapeDtypeStruct((8 * t // tt, h), jnp.float32),
+                jax.ShapeDtypeStruct((t, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=_compiler_params(interpret),
+        )(*_jr_operands(params, x, h, c, cast))
+        recon = jax.lax.psum(recon_p, model_axis) - (n_model - 1) * params[
+            "b_dec"
+        ].reshape(1, -1)
+        return recon, jnp.sum(act_part, axis=0), row_active, l1_sum
+
+    def _assemble(params, x, recon, act_count, row_active, l1_sum):
+        t_l = x.shape[0]
+        h_l = params["b_enc"].shape[0]
+        t_g = t_l * n_data
+        h_g = h_l * n_model
+        act_count_g = jax.lax.psum(act_count, data_axis)
+        return {
+            "rec_loss": jax.lax.pmean(jnp.mean(jnp.square(recon - x)), data_axis),
+            "l0_loss": jax.lax.psum(jnp.sum(act_count), axes_both) / t_g,
+            "l1_loss": jax.lax.psum(l1_sum[0, 0], axes_both) / (t_g * h_g),
+            "recon": recon,
+            "dead": act_count_g == 0,
+            "activity_freq": act_count_g / t_g,
+            "row_active": jax.lax.psum(row_active[:, 0], model_axis),
+        }
+
+    @jax.custom_vjp
+    def op(params, x):
+        return _assemble(params, x, *_forward_raw(params, x))
+
+    def op_fwd(params, x):
+        recon, act_count, row_active, l1_sum = _forward_raw(params, x)
+        out = _assemble(params, x, recon, act_count, row_active, l1_sum)
+        return out, (params, x, recon - x)
+
+    def op_bwd(res, ct):
+        params, x, err = res
+        t_l, c = x.shape
+        h_l = params["b_enc"].shape[0]
+        t_g = t_l * n_data
+        tt, th = _pick_tiles(t_l, h_l, tile_t, tile_h)
+        c_rec = ct["rec_loss"] * 2.0 / (t_g * c)
+        c_l0 = ct["l0_loss"] / t_g
+        coeffs = jnp.stack([c_rec, c_l0]).reshape(1, 2).astype(jnp.float32)
+        kernel = functools.partial(_jr_bwd_kernel, compute_dtype=compute_dtype)
+        x_spec = pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+        hs = lambda shape: pl.BlockSpec(shape, lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        dw_enc, db_enc, dthr, dw_dec, db_dec = pl.pallas_call(
+            kernel,
+            grid=(h_l // th, t_l // tt),
+            in_specs=_jr_in_specs(tt, th, c, t_inner=True) + [
+                x_spec,
+                pl.BlockSpec((1, 2), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                hs((c, th)), hs((1, th)), hs((1, th)),
+                pl.BlockSpec((th, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((c, h_l), jnp.float32),
+                jax.ShapeDtypeStruct((1, h_l), jnp.float32),
+                jax.ShapeDtypeStruct((1, h_l), jnp.float32),
+                jax.ShapeDtypeStruct((h_l, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=_compiler_params(interpret),
+        )(*_jr_operands(params, x, h_l, c, cast), err, coeffs)
+        thr = jnp.exp(params["log_threshold"])
+        direct = c_rec * jnp.sum(err.astype(jnp.float32), axis=0)
+        dparams = {
+            "W_enc": jax.lax.psum(dw_enc, data_axis),
+            "b_enc": jax.lax.psum(db_enc[0], data_axis),
+            "W_dec": jax.lax.psum(dw_dec, data_axis),
+            "b_dec": jax.lax.psum(db_dec[0], axes_both)
+            - (n_model - 1) * jax.lax.psum(direct, data_axis),
+            "log_threshold": jax.lax.psum(dthr[0], data_axis) * thr,
+        }
+        return dparams, jnp.zeros_like(x)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def fused_jumprelu_sae_tp_loss_terms(params: dict, x: jax.Array,
+                                     lambda_sparse: float, expansion_factor: int,
+                                     n_data: int, n_model: int, *,
+                                     tile_t: int = 2048, tile_h: int = 2048,
+                                     compute_dtype=jnp.bfloat16,
+                                     interpret: bool = False,
+                                     data_axis: str = "data",
+                                     model_axis: str = "model") -> dict:
+    """TP counterpart of fused_jumprelu_sae_loss_terms (loss = rec + λ·L0)."""
+    op = make_fused_jumprelu_sae_tp_op(
+        n_data, n_model, tile_t, tile_h, compute_dtype, interpret,
+        data_axis=data_axis, model_axis=model_axis,
+    )
+    out = op(params, x)
+    h_g = params["b_enc"].shape[0] * n_model
+    sparsity = jax.lax.pmean(
+        jnp.mean(out["row_active"] / (h_g / expansion_factor)), data_axis
+    )
+    return {
+        "loss": out["rec_loss"] + lambda_sparse * out["l0_loss"],
+        "rec_loss": out["rec_loss"],
+        "l0_loss": out["l0_loss"],
+        "l1_loss": out["l1_loss"],
         "decoded": out["recon"],
         "dead": out["dead"],
         "activity_freq": out["activity_freq"],

@@ -55,6 +55,7 @@ def sae_param_sharding(mesh: Mesh, params: dict) -> dict:
         "b_mag": P("model"),
         "r_mag": P("model"),
         "W_dec": P("model", None),
+        "log_threshold": P("model"),  # jumprelu per-latent thresholds [h]
         "b_dec": P(),
     }
     return {

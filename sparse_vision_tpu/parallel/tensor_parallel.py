@@ -26,7 +26,9 @@ Two TP engines ship:
   'model' before the MSE, H-local gradients psum'd over 'data', and a TP-aware
   dead-neuron resample (ops/resample.resample_dead_neurons_tp). This is the
   production path for >=16k latents, where the fused kernel's HBM savings matter
-  most (sae_mlp only, like the single-chip fused path).
+  most. All three fused variants ship TP ops: ReLU (sae_mlp, incl. the TP-aware
+  resample), Gated (recon + aux via both psum'd), and JumpReLU (H-local STE
+  threshold grads).
 
 Layouts (parallel/mesh.py sae_param_sharding):
   W_enc [d, h]: P(None, 'model')    b_enc/b_gate/b_mag/r_mag [h]: P('model')
@@ -111,11 +113,12 @@ def make_tp_fused_train_step(
     inside its custom_vjp), so no further pmean is applied; the ConstrainedAdam
     update and the W_dec unit-norm constraint are row-local on the 'model' shards;
     the resample schedule uses the replicated step counter + rng with the TP-aware
-    global-statistics resample (sae_mlp only; gated never resamples, matching the
-    reference). sae_model_name selects the kernel pair: "sae_mlp" or
-    "gated_sae"."""
+    global-statistics resample (sae_mlp only; gated/jumprelu never resample, matching
+    the reference). sae_model_name selects the kernel pair: "sae_mlp",
+    "gated_sae", or "jumprelu_sae"."""
     from sparse_vision_tpu.ops.fused_sae_tp import (
         fused_gated_sae_tp_loss_terms,
+        fused_jumprelu_sae_tp_loss_terms,
         fused_sae_tp_loss_terms,
     )
     from sparse_vision_tpu.ops.resample import (
@@ -125,18 +128,20 @@ def make_tp_fused_train_step(
     )
     from sparse_vision_tpu.parallel.sharded_steps import shard_map
 
-    if sae_model_name not in ("sae_mlp", "gated_sae"):
+    if sae_model_name not in ("sae_mlp", "gated_sae", "jumprelu_sae"):
         raise ValueError(
-            f"TP fused step supports sae_mlp and gated_sae, not {sae_model_name!r}"
+            "TP fused step supports sae_mlp, gated_sae, jumprelu_sae, "
+            f"not {sae_model_name!r}"
         )
     n_data = int(mesh.shape["data"])
     n_model = int(mesh.shape["model"])
     opts = dict(fused_opts or {})
     can_resample = sae_model_name == "sae_mlp"
-    terms_fn = (
-        fused_sae_tp_loss_terms if sae_model_name == "sae_mlp"
-        else fused_gated_sae_tp_loss_terms
-    )
+    terms_fn = {
+        "sae_mlp": fused_sae_tp_loss_terms,
+        "gated_sae": fused_gated_sae_tp_loss_terms,
+        "jumprelu_sae": fused_jumprelu_sae_tp_loss_terms,
+    }[sae_model_name]
 
     def local_loss(params, act_local):
         out = terms_fn(

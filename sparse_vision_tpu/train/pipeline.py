@@ -400,7 +400,7 @@ class Pipeline:
             tp_fused = (
                 cfg.use_pallas
                 and jax.default_backend() != "cpu"
-                and cfg.sae_model_name in ("sae_mlp", "gated_sae")
+                and cfg.sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae")
                 and self.num_units % n_model == 0
                 and can_fuse(local_t, self.num_units // n_model, tile_t=tile_t)
             )

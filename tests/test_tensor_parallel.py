@@ -293,3 +293,40 @@ def test_tp_fused_gated_matches_single_device_fused():
         np.asarray(ts_tp.dead_acc), np.asarray(ts_ref.dead_acc)
     )
     assert {s.data.shape[0] for s in ts_tp.params["W_dec"].addressable_shards} == {h // 4}
+
+
+def test_tp_fused_jumprelu_matches_single_device_fused():
+    """JumpReLU TP fused op: H-local STE threshold gradients + global L0; matches
+    the single-device fused jumprelu trajectory."""
+    from sparse_vision_tpu.parallel.tensor_parallel import make_tp_fused_train_step
+
+    mesh = make_mesh((2, 4))
+    params = init_sae("jumprelu_sae", jax.random.key(0), D, K)
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    h = params["b_enc"].shape[0]
+    fused_opts = dict(interpret=True, compute_dtype=jnp.float32)
+    ts_ref = init_sae_train_state(params, tx, h, seed=0)
+    ref_step = make_sae_train_step_from_acts(
+        "jumprelu_sae", 0.01, tx, N_RESAMPLE, K, fused=True, fused_opts=fused_opts
+    )
+    ts_tp = put_tp_state(mesh, init_sae_train_state(params, tx, h, seed=0))
+    tp_step = make_tp_fused_train_step(
+        mesh, ts_tp, 0.01, tx, N_RESAMPLE, K, fused_opts=fused_opts,
+        sae_model_name="jumprelu_sae",
+    )
+    for s in range(4):
+        x = _tokens(s)
+        ts_ref, m_ref = ref_step(ts_ref, jnp.asarray(x))
+        ts_tp, m_tp = tp_step(ts_tp, put_tokens_tp(mesh, x))
+        for key in ("sae_loss", "sae_rec_loss", "sparsity"):
+            np.testing.assert_allclose(
+                float(m_tp[key]), float(m_ref[key]), rtol=1e-4, atol=1e-7,
+                err_msg=f"step {s}: {key}",
+            )
+    for k in ts_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(ts_tp.params[k]), np.asarray(ts_ref.params[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+    assert {s.data.shape[0] for s in ts_tp.params["W_dec"].addressable_shards} == {h // 4}
+    assert {s.data.shape[0] for s in ts_tp.params["log_threshold"].addressable_shards} == {h // 4}
