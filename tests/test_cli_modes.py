@@ -308,9 +308,9 @@ def test_examples_run(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(root, "examples", "discover_circuit.py")],
         # generous: on a 1-CPU box the parent pytest process's XLA device threads
-        # contend with this subprocess (observed 229s solo, >560s under full-suite
-        # load as the suite grew)
-        env=env, capture_output=True, text=True, timeout=900,
+        # contend with this subprocess (observed 229s solo, >560s in round 2,
+        # >900s in round 3 as the suite grew to 215 tests)
+        env=env, capture_output=True, text=True, timeout=1800,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "faithfulness=1.0000" in r.stdout
@@ -326,7 +326,8 @@ def test_multichip_example_runs(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(root, "examples", "multichip_cached_training.py"),
          str(tmp_path)],
-        env=env, capture_output=True, text=True, timeout=900,
+        # same 1-core contention allowance as test_examples_run
+        env=env, capture_output=True, text=True, timeout=1800,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "multichip example OK" in r.stdout
@@ -343,7 +344,8 @@ def test_mis_comparison_example_runs(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(root, "examples", "mis_original_vs_sae.py"),
          str(tmp_path)],
-        env=env, capture_output=True, text=True, timeout=900,
+        # same 1-core contention allowance as test_examples_run
+        env=env, capture_output=True, text=True, timeout=1800,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "MIS comparison example OK" in r.stdout

@@ -139,8 +139,9 @@ def test_topk_trains_end_to_end(tmp_path):
 
 
 def test_topk_cached_path(tmp_path):
-    """The activation-cache production path trains the TopK variant (stock step —
-    no fused kernel for topk; the fused gate must exclude it, not crash)."""
+    """The activation-cache production path trains the TopK variant (stock step on
+    CPU; on TPU the gate routes it to the gather-based fast path,
+    ops/fast_topk_sae.py)."""
     from sparse_vision_tpu.config import RunConfig
     from sparse_vision_tpu.train.pipeline import Pipeline
 
@@ -274,3 +275,48 @@ def test_fast_topk_train_step_matches_stock():
             rtol=1e-5, atol=1e-6, err_msg=key,
         )
     np.testing.assert_array_equal(np.asarray(ts_b.dead_acc), np.asarray(ts_a.dead_acc))
+
+
+def test_fast_topk_sharded_matches_single_device():
+    """The shard_map fused path routes topk_sae through the gather-based fast terms
+    per chip; pmean'd grads match the single-device fast trajectory on an 8-device
+    data mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vision_tpu.models.sae import init_sae
+    from sparse_vision_tpu.ops import optim
+    from sparse_vision_tpu.parallel.mesh import make_mesh
+    from sparse_vision_tpu.parallel.sharded_steps import (
+        make_sharded_fused_train_step,
+        put_replicated_state,
+        put_tokens_sharded,
+    )
+    from sparse_vision_tpu.train.steps import (
+        init_sae_train_state,
+        make_sae_train_step_from_acts,
+    )
+
+    d, exp, k = 32, 4, 8
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    mesh = make_mesh((8,))
+    mk = lambda: init_sae_train_state(
+        init_sae("topk_sae", jax.random.key(0), d, exp), tx, d * exp
+    )
+    ref_step = make_sae_train_step_from_acts("topk_sae", 0.0, tx, 1000, exp,
+                                             fused=True, topk=k)
+    sh_step = make_sharded_fused_train_step(mesh, 0.0, tx, 1000, exp, fused=True,
+                                            sae_model_name="topk_sae", topk=k)
+    ts_ref, ts_sh = mk(), put_replicated_state(mesh, mk())
+    for s in range(3):
+        x = np.random.default_rng(s).normal(size=(64, d)).astype(np.float32)
+        ts_ref, m_ref = ref_step(ts_ref, jnp.asarray(x))
+        ts_sh, m_sh = sh_step(ts_sh, put_tokens_sharded(mesh, x))
+        for key in ("sae_loss", "sae_rec_loss", "sparsity"):
+            np.testing.assert_allclose(float(m_sh[key]), float(m_ref[key]),
+                                       rtol=1e-5, err_msg=key)
+    for key in ts_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(ts_sh.params[key]), np.asarray(ts_ref.params[key]),
+            rtol=1e-5, atol=1e-6, err_msg=key,
+        )
