@@ -120,6 +120,14 @@ class RunConfig:
     # active latents per token for sae_model_name="topk_sae" (Gao et al. 2024;
     # beyond-reference variant — sparsity via the activation, train with lambda=0)
     sae_topk: int = 32
+    # JumpReLU STE kernel bandwidth ε and threshold init θ0 (Rajamanoharan et al.
+    # 2024 defaults, sized for NORMALIZED activations). The STE gradient only fires
+    # within ε/2 of a threshold — on raw vision activations (GoogLeNet mixed3a
+    # pre-activations are O(1-100)) both must scale with the activation
+    # distribution or the thresholds never move (models/sae.py JUMPRELU_BANDWIDTH
+    # note; measured on-chip: L0 frozen regardless of lambda at the defaults)
+    jumprelu_bandwidth: float = 1e-3
+    jumprelu_threshold_init: float = 1e-3
     # opt-in: select TopK latents with the TPU-native approximate top-k
     # (lax.approx_max_k, recall_target 0.95 — measured recall 0.98, 11x faster than
     # the exact sort at [16k, 16k] on v5e; models/sae.topk_sae_apply docstring)

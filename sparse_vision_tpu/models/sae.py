@@ -21,6 +21,8 @@ relayout in NHWC.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -122,48 +124,56 @@ def gated_sae_apply(params: dict, x: jax.Array) -> tuple:
 # arXiv:2407.14435 "Jumping Ahead") — listed in PAPERS.md
 # ---------------------------------------------------------------------------
 
-JUMPRELU_BANDWIDTH = 1e-3  # STE kernel bandwidth ε (paper's default scale)
+# STE kernel bandwidth ε, the paper's default — sized for NORMALIZED activations.
+# The STE gradient only fires for pre-activations within ε/2 of a threshold, so on
+# raw vision activations (GoogLeNet mixed3a pre-activations are O(1-100)) ε must be
+# scaled to the activation distribution or the thresholds never move (measured on
+# the chip: L0 frozen at the θ0-density regardless of λ). Configure via
+# RunConfig.jumprelu_bandwidth / jumprelu_threshold_init.
+JUMPRELU_BANDWIDTH = 1e-3
 
 
-@jax.custom_vjp
-def _jumprelu(pre: jax.Array, threshold: jax.Array) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _jumprelu(pre: jax.Array, threshold: jax.Array,
+              bandwidth: float = JUMPRELU_BANDWIDTH) -> jax.Array:
     return pre * (pre > threshold)
 
 
-def _jumprelu_fwd(pre, threshold):
-    return _jumprelu(pre, threshold), (pre, threshold)
+def _jumprelu_fwd(pre, threshold, bandwidth):
+    return _jumprelu(pre, threshold, bandwidth), (pre, threshold)
 
 
-def _jumprelu_bwd(res, ct):
+def _jumprelu_bwd(bandwidth, res, ct):
     pre, threshold = res
     # straight-through estimator with a rectangle kernel K(u) = 1[|u| <= 1/2]:
     # d out/d pre = H(pre - θ) exactly; d out/d θ = -(θ/ε) K((pre-θ)/ε) (paper eq. 11)
-    in_window = (jnp.abs(pre - threshold) <= JUMPRELU_BANDWIDTH / 2).astype(ct.dtype)
+    in_window = (jnp.abs(pre - threshold) <= bandwidth / 2).astype(ct.dtype)
     d_pre = ct * (pre > threshold)
-    d_thr = jnp.sum(ct * (-threshold / JUMPRELU_BANDWIDTH) * in_window, axis=0)
+    d_thr = jnp.sum(ct * (-threshold / bandwidth) * in_window, axis=0)
     return d_pre, d_thr
 
 
 _jumprelu.defvjp(_jumprelu_fwd, _jumprelu_bwd)
 
 
-@jax.custom_vjp
-def jumprelu_l0(pre: jax.Array, threshold: jax.Array) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def jumprelu_l0(pre: jax.Array, threshold: jax.Array,
+                bandwidth: float = JUMPRELU_BANDWIDTH) -> jax.Array:
     """mean over tokens of the per-token L0 = Σ_j H(pre_j - θ_j); gradient w.r.t. θ
     via the STE step-function estimator (paper eq. 12); pre gets NO gradient (the
     paper's L0 penalty moves only the thresholds)."""
     return jnp.mean(jnp.sum((pre > threshold).astype(pre.dtype), axis=-1))
 
 
-def _l0_fwd(pre, threshold):
-    return jumprelu_l0(pre, threshold), (pre, threshold)
+def _l0_fwd(pre, threshold, bandwidth):
+    return jumprelu_l0(pre, threshold, bandwidth), (pre, threshold)
 
 
-def _l0_bwd(res, ct):
+def _l0_bwd(bandwidth, res, ct):
     pre, threshold = res
     t = pre.shape[0]
-    in_window = (jnp.abs(pre - threshold) <= JUMPRELU_BANDWIDTH / 2).astype(pre.dtype)
-    d_thr = ct * jnp.sum(-in_window / JUMPRELU_BANDWIDTH, axis=0) / t
+    in_window = (jnp.abs(pre - threshold) <= bandwidth / 2).astype(pre.dtype)
+    d_thr = ct * jnp.sum(-in_window / bandwidth, axis=0) / t
     return jnp.zeros_like(pre), d_thr
 
 
@@ -171,23 +181,26 @@ jumprelu_l0.defvjp(_l0_fwd, _l0_bwd)
 
 
 def init_jumprelu_sae(key: jax.Array, d: int, expansion_factor: int,
-                      dtype=jnp.float32) -> dict:
+                      dtype=jnp.float32, threshold_init: float = 1e-3) -> dict:
     """Same encoder/decoder layout as the ReLU SAE plus a per-latent log-threshold
-    (initialized so θ = 0.001, the paper's starting point)."""
+    (θ0 = threshold_init; 0.001 is the paper's starting point for normalized
+    activations — scale it with the activation distribution, see
+    JUMPRELU_BANDWIDTH note)."""
     params = init_sae_mlp(key, d, expansion_factor, dtype)
     h = int(d * expansion_factor)
-    params["log_threshold"] = jnp.full((h,), jnp.log(1e-3), dtype)
+    params["log_threshold"] = jnp.full((h,), jnp.log(threshold_init), dtype)
     return params
 
 
-def jumprelu_sae_apply(params: dict, x: jax.Array) -> tuple:
+def jumprelu_sae_apply(params: dict, x: jax.Array,
+                       bandwidth: float = JUMPRELU_BANDWIDTH) -> tuple:
     """Returns (encoded, decoded, pre) on token input [T, d]: pre-activations pass
     through JumpReLU_θ (value kept above the learned per-latent threshold, hard zero
     below), thresholds trained via the STE custom VJPs above."""
     x_cent = x - params["b_dec"]
     pre = x_cent @ params["W_enc"] + params["b_enc"]
     threshold = jnp.exp(params["log_threshold"])
-    post = _jumprelu(pre, threshold)
+    post = _jumprelu(pre, threshold, bandwidth)
     recon = post @ params["W_dec"] + params["b_dec"]
     return post, recon, pre
 
@@ -277,7 +290,8 @@ def topk_sae_apply(params: dict, x: jax.Array, k: int, approx: bool = False) -> 
     return post, recon, pre
 
 
-def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int, dtype=jnp.float32) -> dict:
+def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int,
+             dtype=jnp.float32, jumprelu_threshold_init: float = 1e-3) -> dict:
     if name == "sae_mlp":
         return init_sae_mlp(key, d_or_c, expansion_factor, dtype)
     if name == "gated_sae":
@@ -285,7 +299,8 @@ def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int, dtyp
     if name == "sae_conv":
         return init_sae_conv(key, d_or_c, expansion_factor, dtype)
     if name == "jumprelu_sae":
-        return init_jumprelu_sae(key, d_or_c, expansion_factor, dtype)
+        return init_jumprelu_sae(key, d_or_c, expansion_factor, dtype,
+                                 threshold_init=jumprelu_threshold_init)
     if name == "topk_sae":
         return init_topk_sae(key, d_or_c, expansion_factor, dtype)
     raise ValueError(f"Unknown SAE model name {name}.")
@@ -311,6 +326,7 @@ def sae_inference_and_loss(
     lambda_sparse: float,
     topk: int = 32,
     topk_approx: bool = False,
+    jumprelu_bandwidth: float = JUMPRELU_BANDWIDTH,
 ) -> dict:
     """SAE splice helper: reshape conv taps to tokens, run the SAE, compute all loss
     terms, reshape outputs back (reference: utils.py:2448-2482 sae_inference_and_loss).
@@ -340,9 +356,10 @@ def sae_inference_and_loss(
         # silently shrink active latents; l1_loss stays reported as a metric.
         terms = losses.sae_loss_terms(encoded, decoded, tok, 0.0)
     elif sae_model_name == "jumprelu_sae":
-        encoded, decoded, pre = jumprelu_sae_apply(params, tok)
+        encoded, decoded, pre = jumprelu_sae_apply(params, tok, jumprelu_bandwidth)
         terms = losses.jumprelu_loss_terms(
-            encoded, decoded, tok, pre, params["log_threshold"], lambda_sparse
+            encoded, decoded, tok, pre, params["log_threshold"], lambda_sparse,
+            bandwidth=jumprelu_bandwidth,
         )
     elif sae_model_name == "gated_sae":
         encoded, decoded, relu_pi_gate, via_gate = gated_sae_apply(params, tok)

@@ -80,11 +80,10 @@ def _fwd_kernel(x_ref, w_enc_ref, b_enc_ref, thr_ref, w_dec_ref, b_dec_ref,
 def _bwd_kernel(x_ref, w_enc_ref, b_enc_ref, thr_ref, w_dec_ref, b_dec_ref,
                 err_ref, c_ref,
                 dw_enc_ref, db_enc_ref, dthr_ref, dw_dec_ref, db_dec_ref,
-                *, compute_dtype):
+                *, compute_dtype, eps=JUMPRELU_BANDWIDTH):
     j = pl.program_id(0)  # H tile (outer)
     i = pl.program_id(1)  # T tile (inner; reductions accumulate in VMEM)
     cd = compute_dtype
-    eps = JUMPRELU_BANDWIDTH
     x_cent = (x_ref[:] - b_dec_ref[:].astype(x_ref.dtype)).astype(cd)
     w_enc = w_enc_ref[:]
     thr = thr_ref[:]
@@ -158,7 +157,8 @@ def _bwd_kernel(x_ref, w_enc_ref, b_enc_ref, thr_ref, w_dec_ref, b_dec_ref,
 
 @functools.lru_cache(maxsize=None)
 def make_fused_jumprelu_sae_op(tile_t: int = 2048, tile_h: int = 2048,
-                               compute_dtype=jnp.bfloat16, interpret: bool = False):
+                               compute_dtype=jnp.bfloat16, interpret: bool = False,
+                               bandwidth: float = JUMPRELU_BANDWIDTH):
     lowp = compute_dtype != jnp.float32
 
     def _cast(a):
@@ -241,7 +241,8 @@ def make_fused_jumprelu_sae_op(tile_t: int = 2048, tile_h: int = 2048,
         coeffs = jnp.array(
             [[ct["rec_loss"] * 2.0 / (t * c), ct["l0_loss"] / t]], jnp.float32
         )
-        kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype)
+        kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype,
+                                   eps=bandwidth)
         x_spec = pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
         hs = lambda shape: pl.BlockSpec(shape, lambda j, i: (0, j), memory_space=pltpu.VMEM)
         dw_enc, db_enc, dthr, dw_dec, db_dec = pl.pallas_call(
@@ -283,10 +284,12 @@ def make_fused_jumprelu_sae_op(tile_t: int = 2048, tile_h: int = 2048,
 def fused_jumprelu_sae_loss_terms(params: dict, x: jax.Array, lambda_sparse: float,
                                   expansion_factor: int, *, tile_t: int = 2048,
                                   tile_h: int = 2048, compute_dtype=jnp.bfloat16,
-                                  interpret: bool = False) -> dict:
+                                  interpret: bool = False,
+                                  bandwidth: float = JUMPRELU_BANDWIDTH) -> dict:
     """Fused equivalent of jumprelu_sae_apply + jumprelu_loss_terms +
     measure_inactive_units on 2-D token input (loss = rec + λ·L0; l1 is a metric)."""
-    op = make_fused_jumprelu_sae_op(tile_t, tile_h, compute_dtype, interpret)
+    op = make_fused_jumprelu_sae_op(tile_t, tile_h, compute_dtype, interpret,
+                                    bandwidth)
     out = op(params, x)
     h = params["b_enc"].shape[0]
     recon = out["recon"]

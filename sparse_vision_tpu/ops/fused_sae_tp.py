@@ -39,6 +39,7 @@ from sparse_vision_tpu.ops.fused_gated_sae import (
     _fwd_kernel as _gated_fwd_kernel,
 )
 from sparse_vision_tpu.ops.fused_jumprelu_sae import (
+    JUMPRELU_BANDWIDTH,
     _bwd_kernel as _jr_bwd_kernel,
     _fwd_kernel as _jr_fwd_kernel,
 )
@@ -435,7 +436,8 @@ def _jr_in_specs(tt, th, c, t_inner: bool):
 def make_fused_jumprelu_sae_tp_op(n_data: int, n_model: int, tile_t: int = 2048,
                                   tile_h: int = 2048, compute_dtype=jnp.bfloat16,
                                   interpret: bool = False, data_axis: str = "data",
-                                  model_axis: str = "model"):
+                                  model_axis: str = "model",
+                                  bandwidth: float = JUMPRELU_BANDWIDTH):
     """TP fused JumpReLU op — same contract as make_fused_sae_tp_op with
     'l0_loss' (the training sparsity term) instead of gradient-carrying l1."""
     lowp = compute_dtype != jnp.float32
@@ -508,7 +510,8 @@ def make_fused_jumprelu_sae_tp_op(n_data: int, n_model: int, tile_t: int = 2048,
         c_rec = ct["rec_loss"] * 2.0 / (t_g * c)
         c_l0 = ct["l0_loss"] / t_g
         coeffs = jnp.stack([c_rec, c_l0]).reshape(1, 2).astype(jnp.float32)
-        kernel = functools.partial(_jr_bwd_kernel, compute_dtype=compute_dtype)
+        kernel = functools.partial(_jr_bwd_kernel, compute_dtype=compute_dtype,
+                                   eps=bandwidth)
         x_spec = pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
         hs = lambda shape: pl.BlockSpec(shape, lambda j, i: (0, j), memory_space=pltpu.VMEM)
         dw_enc, db_enc, dthr, dw_dec, db_dec = pl.pallas_call(
@@ -556,11 +559,12 @@ def fused_jumprelu_sae_tp_loss_terms(params: dict, x: jax.Array,
                                      compute_dtype=jnp.bfloat16,
                                      interpret: bool = False,
                                      data_axis: str = "data",
-                                     model_axis: str = "model") -> dict:
+                                     model_axis: str = "model",
+                                     bandwidth: float = JUMPRELU_BANDWIDTH) -> dict:
     """TP counterpart of fused_jumprelu_sae_loss_terms (loss = rec + λ·L0)."""
     op = make_fused_jumprelu_sae_tp_op(
         n_data, n_model, tile_t, tile_h, compute_dtype, interpret,
-        data_axis=data_axis, model_axis=model_axis,
+        data_axis=data_axis, model_axis=model_axis, bandwidth=bandwidth,
     )
     out = op(params, x)
     h_g = params["b_enc"].shape[0] * n_model

@@ -82,7 +82,7 @@ def gated_sae_loss_terms(
 
 def jumprelu_loss_terms(
     encoded: jax.Array, decoded: jax.Array, targets: jax.Array, pre: jax.Array,
-    log_threshold: jax.Array, lambda_sparse: float,
+    log_threshold: jax.Array, lambda_sparse: float, bandwidth: float = 1e-3,
 ) -> dict:
     """JumpReLU-SAE loss (Rajamanoharan et al. 2024): MSE reconstruction + λ·L0,
     with the L0 gradient flowing into the thresholds via the STE estimator
@@ -91,7 +91,7 @@ def jumprelu_loss_terms(
     from sparse_vision_tpu.models.sae import jumprelu_l0
 
     rec = jnp.mean(jnp.square(decoded - targets))
-    l0 = jumprelu_l0(pre, jnp.exp(log_threshold))
+    l0 = jumprelu_l0(pre, jnp.exp(log_threshold), bandwidth)
     rmse, nrmse = rmse_nrmse(decoded, targets)
     return {
         "loss": rec + lambda_sparse * l0,

@@ -55,6 +55,7 @@ def make_sharded_fused_train_step(
     sae_model_name: str = "sae_mlp",
     topk: int = 32,
     topk_approx: bool = False,
+    jumprelu_bandwidth: float = 1e-3,
 ):
     """Data-parallel SAE train step: ``step(ts, acts)`` with ``acts`` [T, C] sharded
     over the 'data' axis and the train state replicated. ``fused=False`` runs the
@@ -88,6 +89,9 @@ def make_sharded_fused_train_step(
             from sparse_vision_tpu.ops.fused_jumprelu_sae import (
                 fused_jumprelu_sae_loss_terms as _loss_terms,
             )
+
+            # factory bandwidth is the default; an explicit fused_opts entry wins
+            opts = {"bandwidth": jumprelu_bandwidth, **opts}
         elif sae_model_name == "gated_sae":
             from sparse_vision_tpu.ops.fused_gated_sae import (
                 fused_gated_sae_loss_terms as _loss_terms,
@@ -108,7 +112,8 @@ def make_sharded_fused_train_step(
 
         def local_loss(params, act_local):
             out = sae_inference_and_loss(
-                sae_model_name, params, act_local, lambda_sparse, topk=topk, topk_approx=topk_approx
+                sae_model_name, params, act_local, lambda_sparse, topk=topk,
+                topk_approx=topk_approx, jumprelu_bandwidth=jumprelu_bandwidth,
             )
             dead, sparsity, _ = measure_inactive_units(
                 out["encoded"], expansion_factor

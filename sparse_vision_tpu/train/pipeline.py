@@ -107,6 +107,7 @@ class Pipeline:
             self.sae_params = init_sae(
                 cfg.sae_model_name, self.k_sae, self.sae_input_size,
                 cfg.sae_expansion_factor,
+                jumprelu_threshold_init=cfg.jumprelu_threshold_init,
             )
             if cfg.sae_weights_path:
                 # weight-only import: native .npz or reference-format torch .pth
@@ -239,6 +240,7 @@ class Pipeline:
             self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
             self.tx, cfg.dead_neurons_steps, cfg.sae_expansion_factor, self.criterion,
             topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
+            jumprelu_bandwidth=cfg.jumprelu_bandwidth,
         )
         from sparse_vision_tpu.utils.profiling import maybe_profile
 
@@ -376,6 +378,10 @@ class Pipeline:
             "compute_dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
             else jnp.float32
         }
+        if cfg.sae_model_name == "jumprelu_sae":
+            # the STE bandwidth reaches the fused kernels (single-chip, shard_map,
+            # and TP) through the shared kernel-options dict
+            fused_opts["bandwidth"] = cfg.jumprelu_bandwidth
         from sparse_vision_tpu.train.steps import make_sae_train_multi_step
 
         tensor_parallel = (
@@ -415,6 +421,7 @@ class Pipeline:
                     cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
                     cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=False,
                     topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
+                    jumprelu_bandwidth=cfg.jumprelu_bandwidth,
                 )
 
             def _put_tokens(arr, token_axis):
@@ -430,6 +437,7 @@ class Pipeline:
                 mesh, cfg.sae_lambda_sparse, self.tx, cfg.dead_neurons_steps,
                 cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
                 sae_model_name=cfg.sae_model_name, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
+                jumprelu_bandwidth=cfg.jumprelu_bandwidth,
             )
             self.ts = put_replicated_state(mesh, self.ts)
 
@@ -440,6 +448,7 @@ class Pipeline:
                 cfg.sae_model_name, cfg.sae_lambda_sparse, self.tx,
                 cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=fused,
                 fused_opts=fused_opts, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
+                jumprelu_bandwidth=cfg.jumprelu_bandwidth,
             )
 
             def _put_tokens(arr, token_axis):
@@ -536,6 +545,7 @@ class Pipeline:
             self._sae_eval_step_cache = make_sae_eval_step(
                 self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
                 cfg.sae_expansion_factor, self.criterion, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
+                jumprelu_bandwidth=cfg.jumprelu_bandwidth,
             )
         return self._sae_eval_step_cache
 

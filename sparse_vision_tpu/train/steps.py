@@ -79,6 +79,7 @@ def make_sae_train_step(
     last_stage: Optional[str] = None,
     topk: int = 32,
     topk_approx: bool = False,
+    jumprelu_bandwidth: float = 1e-3,
 ):
     """Build the jitted SAE train step.
 
@@ -94,7 +95,8 @@ def make_sae_train_step(
 
     def loss_fn(sae_params, act):
         out = sae_inference_and_loss(
-            sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx
+            sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx,
+            jumprelu_bandwidth=jumprelu_bandwidth,
         )
         return out["loss"], out
 
@@ -182,6 +184,7 @@ def make_sae_train_step_from_acts(
     fused_opts: Optional[dict] = None,
     topk: int = 32,
     topk_approx: bool = False,
+    jumprelu_bandwidth: float = 1e-3,
 ):
     """SAE train step over pre-extracted activations (the activation-cache training
     mode; the reference abandoned an HDF5 version of this, utils.py:613-657 — here it
@@ -240,7 +243,8 @@ def make_sae_train_step_from_acts(
     else:
         def loss_fn(sae_params, act):
             out = sae_inference_and_loss(
-                sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx
+                sae_model_name, sae_params, act, lambda_sparse, topk=topk,
+                topk_approx=topk_approx, jumprelu_bandwidth=jumprelu_bandwidth,
             )
             return out["loss"], out
 
@@ -316,6 +320,7 @@ def make_sae_eval_step(
     last_stage: Optional[str] = None,
     topk: int = 32,
     topk_approx: bool = False,
+    jumprelu_bandwidth: float = 1e-3,
 ):
     """Eval step for the modified (SAE-spliced) model: all reference eval-epoch
     quantities for one batch (model_pipeline.py:661-714 + 806-878)."""
@@ -327,7 +332,8 @@ def make_sae_eval_step(
         logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
         act = taps[sae_layer]
         out = sae_inference_and_loss(
-            sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx
+            sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx,
+            jumprelu_bandwidth=jumprelu_bandwidth,
         )
         logits_mod = net.apply_segment(
             frozen_params, out["decoded"], after=sae_layer, upto=last, state=frozen_state

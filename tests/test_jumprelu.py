@@ -164,3 +164,36 @@ def test_fused_jumprelu_parity():
                                                 rtol=2e-3, atol=1e-5),
         ts_a.params, ts_b.params,
     )
+
+
+def test_bandwidth_scaling_unfreezes_thresholds_on_raw_activations():
+    """On unnormalized activations (O(10) pre-activations, like raw GoogLeNet taps)
+    the paper-default bandwidth 1e-3 leaves the STE window empty — thresholds get
+    ZERO gradient and L0 never moves (observed on the chip, round 3). Scaling
+    bandwidth + threshold init to the activation distribution restores threshold
+    learning. Pins the jumprelu_bandwidth / jumprelu_threshold_init knobs."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vision_tpu.models.sae import init_sae, sae_inference_and_loss
+
+    d, exp = 16, 4
+    x = jnp.asarray(10.0 * np.random.default_rng(0).normal(size=(256, d)),
+                    jnp.float32)  # O(10) activations
+
+    def thr_grad(bandwidth, threshold_init):
+        params = init_sae("jumprelu_sae", jax.random.key(0), d, exp,
+                          jumprelu_threshold_init=threshold_init)
+
+        def loss(p):
+            return sae_inference_and_loss(
+                "jumprelu_sae", p, x, 0.1, jumprelu_bandwidth=bandwidth
+            )["loss"]
+
+        return np.abs(np.asarray(jax.grad(loss)(params)["log_threshold"]))
+
+    frozen = thr_grad(1e-3, 1e-3)  # paper defaults: window ~never hit at this scale
+    live = thr_grad(2.0, 1.0)  # scaled to the distribution
+    # defaults: only the rare chance landing inside the 1e-3 window gets a gradient
+    assert (frozen > 0).mean() < 0.05, "expected ~starved threshold gradients"
+    assert (live > 0).mean() > 0.5, "scaled bandwidth should give most thresholds grads"
