@@ -53,6 +53,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="merged results CSV for --run_evaluation")
     p.add_argument("--out_dir", type=str, default=None,
                    help="output directory for evaluation artifacts")
+    p.add_argument("--multilayer", type=str, default=None, metavar="LAYERS",
+                   help="with --run_pipeline --config: train SAEs for a comma list "
+                        "of layers (or 'circuit' = the registry's circuit layers) "
+                        "off ONE shared backbone pass (train/multilayer.py); "
+                        "registry hyperparameters apply per layer")
     return p.parse_args(argv)
 
 
@@ -89,8 +94,17 @@ def main(argv=None) -> int:
         else:
             print("--run_pipeline needs --parameters or --config", file=sys.stderr)
             return 2
-        for cfg in cfgs:
-            _run_one(cfg)
+        if args.multilayer is not None:
+            from sparse_vision_tpu.train.multilayer import train_saes_multilayer
+
+            layers = (None if args.multilayer == "circuit"
+                      else [l for l in args.multilayer.split(",") if l])
+            for cfg in cfgs:
+                print(f"=== multilayer run: {cfg.to_json()}")
+                train_saes_multilayer(cfg, layers=layers)
+        else:
+            for cfg in cfgs:
+                _run_one(cfg)
 
     if args.run_evaluation:
         from sparse_vision_tpu.eval_tools.ranking import (

@@ -56,6 +56,72 @@ def validate_sharded_batch(batch_size: int, sharding) -> None:
         )
 
 
+class _ShardWriter:
+    """Accumulates token rows and publishes fixed-size ``acts_NNNNN.npy`` shards
+    atomically (temp file + os.replace). One writer per output cache directory;
+    the multi-layer dump runs several concurrently off one backbone pass."""
+
+    def __init__(self, out_dir: str, shard_tokens: int,
+                 shard_queue: Optional[queue.Queue] = None):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.shard_tokens = shard_tokens
+        self.shard_queue = shard_queue
+        self.buf: list[np.ndarray] = []
+        self.buffered = 0
+        self.shard_idx = 0
+        self.total = 0
+        self.dim: Optional[int] = None
+
+    def add(self, tok: np.ndarray) -> None:
+        self.dim = tok.shape[1]
+        self.buf.append(tok)
+        self.buffered += tok.shape[0]
+        self._flush(final=False)
+
+    def _flush(self, final: bool) -> None:
+        while self.buffered >= self.shard_tokens or (final and self.buffered > 0):
+            take = min(self.shard_tokens, self.buffered)
+            chunk, rest, got = [], [], 0
+            for a in self.buf:
+                if got + a.shape[0] <= take:
+                    chunk.append(a)
+                    got += a.shape[0]
+                else:
+                    chunk.append(a[: take - got])
+                    rest.append(a[take - got :])
+                    got = take
+            # force C order: device->host arrays can come back F-contiguous
+            arr = np.ascontiguousarray(np.concatenate(chunk, axis=0))
+            path = os.path.join(self.out_dir, f"acts_{self.shard_idx:05d}.npy")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, _to_storage(arr))
+            os.replace(tmp, path)  # atomic publish: readers never see partial shards
+            if self.shard_queue is not None:
+                self.shard_queue.put(path)
+            self.shard_idx += 1
+            self.total += arr.shape[0]
+            self.buf = rest
+            self.buffered = sum(a.shape[0] for a in self.buf)
+            if final and self.buffered == 0:
+                break
+
+    def finish(self, layer: str, dtype) -> dict:
+        self._flush(final=True)
+        meta = {
+            "layer": layer,
+            "dim": int(self.dim),
+            "num_shards": self.shard_idx,
+            "total_tokens": int(self.total),
+            "shard_tokens": int(self.shard_tokens),
+            "dtype": "bfloat16" if np.dtype(dtype) == _BF16 else np.dtype(dtype).name,
+        }
+        with open(os.path.join(self.out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        return meta
+
+
 def dump_activations(
     net,
     params: dict,
@@ -93,81 +159,83 @@ def dump_activations(
     published via temp-file + os.replace, so a path on the queue (or visible to a
     directory listing) is always a complete shard; bytes are identical to the
     sequential mode's."""
+    metas = dump_activations_multi(
+        net, params, state, dataset, [layer], {layer: out_dir},
+        batch_size=batch_size, shard_tokens=shard_tokens, dtype=dtype,
+        max_batches=max_batches, shuffle_images=shuffle_images, seed=seed,
+        workers=workers, sharding=sharding,
+        shard_queues=None if shard_queue is None else {layer: shard_queue},
+    )
+    return metas[layer]
+
+
+def dump_activations_multi(
+    net,
+    params: dict,
+    state: Optional[dict],
+    dataset,
+    layers: list[str],
+    out_dirs: dict[str, str],
+    batch_size: int = 64,
+    shard_tokens: int = 1 << 16,
+    dtype=np.float32,
+    max_batches: Optional[int] = None,
+    shuffle_images: bool = False,
+    seed: int = 0,
+    workers: Optional[int] = None,
+    sharding=None,
+    shard_queues: Optional[dict[str, queue.Queue]] = None,
+) -> dict[str, dict]:
+    """Write the activation caches of EVERY requested layer from ONE backbone pass.
+
+    The reference prepares the circuit tier's 8 frozen SAEs with 8 independent
+    cluster jobs, each re-running the full ImageNet forward (compute_ie.py:52 layer
+    list; one parameters.txt line per layer). Here ``SeqNet.apply`` already returns
+    every stage's output up to ``stop_at``, so tapping N layers costs the SAME
+    backbone FLOPs as tapping one: the jitted tap stops at the deepest requested
+    stage and one `_ShardWriter` per layer shards its token stream. Per-layer shard
+    files and meta are byte-identical to running ``dump_activations`` once per layer
+    with the same arguments (pinned by tests), so ``ActivationCache``/``Pipeline``
+    consume them unchanged.
+
+    ``layers`` may include sub-taps (``"stage.sub"``); depth is the owning stage's
+    index. ``shard_queues`` maps layer -> overlap queue (see ``dump_activations``);
+    queues receive shard paths only — the caller owns the end-of-stream sentinel.
+    """
     from sparse_vision_tpu.data.prefetch import prefetch
     from sparse_vision_tpu.models.sae import tokens_from_act
 
     validate_sharded_batch(batch_size, sharding)
-
-    os.makedirs(out_dir, exist_ok=True)
+    layers = list(dict.fromkeys(layers))
+    missing = [l for l in layers if l not in out_dirs]
+    if missing:
+        raise ValueError(f"out_dirs missing entries for layers {missing}")
+    # one forward serves all layers: stop at the DEEPEST requested stage
+    depth = {l: net.index_of(l.split(".")[0]) for l in layers}
+    stop = max(layers, key=lambda l: depth[l]).split(".")[0]
 
     @jax.jit
     def tap(images):
-        _, taps, _ = net.apply(params, images, state=state, stop_at=layer)
-        tok, _ = tokens_from_act(taps[layer])
-        return tok
+        _, taps, _ = net.apply(params, images, state=state, stop_at=stop)
+        return {l: tokens_from_act(taps[l])[0] for l in layers}
 
-    buf: list[np.ndarray] = []
-    buffered = 0
-    shard_idx = 0
-    total = 0
-    dim = None
-
-    def flush(final: bool):
-        nonlocal buf, buffered, shard_idx, total
-        while buffered >= shard_tokens or (final and buffered > 0):
-            take = min(shard_tokens, buffered)
-            chunk, rest, got = [], [], 0
-            for a in buf:
-                if got + a.shape[0] <= take:
-                    chunk.append(a)
-                    got += a.shape[0]
-                else:
-                    chunk.append(a[: take - got])
-                    rest.append(a[take - got :])
-                    got = take
-            # force C order: device->host arrays can come back F-contiguous
-            arr = np.ascontiguousarray(np.concatenate(chunk, axis=0))
-            path = os.path.join(out_dir, f"acts_{shard_idx:05d}.npy")
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                np.save(f, _to_storage(arr))
-            os.replace(tmp, path)  # atomic publish: readers never see partial shards
-            if shard_queue is not None:
-                shard_queue.put(path)
-            shard_idx += 1
-            total += arr.shape[0]
-            buf = rest
-            buffered = sum(a.shape[0] for a in buf)
-            if final and buffered == 0:
-                break
-
+    writers = {
+        l: _ShardWriter(out_dirs[l], shard_tokens, (shard_queues or {}).get(l))
+        for l in layers
+    }
     n = 0
     it = prefetch(
         dataset.batches(batch_size, shuffle=shuffle_images, seed=seed, workers=workers),
         sharding,
     )
     for batch in it:
-        tok = np.asarray(tap(batch.images), dtype=dtype)
-        dim = tok.shape[1]
-        buf.append(tok)
-        buffered += tok.shape[0]
-        flush(final=False)
+        toks = tap(batch.images)
+        for l in layers:
+            writers[l].add(np.asarray(toks[l], dtype=dtype))
         n += 1
         if max_batches is not None and n >= max_batches:
             break
-    flush(final=True)
-
-    meta = {
-        "layer": layer,
-        "dim": int(dim),
-        "num_shards": shard_idx,
-        "total_tokens": int(total),
-        "shard_tokens": int(shard_tokens),
-        "dtype": "bfloat16" if np.dtype(dtype) == _BF16 else np.dtype(dtype).name,
-    }
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    return meta
+    return {l: writers[l].finish(l, dtype) for l in layers}
 
 
 def stream_stacks(

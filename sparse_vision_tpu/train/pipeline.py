@@ -279,20 +279,28 @@ class Pipeline:
     # frozen backbone ONCE, then train at memory bandwidth; the reference recomputes
     # the backbone inside a hook every step and abandoned its HDF5 cache attempt)
     # ------------------------------------------------------------------
-    def train_sae_cached(self):
-        from sparse_vision_tpu.data.activation_cache import (
-            ActivationCache,
-            dump_activations,
-        )
-        from sparse_vision_tpu.train.steps import make_sae_train_step_from_acts
-        from sparse_vision_tpu.utils.profiling import maybe_profile
+    # steps per lax.scan dispatch in the cached path: amortizes host-dispatch
+    # latency; cache shards are sized to a multiple of scan_k*tokens_per_step so
+    # training reads zero-copy stacks
+    CACHE_SCAN_K = 8
 
-        cfg = self.cfg
-        scan_k = 8  # steps per dispatch: amortizes host-dispatch latency (lax.scan)
-        cache_dir = os.path.join(
-            self.paths["evaluation_results"], "activation_cache", cfg.sae_layer
+    def _cache_dir(self, layer: str) -> str:
+        """Per-layer activation-cache directory. Lives under evaluation_results,
+        which depends only on (directory_path, model, dataset, sae_model_name) —
+        NOT on the SAE hyperparameters — so every run on this backbone shares one
+        cache per layer (and the multi-layer dump fills them all in one pass,
+        train/multilayer.py)."""
+        return os.path.join(
+            self.paths["evaluation_results"], "activation_cache", layer
         )
-        dump_kwargs = dict(
+
+    def _cache_dump_kwargs(self) -> dict:
+        """Dump arguments shared by train_sae_cached and the multi-layer dump —
+        one definition so a multi-dumped cache is byte-identical to the one this
+        pipeline would have built itself."""
+        cfg = self.cfg
+        scan_k = self.CACHE_SCAN_K
+        return dict(
             batch_size=cfg.sae_batch_size,
             workers=cfg.data_workers,
             dtype="bfloat16" if cfg.cache_dtype == "bfloat16" else np.float32,
@@ -304,6 +312,19 @@ class Pipeline:
             # multi-chip: the tap pass shards images over the 'data' axis
             sharding=self.batch_sharding,
         )
+
+    def train_sae_cached(self):
+        from sparse_vision_tpu.data.activation_cache import (
+            ActivationCache,
+            dump_activations,
+        )
+        from sparse_vision_tpu.train.steps import make_sae_train_step_from_acts
+        from sparse_vision_tpu.utils.profiling import maybe_profile
+
+        cfg = self.cfg
+        scan_k = self.CACHE_SCAN_K
+        cache_dir = self._cache_dir(cfg.sae_layer)
+        dump_kwargs = self._cache_dump_kwargs()
         stream_q = None  # non-None -> the FIRST epoch consumes shards as they land
         dump_thread = None
         if not os.path.exists(os.path.join(cache_dir, "meta.json")):

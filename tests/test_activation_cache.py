@@ -226,3 +226,90 @@ def test_overlap_dump_train_pipeline(tmp_path):
         b = open(os.path.join(ovl_dir, f), "rb").read()
         assert a == b, f"shard {f} differs between sequential and overlapped dump"
     assert not any(f.endswith(".tmp") for f in os.listdir(ovl_dir))
+
+
+def _mk_pipeline(d, **kw):
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    return Pipeline(RunConfig(
+        model_name="custom_mlp_9", sae_layer="fc1", dataset_name="synthetic",
+        directory_path=str(d), sae_epochs=1, sae_batch_size=64, batch_size=64,
+        dead_neurons_steps=100, use_activation_cache=True,
+        cache_tokens_per_step=512, log_every=1000, **kw,
+    ))
+
+
+def test_multi_dump_byte_matches_per_layer(tmp_path):
+    """dump_activations_multi's per-layer caches are byte-identical to running
+    dump_activations once per layer with the same arguments — the contract that
+    lets Pipeline/ActivationCache consume multi-dumped caches unchanged."""
+    from sparse_vision_tpu.data.activation_cache import (
+        dump_activations,
+        dump_activations_multi,
+    )
+
+    p = _mk_pipeline(tmp_path / "probe")
+    layers = ["fc1", "fc2"]
+    single = {}
+    for l in layers:
+        single[l] = dump_activations(
+            p.net, p.frozen_params, p.net_state, p.train_ds, l,
+            str(tmp_path / "single" / l), batch_size=64, shard_tokens=1024,
+        )
+    multi = dump_activations_multi(
+        p.net, p.frozen_params, p.net_state, p.train_ds, layers,
+        {l: str(tmp_path / "multi" / l) for l in layers},
+        batch_size=64, shard_tokens=1024,
+    )
+    for l in layers:
+        assert multi[l] == single[l]
+        sdir, mdir = tmp_path / "single" / l, tmp_path / "multi" / l
+        files = sorted(f.name for f in sdir.iterdir())
+        assert files == sorted(f.name for f in mdir.iterdir())
+        for f in files:
+            assert (sdir / f).read_bytes() == (mdir / f).read_bytes(), \
+                f"{l}/{f} differs between single- and multi-layer dump"
+    # different layers genuinely differ (fc1 width 128 vs fc2 width 10)
+    assert multi["fc1"]["dim"] != multi["fc2"]["dim"]
+
+
+def test_train_saes_multilayer_one_pass(tmp_path, monkeypatch):
+    """train_saes_multilayer dumps all missing layer caches with ONE
+    dump_activations_multi call (one backbone pass), then trains each layer's SAE
+    from its cache; per-layer results and caches land in the standard locations."""
+    import sparse_vision_tpu.train.multilayer as ml
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.data.activation_cache import dump_activations_multi
+
+    calls = []
+
+    def counting_dump(*args, **kw):
+        calls.append(args[4])  # the layers list
+        return dump_activations_multi(*args, **kw)
+
+    monkeypatch.setattr(
+        "sparse_vision_tpu.data.activation_cache.dump_activations_multi",
+        counting_dump,
+    )
+
+    base = RunConfig(
+        model_name="custom_mlp_9", sae_layer="fc1", dataset_name="synthetic",
+        directory_path=str(tmp_path), sae_epochs=1, sae_batch_size=64,
+        batch_size=64, dead_neurons_steps=100, use_activation_cache=True,
+        cache_tokens_per_step=512, log_every=1000,
+    )
+    results = ml.train_saes_multilayer(base, layers=["fc1", "fc2"])
+
+    assert calls == [["fc1", "fc2"]], "expected exactly one multi-layer dump pass"
+    assert set(results) == {"fc1", "fc2"}
+    for l, res in results.items():
+        assert res and "sae_rec_loss" in res, f"layer {l} returned no eval results"
+    evald = os.path.join(str(tmp_path), "custom_mlp_9", "synthetic",
+                         "evaluation_results_sae_mlp", "activation_cache")
+    for l in ("fc1", "fc2"):
+        assert os.path.exists(os.path.join(evald, l, "meta.json"))
+
+    # idempotent: a second call finds the caches and does not dump again
+    ml.train_saes_multilayer(base, layers=["fc1", "fc2"])
+    assert len(calls) == 1

@@ -349,3 +349,16 @@ def test_mis_comparison_example_runs(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "MIS comparison example OK" in r.stdout
+
+
+def test_cli_multilayer(tmp_path):
+    """--multilayer trains SAEs for a comma list of layers off one shared dump
+    (train/multilayer.py through the CLI)."""
+    cfg = _base_cfg(tmp_path, use_activation_cache=True, cache_tokens_per_step=512)
+    rc = cli_main(["--run_pipeline", "--config", cfg.to_json(),
+                   "--multilayer", "fc1"])
+    assert rc == 0
+    evald = str(tmp_path / "runs" / "custom_mlp_9" / "synthetic" /
+                "evaluation_results_sae_mlp")
+    assert os.path.exists(os.path.join(evald, "activation_cache", "fc1", "meta.json"))
+    assert os.path.exists(os.path.join(evald, "sae_eval_results.csv"))

@@ -90,7 +90,9 @@ def test_gated_torch_round_trip(tmp_path):
     assert sd["W_gate"].shape == (D * K, D)  # torch [h, d]
     assert sd["decoder.weight"].shape == (D, D * K)  # torch nn.Linear(h, d)
     p = str(tmp_path / "gated.pth")
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, p)
+    # np.array copy: jax buffers are read-only and torch.from_numpy on a
+    # non-writable array warns (undefined behavior on write)
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, p)
     loaded = load_sae_weights(p, "gated_sae")
     for k in params:
         np.testing.assert_allclose(np.asarray(loaded[k]), np.asarray(params[k]), rtol=1e-6)
