@@ -126,6 +126,14 @@ def maxpool(name: str, window: int, stride: Optional[int] = None,
         h, w = x.shape[1], x.shape[2]
         pad_h = (out_dim(h) - 1) * stride + window - h - padding
         pad_w = (out_dim(w) - 1) * stride + window - w - padding
+        # floor mode on odd sizes wants a NEGATIVE trailing pad (crop). The forward
+        # accepts it, but reduce_window's VJP miscomputes the gradient pad shapes —
+        # crop explicitly instead (equivalent for max: cropped elements never join
+        # a window). Hit by node IE on 28px backbones (7x7 -> 3x3 pool).
+        if pad_h < 0:
+            x, pad_h = x[:, : h + pad_h], 0
+        if pad_w < 0:
+            x, pad_w = x[:, :, : w + pad_w], 0
         y = jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max,
             window_dimensions=(1, window, window, 1),

@@ -177,3 +177,33 @@ def test_maxpool_ceil_mode_last_window_rule():
     ).numpy().transpose(0, 2, 3, 1)
     assert y.shape == golden.shape == (1, 3, 3, 1)
     np.testing.assert_allclose(np.asarray(y), golden)
+
+
+def test_maxpool_floor_mode_odd_input_gradient_matches_torch():
+    """Floor-mode pooling of an ODD spatial size crops the trailing row/col. The
+    old implementation expressed the crop as NEGATIVE reduce_window padding, whose
+    VJP miscomputes shapes (node IE on 28px backbones crashed: 7x7 -> 3x3 pool3).
+    Forward AND gradient must match torch MaxPool2d."""
+    import torch
+
+    from sparse_vision_tpu.models.layers import SeqNet, maxpool
+
+    x = np.random.default_rng(0).normal(size=(2, 7, 7, 3)).astype(np.float32)
+    net = SeqNet([maxpool("p", 2, stride=2)])
+    net.init(jax.random.key(0), (7, 7, 3))
+
+    def f(a):
+        y, _, _ = net.apply({}, a)
+        return jnp.sum(y * y)
+
+    y, _, _ = net.apply({}, jnp.asarray(x))
+    g = jax.grad(f)(jnp.asarray(x))
+
+    xt = torch.tensor(x.transpose(0, 3, 1, 2), requires_grad=True)
+    yt = torch.nn.MaxPool2d(2, stride=2)(xt)
+    assert y.shape == (2, 3, 3, 3) and tuple(yt.shape) == (2, 3, 3, 3)
+    np.testing.assert_allclose(
+        np.asarray(y), yt.detach().numpy().transpose(0, 2, 3, 1), rtol=1e-6)
+    (yt * yt).sum().backward()
+    np.testing.assert_allclose(
+        np.asarray(g), xt.grad.numpy().transpose(0, 2, 3, 1), rtol=1e-6, atol=1e-7)
