@@ -23,6 +23,7 @@ import threading
 from typing import Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import ml_dtypes
 import numpy as np
 
@@ -214,10 +215,16 @@ def dump_activations_multi(
     depth = {l: net.index_of(l.split(".")[0]) for l in layers}
     stop = max(layers, key=lambda l: depth[l]).split(".")[0]
 
+    # cast to the storage dtype ON DEVICE: a bf16 cache then moves half the bytes
+    # device->host and skips the single-core ml_dtypes conversion entirely (measured
+    # on the v5e tunnel host: the 8-layer dump dropped 188 s -> 30 s; XLA and
+    # ml_dtypes both round-to-nearest-even, so shard bytes are unchanged)
+    jdt = jnp.bfloat16 if np.dtype(dtype) == _BF16 else np.dtype(dtype)
+
     @jax.jit
     def tap(images):
         _, taps, _ = net.apply(params, images, state=state, stop_at=stop)
-        return {l: tokens_from_act(taps[l])[0] for l in layers}
+        return {l: tokens_from_act(taps[l])[0].astype(jdt) for l in layers}
 
     writers = {
         l: _ShardWriter(out_dirs[l], shard_tokens, (shard_queues or {}).get(l))
@@ -228,13 +235,30 @@ def dump_activations_multi(
         dataset.batches(batch_size, shuffle=shuffle_images, seed=seed, workers=workers),
         sharding,
     )
-    for batch in it:
-        toks = tap(batch.images)
+    def drain(toks_dev):
+        # device_get after copy_to_host_async: the bytes are already in flight
+        toks = jax.device_get(toks_dev)
         for l in layers:
-            writers[l].add(np.asarray(toks[l], dtype=dtype))
+            # already the storage dtype (device-side cast): no host conversion
+            tok = toks[l]
+            writers[l].add(tok if tok.dtype == np.dtype(dtype) else tok.astype(dtype))
+
+    # one-batch software pipeline: dispatch the NEXT tap, start async host copies,
+    # THEN drain the previous batch — device->host transfer latency (the dominant
+    # cost through a network-attached device: N layers x RTT per batch if fetched
+    # synchronously) hides behind the next forward
+    pending = None
+    for batch in it:
+        toks_dev = tap(batch.images)
+        jax.tree.map(lambda a: a.copy_to_host_async(), toks_dev)
+        if pending is not None:
+            drain(pending)
+        pending = toks_dev
         n += 1
         if max_batches is not None and n >= max_batches:
             break
+    if pending is not None:
+        drain(pending)
     return {l: writers[l].finish(l, dtype) for l in layers}
 
 

@@ -240,15 +240,20 @@ def _mk_pipeline(d, **kw):
     ))
 
 
-def test_multi_dump_byte_matches_per_layer(tmp_path):
+@pytest.mark.parametrize("dtype_name", ["float32", "bfloat16"])
+def test_multi_dump_byte_matches_per_layer(tmp_path, dtype_name):
     """dump_activations_multi's per-layer caches are byte-identical to running
     dump_activations once per layer with the same arguments — the contract that
-    lets Pipeline/ActivationCache consume multi-dumped caches unchanged."""
+    lets Pipeline/ActivationCache consume multi-dumped caches unchanged. bf16
+    covers the device-side storage cast (round-to-nearest-even on device)."""
+    import ml_dtypes
+
     from sparse_vision_tpu.data.activation_cache import (
         dump_activations,
         dump_activations_multi,
     )
 
+    dtype = ml_dtypes.bfloat16 if dtype_name == "bfloat16" else np.float32
     p = _mk_pipeline(tmp_path / "probe")
     layers = ["fc1", "fc2"]
     single = {}
@@ -256,11 +261,12 @@ def test_multi_dump_byte_matches_per_layer(tmp_path):
         single[l] = dump_activations(
             p.net, p.frozen_params, p.net_state, p.train_ds, l,
             str(tmp_path / "single" / l), batch_size=64, shard_tokens=1024,
+            dtype=dtype,
         )
     multi = dump_activations_multi(
         p.net, p.frozen_params, p.net_state, p.train_ds, layers,
         {l: str(tmp_path / "multi" / l) for l in layers},
-        batch_size=64, shard_tokens=1024,
+        batch_size=64, shard_tokens=1024, dtype=dtype,
     )
     for l in layers:
         assert multi[l] == single[l]
