@@ -362,3 +362,20 @@ def test_cli_multilayer(tmp_path):
                 "evaluation_results_sae_mlp")
     assert os.path.exists(os.path.join(evald, "activation_cache", "fc1", "meta.json"))
     assert os.path.exists(os.path.join(evald, "sae_eval_results.csv"))
+
+
+def test_multilayer_circuit_example_runs(tmp_path):
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", "multilayer_circuit.py"),
+         str(tmp_path)],
+        # same 1-core contention allowance as test_examples_run
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "multilayer circuit example OK" in r.stdout
