@@ -36,6 +36,10 @@ def make_backbone(model_name: str, dataset_name: str) -> SeqNet:
         from sparse_vision_tpu.models.resnet import make_resnet50
 
         return make_resnet50(num_classes=NUM_CLASSES["imagenet"])
+    if model_name in ("vit_test", "vit_tiny", "vit_small", "vit_base"):
+        from sparse_vision_tpu.models.vit import make_vit
+
+        return make_vit(model_name, num_classes, get_img_size(dataset_name)[0])
     if model_name in ("resnet18", "resnet18_1", "resnet18_2"):
         from sparse_vision_tpu.models.resnet import make_resnet18
 

@@ -307,16 +307,20 @@ def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int,
 
 
 def tokens_from_act(act: jax.Array) -> tuple[jax.Array, bool]:
-    """[B, H, W, C] -> [B*H*W, C] tokens (reference reshape_tensor, utils.py:2770-2774)."""
+    """[B, H, W, C] -> [B*H*W, C] tokens (reference reshape_tensor, utils.py:2770-2774).
+    3-D [B, N, D] sequence taps (ViT residual stream) flatten the same way: every
+    patch/position is an independent D-dim token."""
     if act.ndim == 4:
         b, h, w, c = act.shape
         return act.reshape(b * h * w, c), True
+    if act.ndim == 3:
+        b, n, d = act.shape
+        return act.reshape(b * n, d), True
     return act, False
 
 
 def act_from_tokens(tok: jax.Array, like_shape: tuple) -> jax.Array:
-    b, h, w, _ = like_shape
-    return tok.reshape(b, h, w, tok.shape[-1])
+    return tok.reshape(*like_shape[:-1], tok.shape[-1])
 
 
 def sae_inference_and_loss(

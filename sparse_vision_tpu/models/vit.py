@@ -1,0 +1,201 @@
+"""Vision Transformer backbone (beyond-reference model family).
+
+The reference is CNN/MLP-only; modern vision-SAE work trains SAEs on ViT
+residual-stream activations, so the framework ships a ViT on the same SeqNet
+tap/splice engine: every encoder block is a named stage whose [B, N+1, D] output
+can be tapped, spliced with an SAE, or circuit-analyzed exactly like a conv
+feature map (tokens_from_act flattens [B, N, D] -> [B*N, D]; the token axis plays
+the role the reference's (b h w) axis plays for convs, utils.py:2770-2774).
+
+Math matches HuggingFace ``transformers`` ViTModel exactly (pre-LN blocks,
+separate q/k/v projections, exact GELU, LN eps 1e-12) so torchvision-free golden
+parity tests can convert an HF checkpoint via ``convert_hf_vit`` — same pattern
+as the GoogLeNet/ResNet converters (tests/test_pretrained_backbones.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from sparse_vision_tpu.models.layers import SeqNet, Stage, _torch_linear_init
+
+_LN_EPS = 1e-12  # HF ViTConfig.layer_norm_eps default
+
+
+# depth, dim, heads, mlp hidden (standard ViT family shapes; _test is CI-sized)
+VIT_SPECS: dict[str, tuple[int, int, int, int]] = {
+    "vit_test": (2, 64, 2, 128),
+    "vit_tiny": (12, 192, 3, 768),
+    "vit_small": (12, 384, 6, 1536),
+    "vit_base": (12, 768, 12, 3072),
+}
+
+# image side -> patch size (must divide the side)
+_PATCH_FOR_SIDE = {28: 7, 32: 4, 64: 8, 224: 16}
+
+
+def _layernorm(x, scale, bias):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
+
+
+def patch_embed_stage(name: str, dim: int, patch: int) -> Stage:
+    def init(key, in_shape):
+        h, w, c = in_shape
+        if h % patch or w % patch:
+            raise ValueError(f"Image side {(h, w)} not divisible by patch {patch}.")
+        n = (h // patch) * (w // patch)
+        kw, kc, kp = jax.random.split(key, 3)
+        w_proj, b_proj = _torch_linear_init(
+            kw, c * patch * patch, (patch, patch, c, dim), (dim,)
+        )
+        params = {
+            "proj_w": w_proj,
+            "proj_b": b_proj,
+            # HF init is trunc-normal(0.02); exact init only matters untrained
+            "cls": 0.02 * jax.random.normal(kc, (dim,)),
+            "pos": 0.02 * jax.random.normal(kp, (n + 1, dim)),
+        }
+        return params, None, (n + 1, dim)
+
+    def apply(params, state, x, train):
+        y = jax.lax.conv_general_dilated(
+            x, params["proj_w"], window_strides=(patch, patch), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + params["proj_b"]
+        b, gh, gw, d = y.shape
+        tokens = y.reshape(b, gh * gw, d)
+        cls = jnp.broadcast_to(params["cls"], (b, 1, d))
+        return jnp.concatenate([cls, tokens], axis=1) + params["pos"], state, None
+
+    return Stage(name, init, apply)
+
+
+def vit_block_stage(name: str, dim: int, heads: int, mlp_dim: int) -> Stage:
+    if dim % heads:
+        raise ValueError(f"dim {dim} not divisible by heads {heads}")
+    dh = dim // heads
+
+    def init(key, in_shape):
+        keys = jax.random.split(key, 6)
+        q_w, q_b = _torch_linear_init(keys[0], dim, (dim, dim), (dim,))
+        k_w, k_b = _torch_linear_init(keys[1], dim, (dim, dim), (dim,))
+        v_w, v_b = _torch_linear_init(keys[2], dim, (dim, dim), (dim,))
+        o_w, o_b = _torch_linear_init(keys[3], dim, (dim, dim), (dim,))
+        m1_w, m1_b = _torch_linear_init(keys[4], dim, (dim, mlp_dim), (mlp_dim,))
+        m2_w, m2_b = _torch_linear_init(keys[5], mlp_dim, (mlp_dim, dim), (dim,))
+        params = {
+            "ln1_scale": jnp.ones((dim,)), "ln1_bias": jnp.zeros((dim,)),
+            "q_w": q_w, "q_b": q_b, "k_w": k_w, "k_b": k_b,
+            "v_w": v_w, "v_b": v_b, "o_w": o_w, "o_b": o_b,
+            "ln2_scale": jnp.ones((dim,)), "ln2_bias": jnp.zeros((dim,)),
+            "mlp1_w": m1_w, "mlp1_b": m1_b, "mlp2_w": m2_w, "mlp2_b": m2_b,
+        }
+        return params, None, in_shape
+
+    def apply(params, state, x, train):
+        b, t, d = x.shape
+        h = _layernorm(x, params["ln1_scale"], params["ln1_bias"])
+        q = (h @ params["q_w"] + params["q_b"]).reshape(b, t, heads, dh)
+        k = (h @ params["k_w"] + params["k_b"]).reshape(b, t, heads, dh)
+        v = (h @ params["v_w"] + params["v_b"]).reshape(b, t, heads, dh)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dh)
+        attn = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+        x = x + ctx @ params["o_w"] + params["o_b"]
+        h2 = _layernorm(x, params["ln2_scale"], params["ln2_bias"])
+        h2 = jax.nn.gelu(h2 @ params["mlp1_w"] + params["mlp1_b"], approximate=False)
+        return x + h2 @ params["mlp2_w"] + params["mlp2_b"], state, None
+
+    return Stage(name, init, apply)
+
+
+def _ln_stage(name: str, dim: int) -> Stage:
+    def init(key, in_shape):
+        return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}, None, in_shape
+
+    def apply(params, state, x, train):
+        return _layernorm(x, params["scale"], params["bias"]), state, None
+
+    return Stage(name, init, apply)
+
+
+def _cls_select_stage(name: str) -> Stage:
+    def init(key, in_shape):
+        return None, None, (in_shape[-1],)
+
+    def apply(params, state, x, train):
+        return x[:, 0], state, None
+
+    return Stage(name, init, apply)
+
+
+def _head_stage(name: str, dim: int, num_classes: int) -> Stage:
+    def init(key, in_shape):
+        w, b = _torch_linear_init(key, dim, (dim, num_classes), (num_classes,))
+        return {"w": w, "b": b}, None, (num_classes,)
+
+    def apply(params, state, x, train):
+        return x @ params["w"] + params["b"], state, None
+
+    return Stage(name, init, apply)
+
+
+def make_vit(spec_name: str, num_classes: int, img_side: int) -> SeqNet:
+    depth, dim, heads, mlp_dim = VIT_SPECS[spec_name]
+    if img_side not in _PATCH_FOR_SIDE:
+        raise ValueError(
+            f"No patch size for {img_side}px input (supported: "
+            f"{sorted(_PATCH_FOR_SIDE)}; the 229px InceptionV1 ImageNet crop is a "
+            "CNN-pipeline convention — use 224px data for ViT)."
+        )
+    patch = _PATCH_FOR_SIDE[img_side]
+    stages = [patch_embed_stage("patch_embed", dim, patch)]
+    stages += [vit_block_stage(f"block{i}", dim, heads, mlp_dim) for i in range(depth)]
+    stages += [_ln_stage("ln_final", dim), _cls_select_stage("cls"),
+               _head_stage("head", dim, num_classes)]
+    return SeqNet(stages)
+
+
+def convert_hf_vit(state_dict: dict, depth: int) -> dict:
+    """HF ``ViTForImageClassification.state_dict()`` (tensors or numpy) -> SeqNet
+    params. Torch linears store [out, in]; ours are [in, out]."""
+    import numpy as np
+
+    sd = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+          for k, v in state_dict.items()}
+    e = "vit.embeddings."
+    params: dict = {
+        "patch_embed": {
+            "proj_w": sd[e + "patch_embeddings.projection.weight"].transpose(2, 3, 1, 0),
+            "proj_b": sd[e + "patch_embeddings.projection.bias"],
+            "cls": sd[e + "cls_token"][0, 0],
+            "pos": sd[e + "position_embeddings"][0],
+        },
+        "ln_final": {"scale": sd["vit.layernorm.weight"],
+                     "bias": sd["vit.layernorm.bias"]},
+        "head": {"w": sd["classifier.weight"].T, "b": sd["classifier.bias"]},
+    }
+    for i in range(depth):
+        p = f"vit.encoder.layer.{i}."
+        a = p + "attention.attention."
+        params[f"block{i}"] = {
+            "ln1_scale": sd[p + "layernorm_before.weight"],
+            "ln1_bias": sd[p + "layernorm_before.bias"],
+            "q_w": sd[a + "query.weight"].T, "q_b": sd[a + "query.bias"],
+            "k_w": sd[a + "key.weight"].T, "k_b": sd[a + "key.bias"],
+            "v_w": sd[a + "value.weight"].T, "v_b": sd[a + "value.bias"],
+            "o_w": sd[p + "attention.output.dense.weight"].T,
+            "o_b": sd[p + "attention.output.dense.bias"],
+            "ln2_scale": sd[p + "layernorm_after.weight"],
+            "ln2_bias": sd[p + "layernorm_after.bias"],
+            "mlp1_w": sd[p + "intermediate.dense.weight"].T,
+            "mlp1_b": sd[p + "intermediate.dense.bias"],
+            "mlp2_w": sd[p + "output.dense.weight"].T,
+            "mlp2_b": sd[p + "output.dense.bias"],
+        }
+    return {k: jax.tree.map(jnp.asarray, v) for k, v in params.items()}

@@ -18,9 +18,12 @@ import jax.numpy as jnp
 
 
 def spatial_mean(x: jax.Array) -> jax.Array:
-    """Channel-average over H, W if 4-D NHWC; identity if 2-D (utils.py:1996-2010)."""
+    """Channel-average over H, W if 4-D NHWC; over the token axis if 3-D [B, N, D]
+    (ViT residual stream); identity if 2-D (utils.py:1996-2010)."""
     if x.ndim == 4:
         return jnp.mean(x, axis=(1, 2))
+    if x.ndim == 3:
+        return jnp.mean(x, axis=1)
     if x.ndim == 2:
         return x
     raise ValueError(f"Unexpected rank {x.ndim}")
@@ -37,6 +40,9 @@ def variance_explained(x: jax.Array, recon: jax.Array) -> jax.Array:
     if x.ndim == 4:
         var = jnp.mean(jnp.var(x, axis=(1, 2), ddof=1))
         mod_var = jnp.mean(jnp.var(recon, axis=(1, 2), ddof=1))
+    elif x.ndim == 3:  # [B, N, D]: variance over the token axis per (batch, dim)
+        var = jnp.mean(jnp.var(x, axis=1, ddof=1))
+        mod_var = jnp.mean(jnp.var(recon, axis=1, ddof=1))
     elif x.ndim == 2:
         var = jnp.mean(jnp.var(x, axis=1, ddof=1))
         mod_var = jnp.mean(jnp.var(recon, axis=1, ddof=1))
@@ -57,6 +63,8 @@ def measure_inactive_units(x: jax.Array, expansion_factor: int) -> tuple:
     zero = x == 0
     if x.ndim == 4:
         sample_inactive = jnp.all(zero, axis=(1, 2))  # [B, C]
+    elif x.ndim == 3:  # [B, N, D]: a dim is inactive iff zero at every token
+        sample_inactive = jnp.all(zero, axis=1)
     elif x.ndim == 2:
         sample_inactive = zero
     else:

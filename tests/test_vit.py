@@ -1,0 +1,133 @@
+"""ViT backbone (beyond-reference model family): HF-transformers golden parity,
+tap/splice contract on the residual stream, and SAE training on a block tap."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sparse_vision_tpu.models.backbone import init_backbone, make_backbone
+
+
+def test_vit_forward_and_taps():
+    net = make_backbone("vit_test", "cifar_10")
+    params, _ = init_backbone(net, jax.random.key(0), "cifar_10")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    logits, taps, _ = net.apply(params, x)
+    assert logits.shape == (2, 10)
+    # 32px / patch 4 -> 64 patches + CLS
+    assert taps["patch_embed"].shape == (2, 65, 64)
+    assert taps["block0"].shape == taps["block1"].shape == (2, 65, 64)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_vit_matches_hf_transformers_golden():
+    """Same weights => same logits as HuggingFace ViTForImageClassification
+    (random-init checkpoint converted via convert_hf_vit; no downloads)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from sparse_vision_tpu.models.vit import convert_hf_vit, make_vit
+
+    cfg = transformers.ViTConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=128, image_size=32, patch_size=4, num_channels=3,
+        num_labels=10, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.ViTForImageClassification(cfg).eval()
+
+    net = make_vit("vit_test", 10, 32)
+    net.init(jax.random.key(0), (32, 32, 3))
+    params = convert_hf_vit(hf.state_dict(), depth=2)
+
+    x = np.random.default_rng(1).normal(size=(3, 32, 32, 3)).astype(np.float32)
+    logits, taps, _ = net.apply(params, jnp.asarray(x))
+    with torch.no_grad():
+        out = hf(torch.tensor(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(logits), out.logits.numpy(), atol=2e-4,
+    )
+    # hidden states parity at every block (the SAE tap surface)
+    with torch.no_grad():
+        hs = hf.vit(torch.tensor(x.transpose(0, 3, 1, 2)),
+                    output_hidden_states=True).hidden_states
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(taps[f"block{i}"]), hs[i + 1].numpy(), atol=2e-4,
+        )
+
+
+def test_vit_splice_residual_stream():
+    """A splice on a block output must change downstream logits only through the
+    residual stream — same tap/splice contract conv backbones obey."""
+    net = make_backbone("vit_test", "cifar_10")
+    params, _ = init_backbone(net, jax.random.key(0), "cifar_10")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    logits, taps, _ = net.apply(params, x)
+    logits2, taps2, _ = net.apply(params, x, splice=("block0", lambda a: a * 0.5))
+    assert not np.allclose(np.asarray(logits), np.asarray(logits2))
+    np.testing.assert_allclose(np.asarray(taps["patch_embed"]),
+                               np.asarray(taps2["patch_embed"]))
+    np.testing.assert_allclose(np.asarray(taps2["block0"]),
+                               0.5 * np.asarray(taps["block0"]), rtol=1e-6)
+
+
+def test_sae_trains_on_vit_block_tokens():
+    """sae_inference_and_loss accepts the 3-D [B, N, D] residual-stream tap
+    (tokens_from_act flattens the token axis) and a few train steps reduce loss."""
+    from sparse_vision_tpu.models.sae import init_sae, sae_inference_and_loss
+    from sparse_vision_tpu.ops import optim
+    from sparse_vision_tpu.train.steps import (
+        init_sae_train_state,
+        make_sae_train_step_from_acts,
+    )
+
+    net = make_backbone("vit_test", "cifar_10")
+    params, _ = init_backbone(net, jax.random.key(0), "cifar_10")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 32, 32, 3)),
+                    jnp.float32)
+    _, taps, _ = net.apply(params, x, stop_at="block0")
+    act = taps["block0"]  # [8, 65, 64]
+    assert act.ndim == 3
+
+    out = sae_inference_and_loss("sae_mlp", init_sae("sae_mlp", jax.random.key(1), 64, 2),
+                                 act, 0.1)
+    assert out["encoded"].shape == (8, 65, 128)  # reshaped back to [B, N, H]
+    assert out["decoded"].shape == act.shape
+
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    ts = init_sae_train_state(init_sae("sae_mlp", jax.random.key(1), 64, 2), tx, 128)
+    step = make_sae_train_step_from_acts("sae_mlp", 0.1, tx, 1000, 2)
+    tok = act.reshape(-1, 64)
+    m0 = None
+    for _ in range(30):
+        ts, m = step(ts, tok)
+        if m0 is None:
+            m0 = {k: float(v) for k, v in m.items()}
+    assert float(m["sae_rec_loss"]) < m0["sae_rec_loss"]
+
+
+def test_vit_pipeline_e2e(tmp_path):
+    """Full Pipeline run with an SAE spliced into the ViT residual stream:
+    train from the activation cache, eval-modified metrics, weights exported."""
+    import os
+
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        model_name="vit_test", sae_layer="block0", dataset_name="synthetic",
+        directory_path=str(tmp_path), sae_epochs=1, sae_batch_size=32,
+        batch_size=32, sae_expansion_factor=2, dead_neurons_steps=100,
+        use_activation_cache=True, cache_tokens_per_step=512, log_every=1000,
+    )
+    res = Pipeline(cfg).run()
+    assert res and np.isfinite(res["sae_rec_loss"]) and res["sae_rec_loss"] > 0
+    assert np.isfinite(res["kld"])
+    weights = os.path.join(str(tmp_path), "vit_test", "synthetic",
+                           "sae_weights_sae_mlp")
+    assert any(f.endswith(".npz") for f in os.listdir(weights))
