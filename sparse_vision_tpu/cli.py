@@ -74,12 +74,18 @@ def main(argv=None) -> int:
     args = parse_args(argv)
     # Honor JAX_PLATFORMS even when a site hook registered a different default
     # platform plugin at interpreter startup (env var alone is consumed before the
-    # hook runs; jax.config still wins as long as no backend is initialized).
+    # hook runs; jax.config still wins as long as no backend is initialized) — but
+    # ONLY when no one has pinned a platform yet. An in-process caller (tests, a
+    # notebook) that already forced e.g. CPU must not be flipped back to the env's
+    # platform: that silently moved every subsequent computation in the process
+    # onto the env's accelerator (observed: CPU-forced tests running matmuls on
+    # the TPU at its default bf16 precision after one cli_main call).
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         import jax
 
-        jax.config.update("jax_platforms", plat)
+        if jax.config.jax_platforms is None:
+            jax.config.update("jax_platforms", plat)
     if not (args.run_pipeline or args.run_evaluation):
         print("Nothing to do: pass --run_pipeline and/or --run_evaluation", file=sys.stderr)
         return 2

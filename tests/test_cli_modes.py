@@ -379,3 +379,17 @@ def test_multilayer_circuit_example_runs(tmp_path):
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "multilayer circuit example OK" in r.stdout
+
+
+def test_cli_does_not_override_pinned_platform(tmp_path, monkeypatch):
+    """cli_main must not flip jax_platforms when a caller already pinned one:
+    re-applying the env value moved every later computation in a CPU-forced
+    process onto the env's accelerator (TPU default-precision matmuls silently
+    replacing f32 CPU math — the source of an order-dependent parity flake)."""
+    import jax
+
+    assert jax.config.jax_platforms == "cpu"  # pinned by conftest
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+    rc = cli_main([])  # exits early ("nothing to do") after the platform block
+    assert rc == 2
+    assert jax.config.jax_platforms == "cpu"
