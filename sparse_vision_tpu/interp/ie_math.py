@@ -26,6 +26,9 @@ def broadcast_average(avg: jax.Array, batch_size: int) -> jax.Array:
     if avg.ndim == 3:
         h, w, c = avg.shape
         return jnp.broadcast_to(avg[None], (batch_size, h, w, c)).reshape(-1, c)
+    if avg.ndim == 2:  # [N, C] per-token-position average (ViT residual stream)
+        n, c = avg.shape
+        return jnp.broadcast_to(avg[None], (batch_size, n, c)).reshape(-1, c)
     if avg.ndim == 1:
         return avg[None, :]
     raise ValueError(f"Unexpected average rank {avg.ndim}")

@@ -131,3 +131,43 @@ def test_vit_pipeline_e2e(tmp_path):
     weights = os.path.join(str(tmp_path), "vit_test", "synthetic",
                            "sae_weights_sae_mlp")
     assert any(f.endswith(".npz") for f in os.listdir(weights))
+
+
+def test_vit_circuit_passes():
+    """The circuit tier runs unchanged on the ViT residual stream: averages ->
+    node IE -> edge IE on the consecutive block pair -> faithfulness sanity
+    anchors (1 when every node is kept, 0 for the empty circuit at huge
+    threshold)."""
+    from sparse_vision_tpu.interp.circuit import CircuitEngine, FrozenSAE
+    from sparse_vision_tpu.models.sae import init_sae
+    from sparse_vision_tpu.ops.losses import get_criterion
+
+    net = make_backbone("vit_test", "cifar_10")
+    params, _ = init_backbone(net, jax.random.key(0), "cifar_10")
+    layers = ["block0", "block1"]
+    saes = {
+        n: FrozenSAE("sae_mlp", init_sae("sae_mlp", jax.random.key(i), 64, 2), 2)
+        for i, n in enumerate(layers)
+    }
+    eng = CircuitEngine(net, params, saes, get_criterion("cross_entropy"))
+    key = jax.random.key(1)
+    batches = []
+    for _ in range(2):
+        k1, k2, key = jax.random.split(key, 3)
+        batches.append((jax.random.normal(k1, (4, 32, 32, 3)),
+                        jax.random.randint(k2, (4,), 0, 10)))
+    avgs = eng.compute_averages(batches)
+    # per-position means, like the reference's [C·K, H, W] spatial averages:
+    # token axis 65 (64 patches + CLS) x 128 latents
+    assert avgs.enc["block0"].shape == (65, 128)
+    node = eng.compute_node_ie(batches, avgs)
+    assert node.features["block0"].shape == (128,)
+    assert np.isfinite(np.asarray(node.features["block1"])).all()
+    edges = eng.compute_edge_ie(batches, avgs,
+                                {"block0": (0, 1, 2), "block1": (3, 4)})
+    assert edges["block0"].shape == (4, 3)  # +1 error node each side
+    assert np.isfinite(np.asarray(edges["block1"])).all()  # loss-node column
+    r1 = eng.compute_faithfulness(batches, node, -1.0, averages=avgs)
+    assert abs(r1["faithfulness"] - 1.0) < 1e-3
+    r0 = eng.compute_faithfulness(batches, node, 1e9, averages=avgs)
+    assert abs(r0["faithfulness"]) < 1e-3
