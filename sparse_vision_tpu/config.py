@@ -128,6 +128,11 @@ class RunConfig:
     # note; measured on-chip: L0 frozen regardless of lambda at the defaults)
     jumprelu_bandwidth: float = 1e-3
     jumprelu_threshold_init: float = 1e-3
+    # latent-prefix fractions for sae_model_name="matryoshka_sae" (Bussmann et al.
+    # 2024; beyond-reference variant — each prefix of the dictionary must
+    # reconstruct the input, so early latents learn coarse features). CSV of
+    # fractions in (0, 1]; the last prefix is always the full dictionary.
+    sae_matryoshka_prefixes: str = "0.0625,0.25,1.0"
     # opt-in: select TopK latents with the TPU-native approximate top-k
     # (lax.approx_max_k, recall_target 0.95 — measured recall 0.98, 11x faster than
     # the exact sort at [16k, 16k] on v5e; models/sae.topk_sae_apply docstring)
@@ -180,6 +185,10 @@ class RunConfig:
     @property
     def use_sae(self) -> bool:
         return not self.original_model
+
+    @property
+    def matryoshka_prefix_fractions(self) -> tuple:
+        return tuple(float(f) for f in self.sae_matryoshka_prefixes.split(",") if f)
 
     # ---- legacy conversion -------------------------------------------------
     @classmethod

@@ -245,6 +245,54 @@ def sae_conv_apply(params: dict, x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka SAE (beyond-reference variant: Bussmann et al. 2024,
+# arXiv:2503.17547 "Learning Multi-Level Features with Matryoshka SAEs")
+# ---------------------------------------------------------------------------
+
+def matryoshka_prefix_counts(h: int, fractions: tuple[float, ...]) -> tuple[int, ...]:
+    """Latent-prefix sizes from fractions of the dictionary (strictly increasing;
+    the last prefix is always the full dictionary)."""
+    if not fractions:
+        raise ValueError("matryoshka needs at least one prefix fraction")
+    counts = []
+    for f in fractions:
+        if not 0.0 < f <= 1.0:
+            raise ValueError(f"prefix fraction {f} outside (0, 1]")
+        counts.append(max(1, round(f * h)))
+    counts[-1] = h
+    if sorted(set(counts)) != counts:
+        raise ValueError(f"prefix fractions {fractions} -> non-increasing counts {counts}")
+    return tuple(counts)
+
+
+def init_matryoshka_sae(key: jax.Array, d: int, expansion_factor: int,
+                        dtype=jnp.float32) -> dict:
+    """Identical parameter layout to the ReLU SAE — the nesting lives entirely in
+    the loss (per-prefix reconstructions), so export/import, resampling, and the
+    ConstrainedAdam decoder constraint all apply unchanged."""
+    return init_sae_mlp(key, d, expansion_factor, dtype)
+
+
+def matryoshka_sae_apply(params: dict, x: jax.Array,
+                         prefixes: tuple[int, ...]) -> tuple:
+    """Returns (encoded, decoded, pre, prefix_recons) on token input [T, d].
+
+    Encoder/activation identical to the ReLU SAE; each latent PREFIX m_i must
+    reconstruct the input through the matching decoder-row prefix. Early latents
+    therefore learn coarse, high-level features and later groups refine them —
+    the Matryoshka training objective (paper section 3: sum of prefix losses).
+    ``decoded`` is the full-dictionary reconstruction (what splicing/eval uses).
+    """
+    x_cent = x - params["b_dec"]
+    pre = x_cent @ params["W_enc"] + params["b_enc"]
+    post = jax.nn.relu(pre)
+    recons = [
+        post[:, :m] @ params["W_dec"][:m] + params["b_dec"] for m in prefixes
+    ]
+    return post, recons[-1], pre, recons
+
+
+# ---------------------------------------------------------------------------
 # factory + splice helper
 # ---------------------------------------------------------------------------
 
@@ -303,6 +351,8 @@ def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int,
                                  threshold_init=jumprelu_threshold_init)
     if name == "topk_sae":
         return init_topk_sae(key, d_or_c, expansion_factor, dtype)
+    if name == "matryoshka_sae":
+        return init_matryoshka_sae(key, d_or_c, expansion_factor, dtype)
     raise ValueError(f"Unknown SAE model name {name}.")
 
 
@@ -331,6 +381,7 @@ def sae_inference_and_loss(
     topk: int = 32,
     topk_approx: bool = False,
     jumprelu_bandwidth: float = JUMPRELU_BANDWIDTH,
+    matryoshka_prefixes: tuple[float, ...] = (0.0625, 0.25, 1.0),
 ) -> dict:
     """SAE splice helper: reshape conv taps to tokens, run the SAE, compute all loss
     terms, reshape outputs back (reference: utils.py:2448-2482 sae_inference_and_loss).
@@ -365,6 +416,11 @@ def sae_inference_and_loss(
             encoded, decoded, tok, pre, params["log_threshold"], lambda_sparse,
             bandwidth=jumprelu_bandwidth,
         )
+    elif sae_model_name == "matryoshka_sae":
+        counts = matryoshka_prefix_counts(params["b_enc"].shape[0],
+                                          tuple(matryoshka_prefixes))
+        encoded, decoded, pre, recons = matryoshka_sae_apply(params, tok, counts)
+        terms = losses.matryoshka_loss_terms(encoded, recons, tok, lambda_sparse)
     elif sae_model_name == "gated_sae":
         encoded, decoded, relu_pi_gate, via_gate = gated_sae_apply(params, tok)
         pre = None
@@ -384,7 +440,7 @@ def sae_inference_and_loss(
 def sae_encode(sae_model_name: str, params: dict, tok: jax.Array) -> jax.Array:
     """Post-activation encoder output on token input [T, d] — the 'SAE feature'
     activations used by the circuit tier (reference apply_sae, utils.py:2786-2797)."""
-    if sae_model_name == "sae_mlp":
+    if sae_model_name in ("sae_mlp", "matryoshka_sae"):
         return sae_mlp_apply(params, tok)[0]
     if sae_model_name == "gated_sae":
         return gated_sae_apply(params, tok)[0]
@@ -397,7 +453,7 @@ def sae_decode(sae_model_name: str, params: dict, encoded: jax.Array) -> jax.Arr
     """Decoder applied to an (possibly ablated) encoder output — the reference calls
     sae.decoder(new_encoder_output) directly when ablating circuit nodes
     (utils.py:2798-2809)."""
-    if sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae"):
+    if sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae", "matryoshka_sae"):
         return encoded @ params["W_dec"] + params["b_dec"]
     raise ValueError(f"SAE {sae_model_name!r} has no token decoder.")
 

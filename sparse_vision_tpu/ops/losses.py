@@ -53,6 +53,35 @@ def sae_loss_terms(
     }
 
 
+def matryoshka_loss_terms(
+    encoded: jax.Array, prefix_recons: list, targets: jax.Array,
+    lambda_sparse: float,
+) -> dict:
+    """Matryoshka-SAE loss (Bussmann et al. 2024): mean over latent-prefix
+    reconstructions of the MSE, + lambda * mean|encoded| L1.
+
+    total = mean_i MSE(recon_i, x) + lambda * l1. ``rec_loss`` reports the
+    FULL-dictionary MSE (the quantity eval/NRMSE/ranking compare across variants);
+    the extra prefix terms ride in ``aux_loss`` so the reported decomposition
+    still sums to the trained objective (loss = rec + lambda*l1 + aux).
+    """
+    full = prefix_recons[-1]
+    rec = jnp.mean(jnp.square(full - targets))
+    prefix_mean = sum(
+        jnp.mean(jnp.square(r - targets)) for r in prefix_recons
+    ) / len(prefix_recons)
+    l1 = jnp.mean(jnp.abs(encoded))
+    rmse, nrmse = rmse_nrmse(full, targets)
+    return {
+        "loss": prefix_mean + lambda_sparse * l1,
+        "rec_loss": rec,
+        "l1_loss": l1,
+        "nrmse_loss": nrmse,
+        "rmse_loss": rmse,
+        "aux_loss": prefix_mean - rec,
+    }
+
+
 def gated_sae_loss_terms(
     relu_pi_gate: jax.Array,
     via_gate: jax.Array,

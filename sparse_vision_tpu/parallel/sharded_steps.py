@@ -56,6 +56,7 @@ def make_sharded_fused_train_step(
     topk: int = 32,
     topk_approx: bool = False,
     jumprelu_bandwidth: float = 1e-3,
+    matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
 ):
     """Data-parallel SAE train step: ``step(ts, acts)`` with ``acts`` [T, C] sharded
     over the 'data' axis and the train state replicated. ``fused=False`` runs the
@@ -114,6 +115,7 @@ def make_sharded_fused_train_step(
             out = sae_inference_and_loss(
                 sae_model_name, params, act_local, lambda_sparse, topk=topk,
                 topk_approx=topk_approx, jumprelu_bandwidth=jumprelu_bandwidth,
+                matryoshka_prefixes=matryoshka_prefixes,
             )
             dead, sparsity, _ = measure_inactive_units(
                 out["encoded"], expansion_factor

@@ -241,6 +241,7 @@ class Pipeline:
             self.tx, cfg.dead_neurons_steps, cfg.sae_expansion_factor, self.criterion,
             topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
             jumprelu_bandwidth=cfg.jumprelu_bandwidth,
+            matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
         )
         from sparse_vision_tpu.utils.profiling import maybe_profile
 
@@ -443,6 +444,7 @@ class Pipeline:
                     cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=False,
                     topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
                     jumprelu_bandwidth=cfg.jumprelu_bandwidth,
+                    matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
                 )
 
             def _put_tokens(arr, token_axis):
@@ -459,6 +461,7 @@ class Pipeline:
                 cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
                 sae_model_name=cfg.sae_model_name, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
                 jumprelu_bandwidth=cfg.jumprelu_bandwidth,
+                matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
             )
             self.ts = put_replicated_state(mesh, self.ts)
 
@@ -470,6 +473,7 @@ class Pipeline:
                 cfg.dead_neurons_steps, cfg.sae_expansion_factor, fused=fused,
                 fused_opts=fused_opts, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
                 jumprelu_bandwidth=cfg.jumprelu_bandwidth,
+                matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
             )
 
             def _put_tokens(arr, token_axis):
@@ -567,6 +571,7 @@ class Pipeline:
                 self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
                 cfg.sae_expansion_factor, self.criterion, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
                 jumprelu_bandwidth=cfg.jumprelu_bandwidth,
+                matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
             )
         return self._sae_eval_step_cache
 

@@ -32,6 +32,8 @@ _NATIVE_KEYS = {
     "gated_sae": ("W_gate", "b_gate", "b_mag", "r_mag", "W_dec", "b_dec"),
     "jumprelu_sae": ("W_enc", "b_enc", "W_dec", "b_dec", "log_threshold"),
     "topk_sae": ("W_enc", "b_enc", "W_dec", "b_dec"),
+    # nesting lives in the loss only — parameter layout identical to sae_mlp
+    "matryoshka_sae": ("W_enc", "b_enc", "W_dec", "b_dec"),
 }
 
 

@@ -80,6 +80,7 @@ def make_sae_train_step(
     topk: int = 32,
     topk_approx: bool = False,
     jumprelu_bandwidth: float = 1e-3,
+    matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
 ):
     """Build the jitted SAE train step.
 
@@ -97,6 +98,7 @@ def make_sae_train_step(
         out = sae_inference_and_loss(
             sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx,
             jumprelu_bandwidth=jumprelu_bandwidth,
+            matryoshka_prefixes=matryoshka_prefixes,
         )
         return out["loss"], out
 
@@ -185,6 +187,7 @@ def make_sae_train_step_from_acts(
     topk: int = 32,
     topk_approx: bool = False,
     jumprelu_bandwidth: float = 1e-3,
+    matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
 ):
     """SAE train step over pre-extracted activations (the activation-cache training
     mode; the reference abandoned an HDF5 version of this, utils.py:613-657 — here it
@@ -245,6 +248,7 @@ def make_sae_train_step_from_acts(
             out = sae_inference_and_loss(
                 sae_model_name, sae_params, act, lambda_sparse, topk=topk,
                 topk_approx=topk_approx, jumprelu_bandwidth=jumprelu_bandwidth,
+                matryoshka_prefixes=matryoshka_prefixes,
             )
             return out["loss"], out
 
@@ -321,6 +325,7 @@ def make_sae_eval_step(
     topk: int = 32,
     topk_approx: bool = False,
     jumprelu_bandwidth: float = 1e-3,
+    matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
 ):
     """Eval step for the modified (SAE-spliced) model: all reference eval-epoch
     quantities for one batch (model_pipeline.py:661-714 + 806-878)."""
@@ -334,6 +339,7 @@ def make_sae_eval_step(
         out = sae_inference_and_loss(
             sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx,
             jumprelu_bandwidth=jumprelu_bandwidth,
+            matryoshka_prefixes=matryoshka_prefixes,
         )
         logits_mod = net.apply_segment(
             frozen_params, out["decoded"], after=sae_layer, upto=last, state=frozen_state
