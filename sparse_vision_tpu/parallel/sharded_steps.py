@@ -68,10 +68,11 @@ def make_sharded_fused_train_step(
     n_data = mesh.shape["data"]
     can_resample = sae_model_name == "sae_mlp"
     if fused and sae_model_name not in (
-        "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae"
+        "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae", "matryoshka_sae"
     ):
         raise ValueError(
-            "fused path supports sae_mlp, gated_sae, jumprelu_sae, topk_sae only"
+            "fused path supports sae_mlp, gated_sae, jumprelu_sae, topk_sae,"
+            " matryoshka_sae only"
         )
 
     if fused and sae_model_name == "topk_sae":
@@ -96,6 +97,15 @@ def make_sharded_fused_train_step(
         elif sae_model_name == "gated_sae":
             from sparse_vision_tpu.ops.fused_gated_sae import (
                 fused_gated_sae_loss_terms as _loss_terms,
+            )
+        elif sae_model_name == "matryoshka_sae":
+            from sparse_vision_tpu.ops.fused_matryoshka_sae import (
+                fused_matryoshka_sae_loss_terms,
+            )
+
+            _loss_terms = functools.partial(
+                fused_matryoshka_sae_loss_terms,
+                prefixes=tuple(matryoshka_prefixes),
             )
         else:
             from sparse_vision_tpu.ops.fused_sae import (

@@ -380,6 +380,9 @@ class Pipeline:
             )
         local_t = tps // n_data
         tile_t = 1024 if cfg.sae_model_name == "gated_sae" else 2048
+        from sparse_vision_tpu.models.sae import matryoshka_prefix_counts
+        from sparse_vision_tpu.ops.fused_matryoshka_sae import can_fuse_matryoshka
+
         fused = (
             cfg.use_pallas
             and jax.default_backend() != "cpu"
@@ -390,6 +393,17 @@ class Pipeline:
                 or (
                     cfg.sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae")
                     and can_fuse(local_t, self.num_units, tile_t=tile_t)
+                )
+                or (
+                    # matryoshka additionally needs the latent tile to divide every
+                    # prefix boundary (ops/fused_matryoshka_sae.py docstring)
+                    cfg.sae_model_name == "matryoshka_sae"
+                    and can_fuse_matryoshka(
+                        local_t, self.num_units,
+                        matryoshka_prefix_counts(
+                            self.num_units, cfg.matryoshka_prefix_fractions),
+                        tile_t=tile_t,
+                    )
                 )
             )
         )

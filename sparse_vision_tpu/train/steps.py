@@ -200,10 +200,11 @@ def make_sae_train_step_from_acts(
     tested in tests/test_fused_sae.py / tests/test_fused_gated_sae.py."""
     can_resample = sae_model_name == "sae_mlp"
     if fused and sae_model_name not in (
-        "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae"
+        "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae", "matryoshka_sae"
     ):
         raise ValueError(
-            "fused path supports sae_mlp, gated_sae, jumprelu_sae, topk_sae only"
+            "fused path supports sae_mlp, gated_sae, jumprelu_sae, topk_sae,"
+            " matryoshka_sae only"
         )
 
     if fused and sae_model_name == "topk_sae":
@@ -233,6 +234,17 @@ def make_sae_train_step_from_acts(
         def loss_fn(sae_params, act):
             out = fused_gated_sae_loss_terms(
                 sae_params, act, lambda_sparse, expansion_factor, **(fused_opts or {})
+            )
+            return out["loss"], out
+    elif fused and sae_model_name == "matryoshka_sae":
+        from sparse_vision_tpu.ops.fused_matryoshka_sae import (
+            fused_matryoshka_sae_loss_terms,
+        )
+
+        def loss_fn(sae_params, act):
+            out = fused_matryoshka_sae_loss_terms(
+                sae_params, act, lambda_sparse, expansion_factor,
+                tuple(matryoshka_prefixes), **(fused_opts or {})
             )
             return out["loss"], out
     elif fused:
