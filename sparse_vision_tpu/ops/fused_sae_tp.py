@@ -611,3 +611,264 @@ def fused_sae_tp_loss_terms(params: dict, x: jax.Array, lambda_sparse: float,
         "activity_freq": out["activity_freq"],
         "sparsity": sparsity,
     }
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka SAE under TP: prefix boundaries are GLOBAL latent counts while each
+# chip holds a contiguous H/m latent shard, so the boundaries cut through chips.
+# SPMD needs static Pallas block maps, so at build time we form the SNAPSHOT
+# UNION: every global boundary clipped into local coordinates on every chip
+# (e.g. boundaries (128, 512, 1024) on 4 chips of 256 -> union {128, 256}).
+# All chips run the SAME matryoshka forward kernel snapshotting the latent-tile
+# accumulator at that union; each chip then SELECTS its contribution to global
+# prefix p by axis_index — zero when the prefix ends at or before its shard
+# start, the clipped snapshot otherwise — and a psum over 'model' assembles
+# every global prefix reconstruction (minus the b_dec each contributing chip
+# added: ceil(m_p / H_local) chips contribute to prefix p).
+# Backward reuses the single-device suffix-weighted-error kernel: tile j's
+# cotangent is s_local[q] = sum_p [clip_p >= union_q] * c_p * err_p, built in
+# jnp from the traced axis index. The b_dec direct term comes out counted
+# ceil(m_p/H_l) times per prefix after the 'model' psum; the (n_p - 1) extras
+# are subtracted exactly like the (m - 1) correction in the plain ReLU op.
+# ---------------------------------------------------------------------------
+
+from sparse_vision_tpu.ops.fused_matryoshka_sae import (  # noqa: E402
+    _bwd_kernel as _mat_bwd_kernel,
+    _fwd_kernel as _mat_fwd_kernel,
+    _level_fn as _mat_level_fn,
+    _pick_tiles as _mat_pick_tiles,
+)
+
+
+def _tp_snapshot_union(boundaries: tuple[int, ...], n_model: int):
+    """(union of per-chip clipped boundaries, H_local, per-prefix contributing-chip
+    counts). The union is the static local snapshot set shared by every chip."""
+    h = boundaries[-1]
+    if h % n_model:
+        raise ValueError(f"latent count {h} not divisible by model axis {n_model}")
+    h_l = h // n_model
+    union = set()
+    for k in range(n_model):
+        for b in boundaries:
+            c = min(max(b - k * h_l, 0), h_l)
+            if c > 0:
+                union.add(c)
+    n_contrib = tuple(-(-b // h_l) for b in boundaries)  # ceil(m_p / h_l)
+    return tuple(sorted(union)), h_l, n_contrib
+
+
+def can_fuse_matryoshka_tp(t_local: int, boundaries: tuple[int, ...],
+                           n_model: int, tile_t: int = 2048,
+                           tile_h: int = 2048) -> bool:
+    """True when the TP matryoshka kernels can tile (local tokens, global prefix
+    boundaries, model-axis size) — the local tile must divide every clipped
+    boundary in the cross-chip union."""
+    if (not boundaries or list(boundaries) != sorted(set(boundaries))
+            or boundaries[-1] % n_model):
+        return False
+    try:
+        union, h_l, _ = _tp_snapshot_union(boundaries, n_model)
+        _mat_pick_tiles(t_local, h_l, union, tile_t, tile_h)
+        return True
+    except ValueError:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_matryoshka_sae_tp_op(boundaries: tuple[int, ...], n_data: int,
+                                    n_model: int, tile_t: int = 2048,
+                                    tile_h: int = 2048,
+                                    compute_dtype=jnp.bfloat16,
+                                    interpret: bool = False,
+                                    data_axis: str = "data",
+                                    model_axis: str = "model"):
+    """TP fused Matryoshka op — same contract as make_fused_sae_tp_op with GLOBAL
+    'prefix_losses' [P] (gradient-carrying, like l1_loss) instead of rec_loss.
+    ``boundaries`` are the GLOBAL prefix latent counts (last == global H)."""
+    if list(boundaries) != sorted(set(boundaries)):
+        raise ValueError(f"boundaries must be strictly increasing, got {boundaries}")
+    union, h_l, n_contrib = _tp_snapshot_union(boundaries, n_model)
+    n_s = len(union)
+    n_p = len(boundaries)
+    b_arr = jnp.asarray(boundaries, jnp.int32)
+    union_arr = jnp.asarray(union, jnp.int32)
+    extra_bdec = jnp.asarray(n_contrib, jnp.float32) - 1.0  # [P]
+    lowp = compute_dtype != jnp.float32
+
+    def cast(a):
+        return a.astype(compute_dtype) if lowp else a
+
+    axes_both = (data_axis, model_axis)
+
+    def _clips():
+        k = jax.lax.axis_index(model_axis)
+        return jnp.clip(b_arr - k * h_l, 0, h_l)  # [P] traced
+
+    def _forward_raw(params, x):
+        t, c = x.shape
+        tt, th = _mat_pick_tiles(t, h_l, union, tile_t, tile_h)
+        level = _mat_level_fn(union, th)
+        kernel = functools.partial(_mat_fwd_kernel, compute_dtype=compute_dtype)
+        snap, act_part, row_active, l1_sum = pl.pallas_call(
+            kernel,
+            grid=(t // tt, h_l // th),
+            in_specs=[
+                pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tt, c), lambda i, j: (level(j), i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, th), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_s, t, c), jnp.float32),
+                jax.ShapeDtypeStruct((8 * t // tt, h_l), jnp.float32),
+                jax.ShapeDtypeStruct((t, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((tt, c), jnp.float32)],
+            interpret=interpret,
+            compiler_params=_compiler_params(interpret),
+        )(
+            cast(x), cast(params["W_enc"]), params["b_enc"].reshape(1, h_l),
+            cast(params["W_dec"]), params["b_dec"].reshape(1, c),
+        )
+        clips = _clips()
+        idx = jnp.sum(union_arr[None, :] < clips[:, None], axis=1)  # [P]
+        contrib = jnp.where(
+            (clips > 0)[:, None, None], jnp.take(snap, idx, axis=0), 0.0
+        )
+        # each contributing chip's kernel added b_dec once — remove the extras
+        prefix_recon = jax.lax.psum(contrib, model_axis) - extra_bdec[
+            :, None, None
+        ] * params["b_dec"].reshape(1, 1, -1)
+        return prefix_recon, jnp.sum(act_part, axis=0), row_active, l1_sum
+
+    def _assemble(params, x, prefix_recon, act_count, row_active, l1_sum):
+        t_l = x.shape[0]
+        t_g = t_l * n_data
+        h_g = h_l * n_model
+        errs = prefix_recon - x[None].astype(jnp.float32)
+        act_count_g = jax.lax.psum(act_count, data_axis)
+        return {
+            "prefix_losses": jax.lax.pmean(
+                jnp.mean(jnp.square(errs), axis=(1, 2)), data_axis
+            ),
+            "l1_loss": jax.lax.psum(l1_sum[0, 0], axes_both) / (t_g * h_g),
+            "recon": prefix_recon[-1],
+            "dead": act_count_g == 0,
+            "activity_freq": act_count_g / t_g,
+            "row_active": jax.lax.psum(row_active[:, 0], model_axis),
+        }
+
+    @jax.custom_vjp
+    def op(params, x):
+        return _assemble(params, x, *_forward_raw(params, x))
+
+    def op_fwd(params, x):
+        prefix_recon, act_count, row_active, l1_sum = _forward_raw(params, x)
+        out = _assemble(params, x, prefix_recon, act_count, row_active, l1_sum)
+        return out, (params, x, prefix_recon - x[None].astype(jnp.float32))
+
+    def op_bwd(res, ct):
+        params, x, errs = res
+        t_l, c = x.shape
+        t_g = t_l * n_data
+        h_g = h_l * n_model
+        tt, th = _mat_pick_tiles(t_l, h_l, union, tile_t, tile_h)
+        level = _mat_level_fn(union, th)
+        cts = ct["prefix_losses"].astype(jnp.float32) * (2.0 / (t_g * c))  # [P]
+        weighted = cts[:, None, None] * errs  # [P, T_l, C]
+        # tile q's cotangent sums every prefix whose clipped boundary covers it
+        cmask = (_clips()[None, :] >= union_arr[:, None]).astype(jnp.float32)
+        s_local = jnp.einsum("qp,ptc->qtc", cmask, weighted)  # [n_s, T_l, C]
+        coeffs = (ct["l1_loss"] / (t_g * h_g)).reshape(1, 1).astype(jnp.float32)
+        x_spec = pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+        kernel = functools.partial(_mat_bwd_kernel, compute_dtype=compute_dtype)
+        dw_enc, db_enc, dw_dec, db_dec = pl.pallas_call(
+            kernel,
+            grid=(h_l // th, t_l // tt),
+            in_specs=[
+                x_spec,
+                pl.BlockSpec((c, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tt, c), lambda j, i: (level(j), i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((c, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((c, h_l), jnp.float32),
+                jax.ShapeDtypeStruct((1, h_l), jnp.float32),
+                jax.ShapeDtypeStruct((h_l, c), jnp.float32),
+                jax.ShapeDtypeStruct((1, c), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=_compiler_params(interpret),
+        )(
+            cast(x), cast(params["W_enc"]), params["b_enc"].reshape(1, h_l),
+            cast(params["W_dec"]), params["b_dec"].reshape(1, c),
+            cast(s_local), coeffs,
+        )
+        # the kernel adds prefix p's direct b_dec term once per CONTRIBUTING chip
+        # (it sums s_local[0] = the prefixes covering the chip's first tile);
+        # after the 'model' psum that is n_contrib_p copies — subtract the extras
+        direct_extra = jnp.einsum("p,ptc->c", extra_bdec * cts, errs)
+        dparams = {
+            "W_enc": jax.lax.psum(dw_enc, data_axis),
+            "b_enc": jax.lax.psum(db_enc[0], data_axis),
+            "W_dec": jax.lax.psum(dw_dec, data_axis),
+            "b_dec": jax.lax.psum(db_dec[0], axes_both)
+            - jax.lax.psum(direct_extra, data_axis),
+        }
+        return dparams, jnp.zeros_like(x)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def fused_matryoshka_sae_tp_loss_terms(
+    params: dict, x: jax.Array, lambda_sparse: float, expansion_factor: int,
+    n_data: int, n_model: int, prefixes: tuple[float, ...] = (0.0625, 0.25, 1.0),
+    *, tile_t: int = 2048, tile_h: int = 2048, compute_dtype=jnp.bfloat16,
+    interpret: bool = False, data_axis: str = "data", model_axis: str = "model",
+) -> dict:
+    """TP counterpart of fused_matryoshka_sae_loss_terms (loss = mean_p prefix MSE
+    + λ·l1; rec_loss = full-dictionary MSE; aux_loss = the prefix surcharge)."""
+    from sparse_vision_tpu.models.sae import matryoshka_prefix_counts
+
+    h_g = params["b_enc"].shape[0] * n_model
+    boundaries = matryoshka_prefix_counts(h_g, tuple(prefixes))
+    op = make_fused_matryoshka_sae_tp_op(
+        boundaries, n_data, n_model, tile_t, tile_h, compute_dtype, interpret,
+        data_axis=data_axis, model_axis=model_axis,
+    )
+    out = op(params, x)
+    prefix_mean = jnp.mean(out["prefix_losses"])
+    rec = out["prefix_losses"][-1]
+    sparsity = jax.lax.pmean(
+        jnp.mean(out["row_active"] / (h_g / expansion_factor)), data_axis
+    )
+    return {
+        "loss": prefix_mean + lambda_sparse * out["l1_loss"],
+        "rec_loss": rec,
+        "l1_loss": out["l1_loss"],
+        "aux_loss": prefix_mean - rec,
+        "decoded": out["recon"],
+        "dead": out["dead"],
+        "activity_freq": out["activity_freq"],
+        "sparsity": sparsity,
+    }

@@ -26,9 +26,10 @@ Two TP engines ship:
   'model' before the MSE, H-local gradients psum'd over 'data', and a TP-aware
   dead-neuron resample (ops/resample.resample_dead_neurons_tp). This is the
   production path for >=16k latents, where the fused kernel's HBM savings matter
-  most. All three fused variants ship TP ops: ReLU (sae_mlp, incl. the TP-aware
-  resample), Gated (recon + aux via both psum'd), and JumpReLU (H-local STE
-  threshold grads).
+  most. All four fused variants ship TP ops: ReLU (sae_mlp, incl. the TP-aware
+  resample), Gated (recon + aux via both psum'd), JumpReLU (H-local STE
+  threshold grads), and Matryoshka (global prefix reconstructions assembled
+  from per-chip snapshot unions).
 
 Layouts (parallel/mesh.py sae_param_sharding):
   W_enc [d, h]: P(None, 'model')    b_enc/b_gate/b_mag/r_mag [h]: P('model')
@@ -103,6 +104,7 @@ def make_tp_fused_train_step(
     expansion_factor: int,
     fused_opts: Optional[dict] = None,
     sae_model_name: str = "sae_mlp",
+    matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
 ):
     """Tensor-parallel FUSED train step: ``step(ts, acts)`` with the latent dim
     sharded over 'model', tokens over 'data', and the fused Pallas kernels running
@@ -113,12 +115,16 @@ def make_tp_fused_train_step(
     inside its custom_vjp), so no further pmean is applied; the ConstrainedAdam
     update and the W_dec unit-norm constraint are row-local on the 'model' shards;
     the resample schedule uses the replicated step counter + rng with the TP-aware
-    global-statistics resample (sae_mlp only; gated/jumprelu never resample, matching
-    the reference). sae_model_name selects the kernel pair: "sae_mlp",
-    "gated_sae", or "jumprelu_sae"."""
+    global-statistics resample (sae_mlp only; the other variants never resample,
+    matching the reference). sae_model_name selects the kernel pair: "sae_mlp",
+    "gated_sae", "jumprelu_sae", or "matryoshka_sae" (which also takes
+    ``matryoshka_prefixes``, the GLOBAL dictionary fractions)."""
+    import functools
+
     from sparse_vision_tpu.ops.fused_sae_tp import (
         fused_gated_sae_tp_loss_terms,
         fused_jumprelu_sae_tp_loss_terms,
+        fused_matryoshka_sae_tp_loss_terms,
         fused_sae_tp_loss_terms,
     )
     from sparse_vision_tpu.ops.resample import (
@@ -128,10 +134,12 @@ def make_tp_fused_train_step(
     )
     from sparse_vision_tpu.parallel.sharded_steps import shard_map
 
-    if sae_model_name not in ("sae_mlp", "gated_sae", "jumprelu_sae"):
+    if sae_model_name not in (
+        "sae_mlp", "gated_sae", "jumprelu_sae", "matryoshka_sae"
+    ):
         raise ValueError(
-            "TP fused step supports sae_mlp, gated_sae, jumprelu_sae, "
-            f"not {sae_model_name!r}"
+            "TP fused step supports sae_mlp, gated_sae, jumprelu_sae,"
+            f" matryoshka_sae, not {sae_model_name!r}"
         )
     n_data = int(mesh.shape["data"])
     n_model = int(mesh.shape["model"])
@@ -141,6 +149,10 @@ def make_tp_fused_train_step(
         "sae_mlp": fused_sae_tp_loss_terms,
         "gated_sae": fused_gated_sae_tp_loss_terms,
         "jumprelu_sae": fused_jumprelu_sae_tp_loss_terms,
+        "matryoshka_sae": functools.partial(
+            fused_matryoshka_sae_tp_loss_terms,
+            prefixes=tuple(matryoshka_prefixes),
+        ),
     }[sae_model_name]
 
     def local_loss(params, act_local):

@@ -439,18 +439,37 @@ class Pipeline:
 
             n_model = int(mesh.shape["model"])
             self.ts = put_tp_state(mesh, self.ts)
+            from sparse_vision_tpu.ops.fused_sae_tp import can_fuse_matryoshka_tp
+
             tp_fused = (
                 cfg.use_pallas
                 and jax.default_backend() != "cpu"
-                and cfg.sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae")
                 and self.num_units % n_model == 0
-                and can_fuse(local_t, self.num_units // n_model, tile_t=tile_t)
+                and (
+                    (
+                        cfg.sae_model_name
+                        in ("sae_mlp", "gated_sae", "jumprelu_sae")
+                        and can_fuse(
+                            local_t, self.num_units // n_model, tile_t=tile_t
+                        )
+                    )
+                    or (
+                        cfg.sae_model_name == "matryoshka_sae"
+                        and can_fuse_matryoshka_tp(
+                            local_t,
+                            matryoshka_prefix_counts(
+                                self.num_units, cfg.matryoshka_prefix_fractions),
+                            n_model, tile_t=tile_t,
+                        )
+                    )
+                )
             )
             if tp_fused:
                 step_fn = make_tp_fused_train_step(
                     mesh, self.ts, cfg.sae_lambda_sparse, self.tx,
                     cfg.dead_neurons_steps, cfg.sae_expansion_factor,
                     fused_opts=fused_opts, sae_model_name=cfg.sae_model_name,
+                    matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
                 )
             else:
                 step_fn = make_sae_train_step_from_acts(

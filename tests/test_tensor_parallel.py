@@ -330,3 +330,66 @@ def test_tp_fused_jumprelu_matches_single_device_fused():
         )
     assert {s.data.shape[0] for s in ts_tp.params["W_dec"].addressable_shards} == {h // 4}
     assert {s.data.shape[0] for s in ts_tp.params["log_threshold"].addressable_shards} == {h // 4}
+
+
+def test_tp_fused_matryoshka_matches_single_device_fused():
+    """Matryoshka TP fused op (ops/fused_sae_tp.make_fused_matryoshka_sae_tp_op):
+    global prefix reconstructions assembled from per-chip snapshot unions. The
+    prefix set is chosen so one boundary STRADDLES a chip's interior (h=1024 on
+    4 model chips of 256; boundary 128 clips inside chip 0) and others end at
+    chip boundaries — exercising selection, zero-contribution masking, and the
+    per-prefix b_dec overcount correction."""
+    from sparse_vision_tpu.parallel.tensor_parallel import make_tp_fused_train_step
+
+    prefixes = (0.125, 0.5, 1.0)  # boundaries (128, 512, 1024)
+    mesh = make_mesh((2, 4))
+    params = init_sae("matryoshka_sae", jax.random.key(0), D, 32)  # h = 1024
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    h = params["b_enc"].shape[0]
+    fused_opts = dict(interpret=True, compute_dtype=jnp.float32)
+    ts_ref = init_sae_train_state(params, tx, h, seed=0)
+    ref_step = make_sae_train_step_from_acts(
+        "matryoshka_sae", 0.1, tx, N_RESAMPLE, 32, fused=True,
+        fused_opts=dict(**fused_opts, tile_h=128), matryoshka_prefixes=prefixes,
+    )
+    ts_tp = put_tp_state(mesh, init_sae_train_state(params, tx, h, seed=0))
+    tp_step = make_tp_fused_train_step(
+        mesh, ts_tp, 0.1, tx, N_RESAMPLE, 32, fused_opts=fused_opts,
+        sae_model_name="matryoshka_sae", matryoshka_prefixes=prefixes,
+    )
+    for s in range(4):
+        x = _tokens(s)
+        ts_ref, m_ref = ref_step(ts_ref, jnp.asarray(x))
+        ts_tp, m_tp = tp_step(ts_tp, put_tokens_tp(mesh, x))
+        for key in ("sae_loss", "sae_rec_loss", "sae_l1_loss", "sparsity"):
+            np.testing.assert_allclose(
+                float(m_tp[key]), float(m_ref[key]), rtol=1e-4, atol=1e-7,
+                err_msg=f"step {s}: {key}",
+            )
+    for k in ts_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(ts_tp.params[k]), np.asarray(ts_ref.params[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ts_tp.dead_acc), np.asarray(ts_ref.dead_acc)
+    )
+    assert {s.data.shape[0] for s in ts_tp.params["W_dec"].addressable_shards} == {h // 4}
+
+
+def test_tp_matryoshka_snapshot_union_and_gate():
+    from sparse_vision_tpu.ops.fused_sae_tp import (
+        _tp_snapshot_union,
+        can_fuse_matryoshka_tp,
+    )
+
+    union, h_l, n_contrib = _tp_snapshot_union((128, 512, 1024), 4)
+    assert (union, h_l, n_contrib) == ((128, 256), 256, (1, 2, 4))
+    # boundary aligned with every chip edge: one snapshot level per chip
+    union, h_l, n_contrib = _tp_snapshot_union((256, 512, 1024), 4)
+    assert (union, h_l, n_contrib) == ((256,), 256, (1, 2, 4))
+    assert can_fuse_matryoshka_tp(64, (128, 512, 1024), 4, tile_h=128)
+    # clip 64 inside chip 0 is below the 128-lane quantum -> stock fallback
+    assert not can_fuse_matryoshka_tp(64, (64, 512, 1024), 4)
+    # h not divisible by the model axis
+    assert not can_fuse_matryoshka_tp(64, (128, 512, 1000), 4)
