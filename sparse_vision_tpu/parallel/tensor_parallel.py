@@ -26,10 +26,12 @@ Two TP engines ship:
   'model' before the MSE, H-local gradients psum'd over 'data', and a TP-aware
   dead-neuron resample (ops/resample.resample_dead_neurons_tp). This is the
   production path for >=16k latents, where the fused kernel's HBM savings matter
-  most. All four fused variants ship TP ops: ReLU (sae_mlp, incl. the TP-aware
-  resample), Gated (recon + aux via both psum'd), JumpReLU (H-local STE
-  threshold grads), and Matryoshka (global prefix reconstructions assembled
-  from per-chip snapshot unions).
+  most. All five production variants ship TP ops: ReLU (sae_mlp, incl. the
+  TP-aware resample), Gated (recon + aux via both psum'd), JumpReLU (H-local STE
+  threshold grads), Matryoshka (global prefix reconstructions assembled from
+  per-chip snapshot unions), and TopK (two-stage distributed selection,
+  ops/fast_topk_sae.py — candidates over ICI instead of GSPMD's dense
+  [T, H] all-gather).
 
 Layouts (parallel/mesh.py sae_param_sharding):
   W_enc [d, h]: P(None, 'model')    b_enc/b_gate/b_mag/r_mag [h]: P('model')
@@ -105,6 +107,8 @@ def make_tp_fused_train_step(
     fused_opts: Optional[dict] = None,
     sae_model_name: str = "sae_mlp",
     matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
+    topk: int = 32,
+    topk_approx: bool = False,
 ):
     """Tensor-parallel FUSED train step: ``step(ts, acts)`` with the latent dim
     sharded over 'model', tokens over 'data', and the fused Pallas kernels running
@@ -121,6 +125,7 @@ def make_tp_fused_train_step(
     ``matryoshka_prefixes``, the GLOBAL dictionary fractions)."""
     import functools
 
+    from sparse_vision_tpu.ops.fast_topk_sae import fast_topk_sae_tp_loss_terms
     from sparse_vision_tpu.ops.fused_sae_tp import (
         fused_gated_sae_tp_loss_terms,
         fused_jumprelu_sae_tp_loss_terms,
@@ -135,11 +140,11 @@ def make_tp_fused_train_step(
     from sparse_vision_tpu.parallel.sharded_steps import shard_map
 
     if sae_model_name not in (
-        "sae_mlp", "gated_sae", "jumprelu_sae", "matryoshka_sae"
+        "sae_mlp", "gated_sae", "jumprelu_sae", "matryoshka_sae", "topk_sae"
     ):
         raise ValueError(
             "TP fused step supports sae_mlp, gated_sae, jumprelu_sae,"
-            f" matryoshka_sae, not {sae_model_name!r}"
+            f" matryoshka_sae, topk_sae, not {sae_model_name!r}"
         )
     n_data = int(mesh.shape["data"])
     n_model = int(mesh.shape["model"])
@@ -152,6 +157,9 @@ def make_tp_fused_train_step(
         "matryoshka_sae": functools.partial(
             fused_matryoshka_sae_tp_loss_terms,
             prefixes=tuple(matryoshka_prefixes),
+        ),
+        "topk_sae": functools.partial(
+            fast_topk_sae_tp_loss_terms, k=topk, approx=topk_approx,
         ),
     }[sae_model_name]
 

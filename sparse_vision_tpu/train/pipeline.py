@@ -462,6 +462,12 @@ class Pipeline:
                             n_model, tile_t=tile_t,
                         )
                     )
+                    or (
+                        # two-stage distributed selection (ops/fast_topk_sae.py)
+                        # needs the local shard to cover k candidates
+                        cfg.sae_model_name == "topk_sae"
+                        and cfg.sae_topk <= self.num_units // n_model
+                    )
                 )
             )
             if tp_fused:
@@ -470,6 +476,7 @@ class Pipeline:
                     cfg.dead_neurons_steps, cfg.sae_expansion_factor,
                     fused_opts=fused_opts, sae_model_name=cfg.sae_model_name,
                     matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
+                    topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
                 )
             else:
                 step_fn = make_sae_train_step_from_acts(

@@ -393,3 +393,57 @@ def test_tp_matryoshka_snapshot_union_and_gate():
     assert not can_fuse_matryoshka_tp(64, (64, 512, 1024), 4)
     # h not divisible by the model axis
     assert not can_fuse_matryoshka_tp(64, (128, 512, 1000), 4)
+
+
+def test_tp_fast_topk_matches_single_device_fast_path():
+    """TP fast-TopK (ops/fast_topk_sae.make_fast_topk_sae_tp_op): two-stage
+    distributed selection (local top-k -> candidate all-gather -> re-top-k) is
+    EXACT vs lax.top_k over the full latent dim, and the recompute-owned-values
+    custom VJP reproduces the single-device fast path's training trajectory."""
+    from sparse_vision_tpu.parallel.tensor_parallel import make_tp_fused_train_step
+
+    k = 8
+    mesh = make_mesh((2, 4))
+    params = init_sae("topk_sae", jax.random.key(0), D, K)  # h = 128, h_l = 32
+    tx = optim.get_optimizer("constrained_adam", 1e-3)
+    h = params["b_enc"].shape[0]
+    ts_ref = init_sae_train_state(params, tx, h, seed=0)
+    ref_step = make_sae_train_step_from_acts(
+        "topk_sae", 0.0, tx, N_RESAMPLE, K, fused=True, topk=k
+    )
+    ts_tp = put_tp_state(mesh, init_sae_train_state(params, tx, h, seed=0))
+    tp_step = make_tp_fused_train_step(
+        mesh, ts_tp, 0.0, tx, N_RESAMPLE, K, fused_opts={},
+        sae_model_name="topk_sae", topk=k,
+    )
+    for s in range(4):
+        x = _tokens(s)
+        ts_ref, m_ref = ref_step(ts_ref, jnp.asarray(x))
+        ts_tp, m_tp = tp_step(ts_tp, put_tokens_tp(mesh, x))
+        for key in ("sae_loss", "sae_rec_loss", "sae_l1_loss", "sparsity",
+                    "perc_dead"):
+            np.testing.assert_allclose(
+                float(m_tp[key]), float(m_ref[key]), rtol=1e-4, atol=1e-7,
+                err_msg=f"step {s}: {key}",
+            )
+    for key in ts_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(ts_tp.params[key]), np.asarray(ts_ref.params[key]),
+            rtol=1e-5, atol=1e-6, err_msg=key,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ts_tp.dead_acc), np.asarray(ts_ref.dead_acc)
+    )
+    assert {s.data.shape[0] for s in ts_tp.params["W_dec"].addressable_shards} == {h // 4}
+
+
+def test_tp_fast_topk_k_exceeds_local_shard():
+    """k > H/model_axis cannot feed the two-stage selection — clear error."""
+    from sparse_vision_tpu.ops.fast_topk_sae import fast_topk_sae_tp_loss_terms
+
+    params = init_sae("topk_sae", jax.random.key(0), D, K)
+    with pytest.raises(ValueError, match="exceeds the local latent shard"):
+        fast_topk_sae_tp_loss_terms(
+            {**params, "b_enc": params["b_enc"][:32]},  # fake local shard h_l=32
+            jnp.zeros((8, D)), 0.0, K, 2, 4, k=64,
+        )
