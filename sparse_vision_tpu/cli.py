@@ -174,5 +174,21 @@ def main(argv=None) -> int:
     return 0
 
 
+def _main_entry() -> int:
+    """Fresh-interpreter entry (``python -m sparse_vision_tpu.cli``): the
+    JAX_PLATFORMS env var is authoritative. The container's site hook pins
+    ``jax_platforms`` to its own platform list BEFORE env vars are honored
+    (observed: 'axon,cpu'), which silently selects the TPU for intended-CPU
+    subprocess runs — and hangs backend init outright when the TPU tunnel is
+    unhealthy. main() keeps the conservative don't-flip-a-pinned-platform rule
+    for in-process callers (tests, notebooks)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    return main()
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(_main_entry())
