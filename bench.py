@@ -22,10 +22,44 @@ touch HBM, backward recomputes them per tile, bf16 MXU compute with f32 accumula
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+
+def _probe_backend():
+    """Bounded TPU-reachability probe BEFORE this process touches jax backends.
+
+    An unhealthy TPU tunnel hangs backend init indefinitely (even jax.devices()),
+    which would make the bench hang instead of reporting. Probe in a subprocess
+    with a hard timeout; on failure pin this process to CPU so the bench always
+    prints its JSON line (with an honest "backend" field)."""
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return  # caller already wants CPU; jax honors it via the config pin below
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=float(os.environ.get("SVT_TPU_PROBE_TIMEOUT", "120")),
+            check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print("bench: TPU backend unreachable within the probe timeout — "
+              "falling back to CPU", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+_probe_backend()
 
 import jax
 import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the container's site hook pins jax_platforms before env vars are honored;
+    # the explicit config pin keeps an intended-CPU run off the TPU plugin
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: remote/AOT compiles of the fused scan take minutes on
 # tunneled backends; cold compile happens once, repeat runs start in seconds
@@ -116,6 +150,7 @@ def main():
                 "value": round(tokens_per_sec_per_chip, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(tokens_per_sec_per_chip / required, 3),
+                "backend": jax.default_backend(),
             }
         )
     )
