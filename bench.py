@@ -36,30 +36,32 @@ def _probe_backend():
     prints its JSON line (with an honest "backend" field)."""
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         return  # caller already wants CPU; jax honors it via the config pin below
+    if os.environ.get("SVT_SKIP_TPU_PROBE"):
+        return
     try:
         subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=float(os.environ.get("SVT_TPU_PROBE_TIMEOUT", "120")),
+            # generous default: on this 1-core host a loaded CPU can slow a
+            # HEALTHY probe (tunneled plugin registration) well past 120 s, and
+            # a false fallback would record a misleading CPU number — consumers
+            # must check the JSON's 'backend' field either way
+            timeout=float(os.environ.get("SVT_TPU_PROBE_TIMEOUT", "300")),
             check=True, capture_output=True,
         )
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
         print("bench: TPU backend unreachable within the probe timeout — "
               "falling back to CPU", file=sys.stderr)
         os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
 
 
 _probe_backend()
 
+from sparse_vision_tpu.utils.platform import pin_cpu_if_requested
+
+pin_cpu_if_requested()  # site-hook quirk: see utils/platform.py
+
 import jax
 import jax.numpy as jnp
-
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    # the container's site hook pins jax_platforms before env vars are honored;
-    # the explicit config pin keeps an intended-CPU run off the TPU plugin
-    jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: remote/AOT compiles of the fused scan take minutes on
 # tunneled backends; cold compile happens once, repeat runs start in seconds

@@ -4,15 +4,11 @@ CNN with an SAE at each of two layers (synthetic data; runs on CPU).
     JAX_PLATFORMS=cpu python examples/discover_circuit.py
 """
 
-import os
-
 import jax
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    # the container's sitecustomize registers the TPU plugin before env vars are
-    # honored; if the TPU tunnel is unhealthy, backend init then hangs — pinning
-    # the config honors the env var without ever touching the plugin
-    jax.config.update("jax_platforms", "cpu")
+from sparse_vision_tpu.utils.platform import pin_cpu_if_requested
+
+pin_cpu_if_requested()  # site-hook quirk: see utils/platform.py
 
 from sparse_vision_tpu.eval_tools.figures import plot_ie_histograms, plot_node_count_vs_threshold
 from sparse_vision_tpu.interp.circuit import FAITHFULNESS_THRESHOLDS, CircuitEngine, FrozenSAE

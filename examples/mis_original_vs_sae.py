@@ -11,16 +11,12 @@ epoch (per-unit top/bottom-200 sample indices on TRAIN data) -> mis="2" scoring
 (2-AFC tasks, backbone-embedding cosine similarity).
 """
 
-import os
 import sys
 import tempfile
 
-import jax
+from sparse_vision_tpu.utils.platform import pin_cpu_if_requested
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    # sitecustomize registers the TPU plugin before env vars are honored; pin the
-    # config so an unhealthy TPU tunnel can't hang backend init
-    jax.config.update("jax_platforms", "cpu")
+pin_cpu_if_requested()  # site-hook quirk: see utils/platform.py
 
 from sparse_vision_tpu.config import RunConfig
 from sparse_vision_tpu.train.pipeline import Pipeline

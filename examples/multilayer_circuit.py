@@ -11,16 +11,14 @@ node IE -> faithfulness sanity anchors (=1 when every node is kept).
 Runs on synthetic data / CPU in ~2 min.
 """
 
-import os
 import sys
 import tempfile
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    # sitecustomize registers the TPU plugin before env vars are honored; pin the
-    # config so an unhealthy TPU tunnel can't hang backend init
-    jax.config.update("jax_platforms", "cpu")
+from sparse_vision_tpu.utils.platform import pin_cpu_if_requested
+
+pin_cpu_if_requested()  # site-hook quirk: see utils/platform.py
 
 from sparse_vision_tpu.config import RunConfig
 from sparse_vision_tpu.interp.circuit import (

@@ -7,12 +7,9 @@ rank a lambda sweep — all on synthetic data so it runs anywhere (CPU included)
 import os
 import sys
 
-import jax
+from sparse_vision_tpu.utils.platform import pin_cpu_if_requested
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    # sitecustomize registers the TPU plugin before env vars are honored; pin the
-    # config so an unhealthy TPU tunnel can't hang backend init
-    jax.config.update("jax_platforms", "cpu")
+pin_cpu_if_requested()  # site-hook quirk: see utils/platform.py
 
 from sparse_vision_tpu.config import RunConfig, Sweep
 from sparse_vision_tpu.eval_tools.ranking import compute_sae_ranking, plot_rec_loss_vs_sparsity

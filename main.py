@@ -2,7 +2,7 @@
 The real CLI lives in sparse_vision_tpu/cli.py; `pip install -e .` also provides the
 `sparse-vision-tpu` console script."""
 
-from sparse_vision_tpu.cli import main
+from sparse_vision_tpu.cli import _main_entry
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(_main_entry())

@@ -175,18 +175,14 @@ def main(argv=None) -> int:
 
 
 def _main_entry() -> int:
-    """Fresh-interpreter entry (``python -m sparse_vision_tpu.cli``): the
-    JAX_PLATFORMS env var is authoritative. The container's site hook pins
-    ``jax_platforms`` to its own platform list BEFORE env vars are honored
-    (observed: 'axon,cpu'), which silently selects the TPU for intended-CPU
-    subprocess runs — and hangs backend init outright when the TPU tunnel is
-    unhealthy. main() keeps the conservative don't-flip-a-pinned-platform rule
-    for in-process callers (tests, notebooks)."""
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
+    """Fresh-interpreter entry (``python -m sparse_vision_tpu.cli``, main.py,
+    the ``sparse-vision-tpu`` console script): the JAX_PLATFORMS env var is
+    authoritative (utils/platform.py explains the site-hook quirk). main()
+    keeps the conservative don't-flip-a-pinned-platform rule for in-process
+    callers (tests, notebooks)."""
+    from sparse_vision_tpu.utils.platform import pin_platform_from_env
 
-        jax.config.update("jax_platforms", plat)
+    pin_platform_from_env()
     return main()
 
 

@@ -1,0 +1,44 @@
+"""Platform pinning helpers for the container's site-hook quirk.
+
+The deployment container registers its TPU plugin via a ``sitecustomize`` that
+pins ``jax.config.jax_platforms`` to its own platform list (observed:
+``'axon,cpu'``) BEFORE environment variables are honored. Two consequences for
+fresh interpreters:
+
+- ``JAX_PLATFORMS=cpu python script.py`` silently selects the TPU anyway
+  (the config pin wins over the env var), and
+- when the TPU tunnel is unhealthy, backend init then HANGS indefinitely —
+  even for runs that never wanted the TPU.
+
+Importing this module (or the package) does not initialize jax backends, so
+calling these helpers at the top of an entry script is always safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def pin_platform_from_env() -> None:
+    """Make the JAX_PLATFORMS env var authoritative for this process.
+
+    For fresh-interpreter entry points (CLI ``__main__``, examples, benches):
+    apply the env var through ``jax.config`` so it wins over the site hook's
+    pin. No-op when the env var is unset. Must run before any
+    backend-initializing jax call. In-process library code must NOT call this —
+    a caller that already pinned a platform (tests, notebooks) would be flipped
+    back to the env's platform (see cli.main's conservative rule).
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+def pin_cpu_if_requested() -> None:
+    """Apply ``JAX_PLATFORMS=cpu`` through ``jax.config`` (no-op otherwise)."""
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
