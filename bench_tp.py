@@ -32,7 +32,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 C = 256  # mixed3a channels
 
 
-def bench_local(h_local: int, t_local: int, fused: bool, scan: int, trips: int = 2):
+def bench_local(h_local: int, t_local: int, fused: bool, scan: int, trips: int = 2,
+                sae_model_name: str = "sae_mlp", **step_kw):
     from sparse_vision_tpu.models.sae import init_sae
     from sparse_vision_tpu.ops import optim
     from sparse_vision_tpu.train.steps import (
@@ -42,11 +43,11 @@ def bench_local(h_local: int, t_local: int, fused: bool, scan: int, trips: int =
     )
 
     expansion = h_local // C  # local expansion so init_sae builds the local shard
-    sae_params = init_sae("sae_mlp", jax.random.key(0), C, expansion)
+    sae_params = init_sae(sae_model_name, jax.random.key(0), C, expansion)
     tx = optim.get_optimizer("constrained_adam", 1e-3)
     ts = init_sae_train_state(sae_params, tx, h_local)
     step = make_sae_train_step_from_acts(
-        "sae_mlp", 5.0, tx, 10_000, expansion, fused=fused
+        sae_model_name, 5.0, tx, 10_000, expansion, fused=fused, **step_kw
     )
     multi = make_sae_train_multi_step(step)
     acts = jax.random.normal(jax.random.key(1), (scan, t_local, C), jnp.float32)
@@ -105,6 +106,33 @@ def main():
             ),
             "model_psum_bytes_per_step_per_chip": ici_bytes_per_chip,
         }))
+
+    # per-variant TP local-shard rates at the 16k-global (2, 4) config. The TP
+    # ops run the unchanged single-chip math on local shapes, so the per-chip
+    # compute is timeable here: matryoshka runs the snapshot-union boundary set
+    # a chip of that mesh sees (global prefixes (1024, 4096, 16384) clip to
+    # (1024, 4096) on H_local=4096 -> local fractions (0.25, 1.0)); TopK runs
+    # the local selection + gather decode (the m*k candidate all-gather and
+    # re-top-k are ICI work, ~16 MB/step, not timeable from one chip).
+    if on_tpu:
+        h_l, t_l = 4096, 16384
+        for name, kw in [
+            ("matryoshka_sae", dict(matryoshka_prefixes=(0.25, 1.0))),
+            ("topk_sae", dict(topk=32)),
+            ("topk_sae", dict(topk=32, topk_approx=True)),
+        ]:
+            try:
+                rate = bench_local(h_l, t_l, True, scan, sae_model_name=name, **kw)
+            except Exception as e:
+                print(f"{name} {kw} failed: {type(e).__name__}: {e}")
+                continue
+            print(json.dumps({
+                "metric": "tp_local_shard_tokens_per_sec_variant",
+                "variant": name,
+                "opts": {k: str(v) for k, v in kw.items()},
+                "h_local": h_l, "t_local": t_l,
+                "tokens_per_s": round(rate, 0),
+            }))
 
 
 if __name__ == "__main__":
