@@ -447,3 +447,48 @@ def test_tp_fast_topk_k_exceeds_local_shard():
             {**params, "b_enc": params["b_enc"][:32]},  # fake local shard h_l=32
             jnp.zeros((8, D)), 0.0, K, 2, 4, k=64,
         )
+
+
+def test_pipeline_cached_tp_checkpoint_resume(tmp_path_factory):
+    """Checkpoint/resume under the 2-D mesh: epoch checkpoints are written from
+    TP-SHARDED state (Orbax gathers addressable shards to host numpy) and resume
+    restores-then-places, matching the straight 2-epoch mesh run exactly.
+    Resample-free window like the single-device resume test (the rng key is not
+    part of the checkpoint, matching the reference's torch.save contract)."""
+    import dataclasses
+
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    def cfg(d, **kw):
+        base = dict(
+            directory_path=str(d), dataset_name="synthetic",
+            sae_epochs=2, sae_optimizer_name="constrained_adam", sae_batch_size=64,
+            sae_lambda_sparse=0.1, sae_expansion_factor=2,
+            dead_neurons_steps=10_000, use_activation_cache=True,
+            cache_tokens_per_step=128, mesh_shape=(2, 4), log_every=1000,
+        )
+        base.update(kw)
+        return RunConfig(**base)
+
+    d2 = tmp_path_factory.mktemp("tpresume_straight")
+    pipe2 = Pipeline(cfg(d2))
+    pipe2.train_sae()
+
+    d1 = tmp_path_factory.mktemp("tpresume_resumed")
+    c1 = cfg(d1, sae_epochs=1)
+    pipe1 = Pipeline(c1)
+    pipe1.train_sae()
+    pipe_r = Pipeline(dataclasses.replace(c1, sae_epochs=2, sae_checkpoint_epoch=1))
+    assert int(pipe_r.ts.step) == int(pipe1.ts.step) > 0
+    pipe_r.train_sae()
+
+    assert int(pipe_r.ts.step) == int(pipe2.ts.step)
+    for name in pipe_r.ts.params:
+        np.testing.assert_allclose(
+            np.asarray(pipe_r.ts.params[name]), np.asarray(pipe2.ts.params[name]),
+            atol=1e-6, err_msg=f"resumed {name} != straight-run {name}",
+        )
+    # the resumed run really trained sharded
+    h = pipe_r.ts.params["b_enc"].shape[0]
+    assert {s.data.shape[0] for s in pipe_r.ts.params["W_dec"].addressable_shards} == {h // 4}
