@@ -11,7 +11,6 @@ no DDP/TP/PP anywhere). Scaling here is TPU-native:
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np
