@@ -59,7 +59,13 @@ from sparse_vision_tpu.utils.paths import folder_paths, run_id, sae_params_no_ep
 
 
 class Pipeline:
-    def __init__(self, cfg: RunConfig, mesh=None, logger: Optional[RunLogger] = None):
+    def __init__(self, cfg: RunConfig, mesh=None, logger: Optional[RunLogger] = None,
+                 datasets=None):
+        """``datasets`` optionally injects an already-loaded
+        ``(train_ds, val_ds, category_names, img_size)`` tuple so pipelines that
+        differ only in SAE hyperparameters (train/sweep_vmap.py) or target layer
+        (train/multilayer.py) share one dataset instance instead of re-reading it;
+        dataset objects are read-only after construction (data/datasets.py)."""
         self.cfg = cfg
         self.paths = folder_paths(cfg)
         self.run_id = run_id(cfg)
@@ -76,9 +82,12 @@ class Pipeline:
         self.batch_sharding = data_sharding(self.mesh) if self.mesh else None
 
         self.net = make_backbone(cfg.model_name, cfg.dataset_name)
-        self.train_ds, self.val_ds, self.category_names, self.img_size = load_data(
-            cfg, class_filter=cfg.imagenet_class_filter or None
-        )
+        if datasets is not None:
+            self.train_ds, self.val_ds, self.category_names, self.img_size = datasets
+        else:
+            self.train_ds, self.val_ds, self.category_names, self.img_size = load_data(
+                cfg, class_filter=cfg.imagenet_class_filter or None
+            )
         self.criterion = get_criterion(cfg.model_criterion_name)
 
         key = jax.random.key(cfg.seed)

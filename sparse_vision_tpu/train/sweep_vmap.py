@@ -1,0 +1,334 @@
+"""Vmapped hyperparameter sweeps: N same-shape SAEs train in ONE jitted step.
+
+The reference parallelizes sweeps as N independent cluster jobs, each re-running
+the full data + backbone pipeline for one `parameters.txt` line (README.md:13-15,
+specify_parameters.py:287-293, main.py:63-113) — the backbone forward, host IO,
+and dispatch overhead are paid N times. On TPU the right shape for a sweep over
+*scalar* hyperparameters (lambda_sparse / learning_rate / SAE-init seed) is a
+single `jax.vmap` over a stacked parameter axis: one activation stream feeds all
+N combos, every [T, C] x [C, H] matmul becomes a batched [N, T, C] x [N, C, H]
+contraction the MXU tiles natively, and host-dispatch cost is paid once per step
+regardless of N.
+
+Update math per combo is IDENTICAL to train/steps.make_sae_train_step_from_acts
+(stock path): loss -> optimizer update -> dead-unit accumulation -> scheduled
+resample. The resample/reset `lax.cond` stays OUTSIDE the vmap (all combos share
+one step counter and schedule), so the full-Kaiming resample draw is only paid at
+actual resample steps instead of being converted to a per-step `select` by vmap's
+cond batching rule. Exact-parity with N independent runs is pinned in
+tests/test_sweep_vmap.py.
+
+Scope: combos must share every shape-/schedule-/structure-determining field
+(variant, expansion factor, layer, optimizer NAME, dead_neurons_steps, batch
+geometry); only SWEEPABLE_FIELDS vary. Data order follows ``base_cfg.seed`` (one
+shared stream) — a combo's ``seed`` override changes its SAE init and resample
+draws, not the shuffle. Fused Pallas kernels are not routed here: the sweep's
+win is batching many small/medium SAEs; a single large SAE should train alone on
+the fused path (ops/fused_sae.py et al.).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sparse_vision_tpu.config import RunConfig
+from sparse_vision_tpu.models.sae import sae_inference_and_loss
+from sparse_vision_tpu.ops import metrics, optim
+from sparse_vision_tpu.ops.resample import (
+    resample_dead_neurons,
+    should_reset_measurement,
+    should_resample,
+)
+from sparse_vision_tpu.train.steps import SAETrainState
+
+# the only RunConfig fields a sweep combo may override (everything else must be
+# shared so the stacked states are homogeneous)
+SWEEPABLE_FIELDS = ("sae_lambda_sparse", "sae_learning_rate", "seed")
+
+
+class SweepState(NamedTuple):
+    """N stacked SAE train states sharing one step counter/schedule."""
+
+    params: dict  # leaves stacked [N, ...]
+    opt_state: Any  # leaves stacked [N, ...]
+    step: jax.Array  # int32 scalar — shared train_batch_idx
+    dead_acc: jax.Array  # bool [N, h]
+    rngs: jax.Array  # [N] PRNG keys, one stream per combo
+
+
+def stack_sae_states(states: Sequence[SAETrainState]) -> SweepState:
+    """Stack per-combo states (same structure/shapes) along a new leading axis.
+
+    All states must carry the same ``step`` (freshly initialized or restored from
+    the same epoch) — the sweep advances one shared counter."""
+    steps = {int(s.step) for s in states}
+    if len(steps) != 1:
+        raise ValueError(f"Sweep states disagree on train step: {sorted(steps)}")
+    return SweepState(
+        params=jax.tree.map(lambda *xs: jnp.stack(xs), *[s.params for s in states]),
+        opt_state=jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[s.opt_state for s in states]
+        ),
+        step=states[0].step,
+        dead_acc=jnp.stack([s.dead_acc for s in states]),
+        rngs=jnp.stack([s.rng for s in states]),
+    )
+
+
+def unstack_sae_state(ss: SweepState, i: int) -> SAETrainState:
+    """Combo ``i``'s state as a plain SAETrainState (checkpoint/eval compatible)."""
+    return SAETrainState(
+        params=jax.tree.map(lambda x: x[i], ss.params),
+        opt_state=jax.tree.map(lambda x: x[i], ss.opt_state),
+        step=ss.step,
+        dead_acc=ss.dead_acc[i],
+        rng=ss.rngs[i],
+    )
+
+
+def make_sae_sweep_step(
+    sae_model_name: str,
+    lambdas: Sequence[float],
+    learning_rates: Sequence[float],
+    optimizer_name: str,
+    dead_neurons_steps: int,
+    expansion_factor: int,
+    topk: int = 32,
+    topk_approx: bool = False,
+    jumprelu_bandwidth: float = 1e-3,
+    matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
+):
+    """Build the jitted N-combo step: ``(SweepState, act [T, C]) -> (SweepState,
+    metrics dict of [N] arrays)``.
+
+    Per-combo math matches make_sae_train_step_from_acts' stock path exactly; the
+    learning rate enters as a traced scalar (optax transforms are linear in their
+    scale argument, and constrained_adam's renormalization closes over it), so one
+    compiled program serves every combo."""
+    lambdas = jnp.asarray(list(lambdas), jnp.float32)
+    lrs = jnp.asarray(list(learning_rates), jnp.float32)
+    if lambdas.shape != lrs.shape:
+        raise ValueError("lambdas and learning_rates must have equal length")
+    can_resample = sae_model_name == "sae_mlp"
+
+    def combo_update(params, opt_state, dead_acc, rng, lam, lr, act):
+        tx = optim.get_optimizer(optimizer_name, lr)
+
+        def loss_fn(p):
+            out = sae_inference_and_loss(
+                sae_model_name, p, act, lam, topk=topk, topk_approx=topk_approx,
+                jumprelu_bandwidth=jumprelu_bandwidth,
+                matryoshka_prefixes=matryoshka_prefixes,
+            )
+            return out["loss"], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        dead, sparsity, _ = metrics.measure_inactive_units(
+            out["encoded"], expansion_factor
+        )
+        dead_acc = jnp.logical_and(dead_acc, dead)
+        rng, sub = jax.random.split(rng)
+        m = {
+            "sae_loss": loss,
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sparsity": sparsity,
+            "perc_dead": jnp.sum(dead_acc) / dead_acc.shape[0],
+        }
+        return params, opt_state, dead_acc, rng, sub, m
+
+    @jax.jit
+    def step_fn(ss: SweepState, act: jax.Array):
+        step = ss.step + 1
+        params, opt_state, dead_acc, rngs, subs, m = jax.vmap(
+            combo_update, in_axes=(0, 0, 0, 0, 0, 0, None)
+        )(ss.params, ss.opt_state, ss.dead_acc, ss.rngs, lambdas, lrs, act)
+        if can_resample:
+            def do_resample(p, o, acc):
+                p2, o2 = jax.vmap(resample_dead_neurons)(p, o, acc, subs)
+                return p2, o2, jnp.ones_like(acc)
+
+            def no_resample(p, o, acc):
+                acc = jnp.where(
+                    should_reset_measurement(step, dead_neurons_steps),
+                    jnp.ones_like(acc), acc,
+                )
+                return p, o, acc
+
+            params, opt_state, dead_acc = jax.lax.cond(
+                should_resample(step, dead_neurons_steps),
+                do_resample, no_resample, params, opt_state, dead_acc,
+            )
+        return SweepState(params, opt_state, step, dead_acc, rngs), m
+
+    return step_fn
+
+
+def make_sae_sweep_multi_step(step_fn):
+    """One jitted dispatch over a stacked [K, T, C] microbatch sequence (same
+    contract as train/steps.make_sae_train_multi_step; the input SweepState is
+    DONATED)."""
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(ss: SweepState, acts_stack: jax.Array):
+        def body(ss, a):
+            return step_fn(ss, a)
+
+        return jax.lax.scan(body, ss, acts_stack)
+
+    return multi
+
+
+def _validate_overrides(base_cfg: RunConfig, overrides: Sequence[dict]) -> None:
+    if not overrides:
+        raise ValueError("Need at least one sweep combo")
+    for i, ov in enumerate(overrides):
+        bad = set(ov) - set(SWEEPABLE_FIELDS)
+        if bad:
+            raise ValueError(
+                f"Combo {i} overrides non-sweepable fields {sorted(bad)}; a vmapped "
+                f"sweep can only vary {SWEEPABLE_FIELDS} (run differing combos as "
+                f"separate pipelines / parallel.sweep_runner)"
+            )
+    if not (base_cfg.use_sae and base_cfg.training):
+        raise ValueError("Vmapped sweeps train SAEs: need use_sae=True, training=True")
+    if base_cfg.overlap_dump_train:
+        raise ValueError(
+            "overlap_dump_train is not supported in vmapped sweeps (the shared cache "
+            "is dumped once, sequentially, before training)"
+        )
+
+
+def train_sae_sweep_cached(
+    base_cfg: RunConfig,
+    overrides: Sequence[dict],
+    datasets=None,
+) -> list[dict]:
+    """Train one SAE per combo — ALL in one vmapped step off one activation cache.
+
+    Each combo's run artifacts (per-epoch checkpoints, eval results rows, weight
+    exports) are produced through its own Pipeline exactly as an individual
+    `train_sae_cached` run would, so everything downstream (resume, ranking,
+    circuit registry) is unchanged; only the train-step execution is batched.
+    Returns the per-combo final eval results, in override order.
+
+    The combos share the data stream (shuffled by ``base_cfg.seed``), the frozen
+    backbone (the FIRST combo's — a ``seed`` override affects only SAE init and
+    resample draws), and the activation cache.
+    """
+    from sparse_vision_tpu.data.activation_cache import ActivationCache, dump_activations
+    from sparse_vision_tpu.train.pipeline import Pipeline
+    from sparse_vision_tpu.train import checkpoint as ckpt
+
+    _validate_overrides(base_cfg, overrides)
+    cfgs = [
+        dataclasses.replace(
+            base_cfg, **{**ov, "use_activation_cache": True, "training": True}
+        )
+        for ov in overrides
+    ]
+
+    pipes: list[Pipeline] = []
+    for cfg in cfgs:
+        p = Pipeline(cfg, datasets=datasets)
+        if pipes:
+            # one backbone for the whole sweep: the cache is dumped from the first
+            # combo's frozen model, so every combo must eval against that model too
+            p.frozen_params = pipes[0].frozen_params
+            p.net_state = pipes[0].net_state
+            p._model_ckpt_epoch = pipes[0]._model_ckpt_epoch
+            datasets = datasets or (
+                pipes[0].train_ds, pipes[0].val_ds,
+                pipes[0].category_names, pipes[0].img_size,
+            )
+        else:
+            datasets = (p.train_ds, p.val_ds, p.category_names, p.img_size)
+        pipes.append(p)
+
+    ckpt_dirs = [p._sae_ckpt_dir() for p in pipes]
+    if len(set(ckpt_dirs)) != len(ckpt_dirs):
+        raise ValueError("Duplicate sweep combos (identical run identities)")
+    starts = {p.cfg.sae_checkpoint_epoch for p in pipes}
+    if len(starts) != 1:
+        raise ValueError(f"Combos disagree on sae_checkpoint_epoch: {sorted(starts)}")
+    start = starts.pop()
+
+    p0 = pipes[0]
+    cache_dir = p0._cache_dir(base_cfg.sae_layer)
+    if not os.path.exists(os.path.join(cache_dir, "meta.json")):
+        print(f"Building activation cache at {cache_dir} ...")
+        dump_activations(
+            p0.net, p0.frozen_params, p0.net_state, p0.train_ds,
+            base_cfg.sae_layer, cache_dir, **p0._cache_dump_kwargs(),
+        )
+    cache = ActivationCache(cache_dir)
+
+    step_fn = make_sae_sweep_step(
+        base_cfg.sae_model_name,
+        [p.cfg.sae_lambda_sparse for p in pipes],
+        [p.cfg.sae_learning_rate for p in pipes],
+        base_cfg.sae_optimizer_name,
+        base_cfg.dead_neurons_steps,
+        base_cfg.sae_expansion_factor,
+        topk=base_cfg.sae_topk,
+        topk_approx=base_cfg.sae_topk_approx,
+        jumprelu_bandwidth=base_cfg.jumprelu_bandwidth,
+        matryoshka_prefixes=base_cfg.matryoshka_prefix_fractions,
+    )
+    multi_fn = make_sae_sweep_multi_step(step_fn)
+    ss = stack_sae_states([p.ts for p in pipes])
+
+    def scatter_states():
+        for i, p in enumerate(pipes):
+            p.ts = unstack_sae_state(ss, i)
+
+    scan_k = p0.CACHE_SCAN_K
+    tps = base_cfg.cache_tokens_per_step
+    last_evals: list[Optional[dict]] = [None] * len(pipes)
+    scatter_states()
+    for p in pipes:  # pre-training eval (deploy_model:1315-1320)
+        p.eval_modified(epoch=start, store=False)
+    for epoch in range(start, base_cfg.sae_epochs):
+        for stack_arr in cache.stacks(
+            tps, scan_k, shuffle=True, seed=base_cfg.seed + epoch
+        ):
+            if stack_arr.shape[0] == scan_k:
+                ss, ms = multi_fn(ss, jnp.asarray(np.asarray(stack_arr)))
+                p0.logger.log_train(
+                    int(ss.step), {k: float(v[-1, 0]) for k, v in ms.items()}
+                )
+            else:  # tail (< scan_k steps) runs single-step
+                for tok in stack_arr:
+                    ss, m = step_fn(ss, jnp.asarray(tok))
+                    p0.logger.log_train(
+                        int(ss.step), {k: float(v[0]) for k, v in m.items()}
+                    )
+        scatter_states()
+        for i, p in enumerate(pipes):
+            ckpt.save_checkpoint(
+                ckpt_dirs[i], epoch + 1,
+                {
+                    "params": p.ts.params,
+                    "opt_state": p.ts.opt_state,
+                    "step": p.ts.step,
+                    "dead_acc": p.ts.dead_acc,
+                },
+                blocking=False,
+            )
+            last_evals[i] = p.eval_modified(
+                epoch=epoch + 1, final=(epoch + 1 == base_cfg.sae_epochs)
+            )
+    ckpt.wait_for_saves()
+    for p in pipes:
+        p._export_sae_weights()
+    return last_evals

@@ -1,0 +1,196 @@
+"""Vmapped hyperparameter sweeps (train/sweep_vmap.py): N same-shape SAEs in one
+jitted step must be indistinguishable from N independent runs.
+
+The reference's sweep is N independent cluster jobs over parameters.txt lines
+(README.md:13-15, main.py:63-113); here the jobs fuse into one batched step, so
+the tests pin (a) bitwise step-level parity per combo incl. a resample boundary,
+(b) every SAE variant running under the sweep step, (c) end-to-end artifact
+parity (checkpoints, results rows) against individual Pipeline runs."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_vision_tpu.config import RunConfig
+from sparse_vision_tpu.models.sae import init_sae
+from sparse_vision_tpu.ops import optim
+from sparse_vision_tpu.train.steps import (
+    init_sae_train_state,
+    make_sae_train_step_from_acts,
+)
+from sparse_vision_tpu.train.sweep_vmap import (
+    make_sae_sweep_step,
+    stack_sae_states,
+    train_sae_sweep_cached,
+    unstack_sae_state,
+)
+
+D, EF = 16, 4
+H = D * EF
+
+
+def _run_individual(sae_name, lam, lr, seed, acts, optimizer, ndead, **kw):
+    tx = optim.get_optimizer(optimizer, lr)
+    p = init_sae(sae_name, jax.random.key(seed), D, EF)
+    ts = init_sae_train_state(p, tx, H, seed=seed)
+    step = make_sae_train_step_from_acts(sae_name, lam, tx, ndead, EF, **kw)
+    for a in acts:
+        ts, m = step(ts, jnp.asarray(a))
+    return ts, m
+
+
+def _run_sweep(sae_name, lambdas, lrs, seeds, acts, optimizer, ndead, **kw):
+    states = []
+    for lam, lr, sd in zip(lambdas, lrs, seeds):
+        tx = optim.get_optimizer(optimizer, lr)
+        p = init_sae(sae_name, jax.random.key(sd), D, EF)
+        states.append(init_sae_train_state(p, tx, H, seed=sd))
+    ss = stack_sae_states(states)
+    step = make_sae_sweep_step(sae_name, lambdas, lrs, optimizer, ndead, EF, **kw)
+    for a in acts:
+        ss, m = step(ss, jnp.asarray(a))
+    return ss, m
+
+
+def test_sweep_step_bitwise_parity_across_resample():
+    """9 steps with dead_neurons_steps=4 crosses the resample at step 2n+1=9
+    (ops/resample.should_resample); params, dead_acc, and rng streams must match
+    the independent runs bit for bit."""
+    lambdas, lrs, seeds = [0.1, 0.5, 0.1], [1e-3, 1e-3, 3e-3], [0, 0, 7]
+    acts = np.random.RandomState(0).randn(9, 64, D).astype(np.float32)
+    ss, _ = _run_sweep("sae_mlp", lambdas, lrs, seeds, acts, "constrained_adam", 4)
+    for i, (lam, lr, sd) in enumerate(zip(lambdas, lrs, seeds)):
+        ts, _ = _run_individual("sae_mlp", lam, lr, sd, acts, "constrained_adam", 4)
+        si = unstack_sae_state(ss, i)
+        for k in ts.params:
+            np.testing.assert_array_equal(
+                np.asarray(ts.params[k]), np.asarray(si.params[k]), err_msg=f"{i}/{k}"
+            )
+        np.testing.assert_array_equal(np.asarray(ts.dead_acc), np.asarray(si.dead_acc))
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(ts.rng)),
+            np.asarray(jax.random.key_data(si.rng)),
+        )
+        assert int(ts.step) == int(si.step) == 9
+
+
+@pytest.mark.parametrize(
+    "sae_name,kw",
+    [
+        ("gated_sae", {}),
+        ("jumprelu_sae", {"jumprelu_bandwidth": 1e-3}),
+        ("topk_sae", {"topk": 4}),
+        ("matryoshka_sae", {"matryoshka_prefixes": (0.25, 1.0)}),
+    ],
+)
+def test_sweep_step_all_variants_match_single_runs(sae_name, kw):
+    lambdas, lrs, seeds = [0.05, 0.2], [1e-3, 2e-3], [1, 2]
+    acts = np.random.RandomState(1).randn(3, 32, D).astype(np.float32)
+    ss, ms = _run_sweep(sae_name, lambdas, lrs, seeds, acts, "adam", 100, **kw)
+    assert ms["sae_loss"].shape == (2,)
+    for i, (lam, lr, sd) in enumerate(zip(lambdas, lrs, seeds)):
+        ts, m = _run_individual(sae_name, lam, lr, sd, acts, "adam", 100, **kw)
+        si = unstack_sae_state(ss, i)
+        for k in ts.params:
+            np.testing.assert_allclose(
+                np.asarray(ts.params[k]), np.asarray(si.params[k]),
+                rtol=1e-6, atol=1e-7, err_msg=f"{i}/{k}",
+            )
+        np.testing.assert_allclose(
+            float(m["sae_loss"]), float(ms["sae_loss"][i]), rtol=1e-6
+        )
+
+
+def _base_cfg(tmp_path, **kw):
+    defaults = dict(
+        model_name="custom_mlp_9",
+        sae_model_name="sae_mlp",
+        sae_layer="fc1",
+        directory_path=str(tmp_path),
+        dataset_name="synthetic",
+        batch_size=64,
+        sae_epochs=1,
+        sae_learning_rate=1e-3,
+        sae_optimizer_name="constrained_adam",
+        sae_batch_size=64,
+        sae_lambda_sparse=0.1,
+        sae_expansion_factor=2,
+        dead_neurons_steps=10_000,
+        log_every=1000,
+        original_model=False,
+        training=True,
+        use_activation_cache=True,
+        cache_tokens_per_step=64,
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_sweep_cached_e2e_matches_individual_runs(tmp_path):
+    """Full orchestrator vs two individual train_sae_cached runs: same final
+    eval rows, same checkpoint params (the sweep shares one cache + backbone,
+    combos differ in lambda so their individual runs share the data order)."""
+    from sparse_vision_tpu.eval_tools.results import read_results
+    from sparse_vision_tpu.train import checkpoint as ckpt
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    overrides = [{"sae_lambda_sparse": 0.05}, {"sae_lambda_sparse": 0.3}]
+
+    sweep_cfg = _base_cfg(tmp_path / "sweep")
+    sweep_results = train_sae_sweep_cached(sweep_cfg, overrides)
+    assert len(sweep_results) == 2
+
+    individual_results = []
+    indiv_pipes = []
+    for ov in overrides:
+        cfg = dataclasses.replace(_base_cfg(tmp_path / "indiv"), **ov)
+        pipe = Pipeline(cfg)
+        individual_results.append(pipe.train_sae())
+        indiv_pipes.append(pipe)
+
+    for r_sweep, r_ind in zip(sweep_results, individual_results):
+        for k in ("sae_rec_loss", "sae_loss", "sparsity", "perc_dead_units", "kld"):
+            np.testing.assert_allclose(
+                float(r_sweep[k]), float(r_ind[k]), rtol=1e-5, atol=1e-7,
+                err_msg=k,
+            )
+
+    # checkpoints: per-combo dirs exist and params match the individual runs'
+    for ov, ind_pipe in zip(overrides, indiv_pipes):
+        cfg_s = dataclasses.replace(
+            _base_cfg(tmp_path / "sweep"), sae_checkpoint_epoch=1, **ov
+        )
+        pipe_s = Pipeline(cfg_s)  # restores the sweep's epoch-1 checkpoint
+        assert ckpt.latest_epoch(pipe_s._sae_ckpt_dir()) == 1
+        assert int(pipe_s.ts.step) == int(ind_pipe.ts.step)
+        for k in pipe_s.ts.params:
+            np.testing.assert_allclose(
+                np.asarray(pipe_s.ts.params[k]),
+                np.asarray(ind_pipe.ts.params[k]),
+                rtol=1e-6, atol=1e-7, err_msg=f"{ov}/{k}",
+            )
+
+    # results CSV has one epoch-1 row per combo
+    csv_path = os.path.join(
+        Pipeline(_base_cfg(tmp_path / "sweep")).paths["evaluation_results"],
+        "sae_eval_results.csv",
+    )
+    rows = read_results(csv_path)
+    lambdas = sorted(float(r["lambda_sparse"]) for r in rows if r["epochs"] == 1)
+    assert lambdas == [0.05, 0.3]
+
+
+def test_sweep_validation():
+    cfg = _base_cfg("/tmp/unused")
+    with pytest.raises(ValueError, match="non-sweepable"):
+        train_sae_sweep_cached(cfg, [{"sae_expansion_factor": 8}])
+    with pytest.raises(ValueError, match="at least one"):
+        train_sae_sweep_cached(cfg, [])
+    with pytest.raises(ValueError, match="use_sae=True"):
+        train_sae_sweep_cached(
+            dataclasses.replace(cfg, training=False), [{"sae_lambda_sparse": 0.1}]
+        )
