@@ -53,6 +53,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="merged results CSV for --run_evaluation")
     p.add_argument("--out_dir", type=str, default=None,
                    help="output directory for evaluation artifacts")
+    p.add_argument("--vmap_sweep", action="store_true",
+                   help="with --run_pipeline --parameters: train sweep entries that "
+                        "differ only in (sae_lambda_sparse, sae_learning_rate, seed) "
+                        "together in ONE vmapped step off a shared activation cache "
+                        "(train/sweep_vmap.py); other entries run individually")
     p.add_argument("--multilayer", type=str, default=None, metavar="LAYERS",
                    help="with --run_pipeline --config: train SAEs for a comma list "
                         "of layers (or 'circuit' = the registry's circuit layers) "
@@ -108,6 +113,20 @@ def main(argv=None) -> int:
             for cfg in cfgs:
                 print(f"=== multilayer run: {cfg.to_json()}")
                 train_saes_multilayer(cfg, layers=layers)
+        elif args.vmap_sweep:
+            from sparse_vision_tpu.config import Sweep
+            from sparse_vision_tpu.train.sweep_vmap import (
+                group_sweepable,
+                train_sae_sweep_cached,
+            )
+
+            groups, singles = group_sweepable(cfgs)
+            for base, overrides in groups:
+                Sweep.validate(base)
+                print(f"=== vmapped sweep ({len(overrides)} combos): {base.to_json()}")
+                train_sae_sweep_cached(base, overrides)
+            for cfg in singles:
+                _run_one(cfg)
         else:
             for cfg in cfgs:
                 _run_one(cfg)

@@ -189,6 +189,53 @@ def make_sae_sweep_multi_step(step_fn):
     return multi
 
 
+def group_sweepable(
+    cfgs: Sequence[RunConfig],
+) -> tuple[list[tuple[RunConfig, list[dict]]], list[RunConfig]]:
+    """Partition sweep-file entries into vmappable groups and leftovers.
+
+    Entries that differ ONLY in SWEEPABLE_FIELDS and are cached SAE-training runs
+    (use_sae, training, use_activation_cache, no dump/train overlap) group into
+    one ``(base_cfg, overrides)`` sweep; everything else — eval/MIS/IE modes,
+    live-training runs, or singleton groups — is returned for individual
+    execution. File order is preserved within and across groups."""
+    import json as _json
+
+    buckets: dict[str, list[RunConfig]] = {}
+    order: list[str] = []
+    for cfg in cfgs:
+        d = _json.loads(cfg.to_json())
+        for f in SWEEPABLE_FIELDS:
+            d.pop(f, None)
+        key = _json.dumps(d, sort_keys=True)
+        if key not in buckets:
+            buckets[key] = []
+            order.append(key)
+        buckets[key].append(cfg)
+
+    groups: list[tuple[RunConfig, list[dict]]] = []
+    singles: list[RunConfig] = []
+    for key in order:
+        members = buckets[key]
+        base = members[0]
+        eligible = (
+            len(members) >= 2
+            and base.use_sae
+            and base.training
+            and base.use_activation_cache
+            and not base.overlap_dump_train
+            and base.mis == "0"
+            and base.compute_ie == "0"
+        )
+        if eligible:
+            groups.append(
+                (base, [{f: getattr(c, f) for f in SWEEPABLE_FIELDS} for c in members])
+            )
+        else:
+            singles.extend(members)
+    return groups, singles
+
+
 def _validate_overrides(base_cfg: RunConfig, overrides: Sequence[dict]) -> None:
     if not overrides:
         raise ValueError("Need at least one sweep combo")

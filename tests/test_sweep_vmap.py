@@ -184,6 +184,62 @@ def test_sweep_cached_e2e_matches_individual_runs(tmp_path):
     assert lambdas == [0.05, 0.3]
 
 
+def test_group_sweepable_partitions():
+    """Grouping: cached SAE-train entries differing only in sweepable fields fuse;
+    eval/MIS/live-train/singleton entries run individually, order preserved."""
+    from sparse_vision_tpu.train.sweep_vmap import group_sweepable
+
+    base = _base_cfg("/tmp/unused")
+    cfgs = [
+        dataclasses.replace(base, sae_lambda_sparse=0.1),
+        dataclasses.replace(base, sae_lambda_sparse=0.2),
+        dataclasses.replace(base, training=False),  # eval entry: never grouped
+        dataclasses.replace(base, sae_expansion_factor=4),  # different shape
+        dataclasses.replace(base, sae_lambda_sparse=0.3, sae_learning_rate=2e-3),
+    ]
+    groups, singles = group_sweepable(cfgs)
+    assert len(groups) == 1
+    gbase, overrides = groups[0]
+    assert [ov["sae_lambda_sparse"] for ov in overrides] == [0.1, 0.2, 0.3]
+    assert overrides[2]["sae_learning_rate"] == 2e-3
+    assert len(singles) == 2
+    assert singles[0].training is False
+    assert singles[1].sae_expansion_factor == 4
+
+    # live-training (no cache) entries never group
+    live = [
+        dataclasses.replace(base, use_activation_cache=False, sae_lambda_sparse=lv)
+        for lv in (0.1, 0.2)
+    ]
+    g2, s2 = group_sweepable(live)
+    assert not g2 and len(s2) == 2
+
+
+def test_cli_vmap_sweep(tmp_path):
+    """--run_pipeline --parameters --vmap_sweep trains grouped combos in one
+    vmapped sweep and still runs the leftover eval entry individually."""
+    from sparse_vision_tpu.cli import main as cli_main
+    from sparse_vision_tpu.eval_tools.results import read_results
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfgs = [
+        _base_cfg(tmp_path, sae_lambda_sparse=0.05),
+        _base_cfg(tmp_path, sae_lambda_sparse=0.3),
+    ]
+    params_path = str(tmp_path / "sweep.jsonl")
+    with open(params_path, "w") as f:
+        for c in cfgs:
+            f.write(c.to_json() + "\n")
+    rc = cli_main(["--run_pipeline", "--parameters", params_path, "--vmap_sweep"])
+    assert rc == 0
+    csv_path = os.path.join(
+        Pipeline(cfgs[0]).paths["evaluation_results"], "sae_eval_results.csv"
+    )
+    rows = read_results(csv_path)
+    lambdas = sorted(float(r["lambda_sparse"]) for r in rows if r["epochs"] == 1)
+    assert lambdas == [0.05, 0.3]
+
+
 def test_sweep_validation():
     cfg = _base_cfg("/tmp/unused")
     with pytest.raises(ValueError, match="non-sweepable"):
