@@ -153,9 +153,11 @@ class RunConfig:
     # ImageNet path (data/activation_cache.py)
     use_activation_cache: bool = False
     cache_tokens_per_step: int = 4096
-    # on-disk dtype of the activation cache ("float32" | "bfloat16"); bfloat16
-    # halves cache bytes + host<->device transfer and matches the fused kernels'
-    # matmul dtype (the production setting; docs/NORTHSTAR.md dumps bf16)
+    # on-disk dtype of the activation cache ("float32" | "bfloat16" | "int8");
+    # bfloat16 halves cache bytes + host<->device transfer and matches the fused
+    # kernels' matmul dtype (the production setting; docs/NORTHSTAR.md dumps bf16).
+    # int8 halves AGAIN (symmetric per-shard per-channel quantization,
+    # data/activation_cache.quantize_int8; the train step dequantizes on device)
     cache_dtype: str = "float32"
     # overlap the activation dump with the FIRST training epoch: training consumes
     # each cache shard as soon as its atomic write completes while the dump keeps

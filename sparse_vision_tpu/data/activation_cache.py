@@ -40,6 +40,33 @@ def _from_storage(arr: np.ndarray, logical_dtype: str) -> np.ndarray:
     return arr.view(_BF16) if logical_dtype == "bfloat16" else arr
 
 
+def _scale_path(shard_path: str) -> str:
+    """Sidecar per-channel scale file of an int8 shard (acts_N.npy -> scales_N.npy)."""
+    d, b = os.path.split(shard_path)
+    return os.path.join(d, b.replace("acts_", "scales_", 1))
+
+
+def quantize_int8(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-channel int8 quantization of a [T, C] token block.
+
+    scale[c] = absmax(arr[:, c]) / 127 (floored away from 0 so all-zero channels
+    round-trip to exact zeros); q = round(arr / scale) clipped to [-127, 127].
+    Dequantized value = q * scale — the train step does this ON DEVICE
+    (train/steps.make_dequant_step_fn), so an int8 cache halves disk AND
+    host->device bytes vs bfloat16 at a max per-element error of absmax/254."""
+    a = np.asarray(arr, np.float32)
+    scale = np.abs(a).max(axis=0) / 127.0
+    scale = np.maximum(scale, 1e-12).astype(np.float32)
+    q = np.clip(np.rint(a / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def dequantize_int8(q: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """Host-side inverse of :func:`quantize_int8` (the device-side version lives in
+    the train-step wrapper; this one serves host consumers and tests)."""
+    return q.astype(np.float32) * scale
+
+
 def validate_sharded_batch(batch_size: int, sharding) -> None:
     """Fail fast on a batch size the sharded tap pass cannot split evenly — a
     non-divisible batch otherwise surfaces as an opaque device_put sharding error
@@ -63,11 +90,12 @@ class _ShardWriter:
     the multi-layer dump runs several concurrently off one backbone pass."""
 
     def __init__(self, out_dir: str, shard_tokens: int,
-                 shard_queue: Optional[queue.Queue] = None):
+                 shard_queue: Optional[queue.Queue] = None, quantize: bool = False):
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
         self.shard_tokens = shard_tokens
         self.shard_queue = shard_queue
+        self.quantize = quantize
         self.buf: list[np.ndarray] = []
         self.buffered = 0
         self.shard_idx = 0
@@ -96,6 +124,16 @@ class _ShardWriter:
             arr = np.ascontiguousarray(np.concatenate(chunk, axis=0))
             path = os.path.join(self.out_dir, f"acts_{self.shard_idx:05d}.npy")
             tmp = path + ".tmp"
+            if self.quantize:
+                q, scale = quantize_int8(arr)
+                # the scale sidecar lands BEFORE the shard's atomic publish, so a
+                # shard path on the overlap queue / in a directory listing always
+                # has its scales readable
+                spath = _scale_path(path)
+                with open(spath + ".tmp", "wb") as f:
+                    np.save(f, scale)
+                os.replace(spath + ".tmp", spath)
+                arr = q
             with open(tmp, "wb") as f:
                 np.save(f, _to_storage(arr))
             os.replace(tmp, path)  # atomic publish: readers never see partial shards
@@ -110,13 +148,17 @@ class _ShardWriter:
 
     def finish(self, layer: str, dtype) -> dict:
         self._flush(final=True)
+        if self.quantize:
+            dtype_name = "int8"
+        else:
+            dtype_name = "bfloat16" if np.dtype(dtype) == _BF16 else np.dtype(dtype).name
         meta = {
             "layer": layer,
             "dim": int(self.dim),
             "num_shards": self.shard_idx,
             "total_tokens": int(self.total),
             "shard_tokens": int(self.shard_tokens),
-            "dtype": "bfloat16" if np.dtype(dtype) == _BF16 else np.dtype(dtype).name,
+            "dtype": dtype_name,
         }
         with open(os.path.join(self.out_dir, "meta.json"), "w") as f:
             json.dump(meta, f, indent=1)
@@ -218,8 +260,12 @@ def dump_activations_multi(
     # cast to the storage dtype ON DEVICE: a bf16 cache then moves half the bytes
     # device->host and skips the single-core ml_dtypes conversion entirely (measured
     # on the v5e tunnel host: the 8-layer dump dropped 188 s -> 30 s; XLA and
-    # ml_dtypes both round-to-nearest-even, so shard bytes are unchanged)
-    jdt = jnp.bfloat16 if np.dtype(dtype) == _BF16 else np.dtype(dtype)
+    # ml_dtypes both round-to-nearest-even, so shard bytes are unchanged).
+    # dtype="int8": the device->host leg stays bf16 (per-shard scales can't be known
+    # on device mid-stream); the shard writer quantizes at flush (quantize_int8).
+    quantize = isinstance(dtype, str) and dtype == "int8"
+    acc_dtype = _BF16 if quantize else np.dtype(dtype)
+    jdt = jnp.bfloat16 if np.dtype(acc_dtype) == _BF16 else np.dtype(acc_dtype)
 
     @jax.jit
     def tap(images):
@@ -227,7 +273,8 @@ def dump_activations_multi(
         return {l: tokens_from_act(taps[l])[0].astype(jdt) for l in layers}
 
     writers = {
-        l: _ShardWriter(out_dirs[l], shard_tokens, (shard_queues or {}).get(l))
+        l: _ShardWriter(out_dirs[l], shard_tokens, (shard_queues or {}).get(l),
+                        quantize=quantize)
         for l in layers
     }
     n = 0
@@ -239,9 +286,11 @@ def dump_activations_multi(
         # device_get after copy_to_host_async: the bytes are already in flight
         toks = jax.device_get(toks_dev)
         for l in layers:
-            # already the storage dtype (device-side cast): no host conversion
+            # already the accumulation dtype (device-side cast): no host conversion
             tok = toks[l]
-            writers[l].add(tok if tok.dtype == np.dtype(dtype) else tok.astype(dtype))
+            writers[l].add(
+                tok if tok.dtype == np.dtype(acc_dtype) else tok.astype(acc_dtype)
+            )
 
     # one-batch software pipeline: dispatch the NEXT tap, start async host copies,
     # THEN drain the previous batch — device->host transfer latency (the dominant
@@ -259,7 +308,7 @@ def dump_activations_multi(
             break
     if pending is not None:
         drain(pending)
-    return {l: writers[l].finish(l, dtype) for l in layers}
+    return {l: writers[l].finish(l, acc_dtype) for l in layers}
 
 
 def stream_stacks(
@@ -287,6 +336,11 @@ def stream_stacks(
         if isinstance(item, BaseException):
             raise item
         arr = _from_storage(np.load(item, mmap_mode="r"), logical_dtype)
+        if logical_dtype == "int8":
+            # overlapped epoch 0 is dump-bound; host dequantization (the scale
+            # sidecar is published before its shard) keeps the consumer uniform
+            # with the host-dequant read path — later epochs use the device path
+            arr = dequantize_int8(np.asarray(arr), np.load(_scale_path(item)))
         if rem is not None and rem.shape[0]:
             # only the final (short) shard leaves a remainder when shard_tokens is a
             # multiple of the block, so this concat copy is rare
@@ -315,18 +369,35 @@ class ActivationCache:
         ]
         self.dim = self.meta["dim"]
         self.total_tokens = self.meta["total_tokens"]
+        # int8 caches (quantize_int8): per-shard per-channel scale sidecars
+        self.quantized = self.meta["dtype"] == "int8"
+        self._scales: dict[int, np.ndarray] = {}
+
+    def scale(self, i: int) -> np.ndarray:
+        """Shard ``i``'s per-channel dequantization scale ([C] float32)."""
+        if i not in self._scales:
+            self._scales[i] = np.load(_scale_path(self.shard_paths[i]))
+        return self._scales[i]
 
     def _load(self, i: int) -> np.ndarray:
         raw = np.load(self.shard_paths[i], mmap_mode="r")
         return _from_storage(raw, self.meta["dtype"])
 
-    def _iter_shards(self, order, prefetch) -> Iterator[np.ndarray]:
-        """Yield whole shard arrays in ``order``. Three engines:
+    def _iter_shards(self, order, prefetch, dequant: bool = True
+                     ) -> Iterator[tuple[int, np.ndarray]]:
+        """Yield ``(shard_index, shard_array)`` in ``order``. Three engines:
         prefetch=False = synchronous memmap; True = Python-thread read-ahead;
         "native" = C++ ring-buffer reader (data/native_io.py; GIL-free pread loops,
         zero-copy views valid until the next shard). "native" falls back to True
         when no toolchain. Producer errors re-raise on the consumer; abandoning the
-        generator releases the read-ahead thread (stop event)."""
+        generator releases the read-ahead thread (stop event).
+
+        For int8 caches, ``dequant=True`` yields float32 shards (the per-shard
+        multiply runs on the read-ahead thread where possible); ``dequant=False``
+        yields the raw int8 shards — callers pair them with :meth:`scale` for
+        on-device dequantization (train/steps.make_sae_train_multi_step_quant)."""
+        host_dq = self.quantized and dequant
+
         if prefetch == "native":
             from sparse_vision_tpu.data import native_io
 
@@ -334,14 +405,20 @@ class ActivationCache:
                 it = native_io.NativeShardIterator(
                     [self.shard_paths[i] for i in order]
                 )
-                for shard in it:
-                    yield _from_storage(shard, self.meta["dtype"])
+                for i, shard in zip(order, it):
+                    shard = _from_storage(shard, self.meta["dtype"])
+                    if host_dq:
+                        shard = dequantize_int8(np.asarray(shard), self.scale(i))
+                    yield int(i), shard
                 return
             prefetch = True  # toolchain unavailable — degrade
 
         if not prefetch:
             for i in order:
-                yield self._load(i)
+                shard = self._load(i)
+                if host_dq:
+                    shard = dequantize_int8(np.asarray(shard), self.scale(i))
+                yield int(i), shard
             return
 
         q: queue.Queue = queue.Queue(maxsize=1)
@@ -367,8 +444,13 @@ class ActivationCache:
                 for i in order:
                     # np.array COPIES: faulting the mmap pages in on this thread is
                     # the whole point of the read-ahead (np.asarray would be a lazy
-                    # view and all IO would land back on the consumer)
-                    if not put(np.array(self._load(i))):
+                    # view and all IO would land back on the consumer); the int8
+                    # host-dequant multiply also lands here, off the consumer's
+                    # critical path
+                    shard = np.array(self._load(i))
+                    if host_dq:
+                        shard = dequantize_int8(shard, self.scale(i))
+                    if not put((int(i), shard)):
                         return
             except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
                 put(e)
@@ -379,21 +461,21 @@ class ActivationCache:
         t.start()
         try:
             while True:
-                shard = q.get()
-                if shard is None:
+                item = q.get()
+                if item is None:
                     break
-                if isinstance(shard, BaseException):
+                if isinstance(item, BaseException):
                     t.join()
-                    raise shard
-                yield shard
+                    raise item
+                yield item
             t.join()
         finally:
             stop.set()
 
     def batches(
         self, tokens_per_step: int, shuffle: bool = False, seed: int = 0,
-        prefetch: bool | str = True,
-    ) -> Iterator[np.ndarray]:
+        prefetch: bool | str = True, dequantize: str = "host",
+    ) -> Iterator:
         """Yield [tokens_per_step, C] arrays; shards visited in (optionally shuffled)
         order, trailing partial steps dropped (drop_last semantics).
 
@@ -402,24 +484,31 @@ class ActivationCache:
         Residual correlation matches the reference's regime — its hook-mode batches
         are also all spatial tokens of a few consecutively-drawn images
         (utils.py:2448-2451). For fully decorrelated tokens, dump the cache from a
-        shuffled image stream (dump_activations(..., shuffle_images=True))."""
+        shuffled image stream (dump_activations(..., shuffle_images=True)).
+
+        int8 caches: ``dequantize="host"`` (default) yields float32 blocks —
+        downstream code sees a normal cache; ``dequantize="device"`` yields
+        ``(int8 block, scale [C])`` pairs so the jitted step dequantizes on device
+        (half the host->device bytes of bfloat16)."""
+        dev_q = self.quantized and dequantize == "device"
         rng = np.random.default_rng(seed)
         order = np.arange(len(self.shard_paths))
         if shuffle:
             rng.shuffle(order)
-        for shard in self._iter_shards(order, prefetch):
+        for i, shard in self._iter_shards(order, prefetch, dequant=not dev_q):
             starts = np.arange(
                 0, shard.shape[0] - tokens_per_step + 1, tokens_per_step
             )
             if shuffle:
                 rng.shuffle(starts)
             for s in starts:
-                yield shard[s : s + tokens_per_step]
+                blk = shard[s : s + tokens_per_step]
+                yield (blk, self.scale(i)) if dev_q else blk
 
     def stacks(
         self, tokens_per_step: int, k: int, shuffle: bool = False, seed: int = 0,
-        prefetch: bool | str = True,
-    ) -> Iterator[np.ndarray]:
+        prefetch: bool | str = True, dequantize: str = "host",
+    ) -> Iterator:
         """Yield [k', tokens_per_step, C] stacked microbatch blocks for the lax.scan
         multi-step dispatch (train/steps.make_sae_train_multi_step); the last stack
         of the epoch may have k' < k (the caller runs those rows single-step).
@@ -429,7 +518,14 @@ class ActivationCache:
         consumer thread (at production shapes that copy is 10s-100s of MB per
         dispatch). Shuffle granularity is then the stack block rather than the step
         block (same shard-level randomization; tokens within a dispatch were already
-        contiguous-correlated)."""
+        contiguous-correlated).
+
+        int8 caches: ``dequantize="host"`` (default) yields float32 stacks;
+        ``dequantize="device"`` yields ``(int8 stack, scale [C])`` pairs (the scale
+        is per shard, so every stack — full or tail — stays within one shard and
+        never mixes scales; requires the aligned shard layout the production dump
+        guarantees, Pipeline._cache_dump_kwargs)."""
+        dev_q = self.quantized and dequantize == "device"
         block = tokens_per_step * k
         shard_tokens = int(self.meta["shard_tokens"])
         if shard_tokens % block == 0:
@@ -438,13 +534,15 @@ class ActivationCache:
             if shuffle:
                 rng.shuffle(order)
             tail: list = []
-            for shard in self._iter_shards(order, prefetch):
+            for i, shard in self._iter_shards(order, prefetch, dequant=not dev_q):
+                scale = self.scale(i) if dev_q else None
                 n_full = shard.shape[0] // block
                 starts = np.arange(0, n_full * block, block)
                 if shuffle:
                     rng.shuffle(starts)
                 for s in starts:
-                    yield shard[s : s + block].reshape(k, tokens_per_step, -1)
+                    stk = shard[s : s + block].reshape(k, tokens_per_step, -1)
+                    yield (stk, scale) if dev_q else stk
                 # leftover whole steps at the shard tail (short last shard)
                 for s in range(n_full * block, shard.shape[0] - tokens_per_step + 1,
                                tokens_per_step):
@@ -453,11 +551,23 @@ class ActivationCache:
                     # would keep a dangling ring-buffer view)
                     tail.append(np.array(shard[s : s + tokens_per_step]))
                     if len(tail) == k:
-                        yield np.stack(tail)
+                        yield (np.stack(tail), scale) if dev_q else np.stack(tail)
                         tail = []
+                if dev_q and tail:
+                    # per-shard scales must not mix: flush the partial stack before
+                    # the next shard
+                    yield np.stack(tail), scale
+                    tail = []
             if tail:
                 yield np.stack(tail)
             return
+        if dev_q:
+            raise ValueError(
+                "dequantize='device' needs shard_tokens to be a multiple of "
+                f"k*tokens_per_step (shard {shard_tokens}, block {block}); the "
+                "unaligned assembly crosses shard (and so scale) boundaries — "
+                "use dequantize='host'"
+            )
         # unaligned shard size: assemble stacks from step blocks
         buf: list = []
         for tok in self.batches(tokens_per_step, shuffle, seed, prefetch):

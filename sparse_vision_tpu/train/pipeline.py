@@ -313,7 +313,8 @@ class Pipeline:
         return dict(
             batch_size=cfg.sae_batch_size,
             workers=cfg.data_workers,
-            dtype="bfloat16" if cfg.cache_dtype == "bfloat16" else np.float32,
+            dtype=(cfg.cache_dtype if cfg.cache_dtype in ("bfloat16", "int8")
+                   else np.float32),
             # shards sized to a MULTIPLE of the scan dispatch block so
             # training reads zero-copy stacks (stacks alignment rule holds for
             # any cache_tokens_per_step, not just power-of-two ones)
@@ -529,6 +530,28 @@ class Pipeline:
                 return jnp.asarray(arr)
 
         multi_fn = make_sae_train_multi_step(step_fn)
+        # int8 cache: blocks arrive as (int8, scale) pairs and dequantize ON DEVICE
+        # (half the host->device bytes of bf16); the overlapped first epoch's
+        # stream_stacks host-dequants instead (it is dump-bound anyway), so both
+        # quantized iterators coexist with the float multi_fn above
+        from sparse_vision_tpu.train.steps import (
+            make_dequant_step_fn,
+            make_sae_train_multi_step_quant,
+        )
+
+        step_fn_q = make_dequant_step_fn(step_fn)
+        multi_fn_q = make_sae_train_multi_step_quant(step_fn)
+        if self.batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            _scale_sharding = NamedSharding(self.mesh, PartitionSpec())
+
+            def _put_scale(scale):
+                return jax.device_put(np.asarray(scale), _scale_sharding)
+        else:
+            def _put_scale(scale):
+                return jnp.asarray(scale)
+
         start = cfg.sae_checkpoint_epoch
         last_eval = None
         self.eval_modified(epoch=start, store=False)
@@ -545,21 +568,38 @@ class Pipeline:
                     dump_thread.join()
                     cache = ActivationCache(cache_dir)
                 stacks_it = cache.stacks(
-                    tps, scan_k, shuffle=True, seed=cfg.seed + epoch
+                    tps, scan_k, shuffle=True, seed=cfg.seed + epoch,
+                    dequantize="device",
                 )
             with maybe_profile(cfg.profile_dir or None):
                 # stacks are zero-copy shard views when scan_k*tps divides the
                 # shard size (ActivationCache.stacks) — no per-dispatch np.stack
-                for stack_arr in stacks_it:
-                    if stack_arr.shape[0] == scan_k:
+                for item in stacks_it:
+                    if isinstance(item, tuple):  # int8 device-dequant path
+                        stack_arr, scale = item
+                        scale = _put_scale(scale)
+                        if stack_arr.shape[0] == scan_k:
+                            self.ts, ms = multi_fn_q(
+                                self.ts, _put_tokens(np.asarray(stack_arr), 1), scale
+                            )
+                            self.logger.log_train(
+                                int(self.ts.step), {k: v[-1] for k, v in ms.items()}
+                            )
+                        else:
+                            for tok in stack_arr:
+                                self.ts, m = step_fn_q(
+                                    self.ts, _put_tokens(tok, 0), scale
+                                )
+                                self.logger.log_train(int(self.ts.step), m)
+                    elif item.shape[0] == scan_k:
                         self.ts, ms = multi_fn(
-                            self.ts, _put_tokens(np.asarray(stack_arr), 1)
+                            self.ts, _put_tokens(np.asarray(item), 1)
                         )
                         self.logger.log_train(
                             int(self.ts.step), {k: v[-1] for k, v in ms.items()}
                         )
                     else:  # tail (< scan_k steps) runs single-step
-                        for tok in stack_arr:
+                        for tok in item:
                             self.ts, m = step_fn(self.ts, _put_tokens(tok, 0))
                             self.logger.log_train(int(self.ts.step), m)
             # async save: serialization overlaps the next epoch's compute

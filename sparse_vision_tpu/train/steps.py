@@ -326,6 +326,37 @@ def make_sae_train_multi_step(step_fn):
     return multi
 
 
+def make_dequant_step_fn(step_fn, compute_dtype=jnp.float32):
+    """Wrap a ``(ts, act) -> (ts, metrics)`` step to consume int8-quantized
+    activations: ``(ts, q [T, C] int8, scale [C]) -> (ts, metrics)`` with the
+    dequantize multiply ON DEVICE (data/activation_cache.quantize_int8 wrote the
+    shards; an int8 cache then moves half the host->device bytes of bfloat16).
+    Works unchanged over GSPMD/shard_map step functions — q shards over the token
+    axis, the elementwise multiply preserves the sharding, scale is replicated."""
+
+    @jax.jit
+    def step_q(ts, q: jax.Array, scale: jax.Array):
+        return step_fn(ts, q.astype(compute_dtype) * scale.astype(compute_dtype))
+
+    return step_q
+
+
+def make_sae_train_multi_step_quant(step_fn, compute_dtype=jnp.float32):
+    """Quantized twin of :func:`make_sae_train_multi_step`: one jitted dispatch
+    over an int8 [K, T, C] stack + its per-shard scale [C] (stacks never span
+    shards in device-dequant mode, ActivationCache.stacks). The train state is
+    DONATED, as in the unquantized version."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(ts: SAETrainState, q_stack: jax.Array, scale: jax.Array):
+        def body(ts, q):
+            return step_fn(ts, q.astype(compute_dtype) * scale.astype(compute_dtype))
+
+        return jax.lax.scan(body, ts, q_stack)
+
+    return multi
+
+
 def make_sae_eval_step(
     net: SeqNet,
     sae_layer: str,
