@@ -140,3 +140,18 @@ def test_int8_sharded_mesh_pipeline(tmp_path):
                       cache_tokens_per_step=512))
     r = p.run()
     assert int(p.ts.step) > 0 and np.isfinite(r["sae_rec_loss"])
+
+
+def test_int8_tensor_parallel_pipeline(tmp_path):
+    """int8 cache under the (2, 4) tensor-parallel mesh: the dequant wrapper
+    composes over the TP step (latent-sharded state, token-sharded int8 input,
+    replicated scale) and matches the single-device int8 run."""
+    p1 = Pipeline(_cfg(tmp_path / "single", cache_dtype="int8", sae_epochs=2))
+    r1 = p1.run()
+    ptp = Pipeline(_cfg(tmp_path / "tp", cache_dtype="int8", sae_epochs=2,
+                        mesh_shape=(2, 4), cache_tokens_per_step=512))
+    ptp.frozen_params, ptp.net_state = p1.frozen_params, p1.net_state
+    rtp = ptp.run()
+    assert int(ptp.ts.step) == int(p1.ts.step) > 0
+    for k in ("sae_rec_loss", "sae_loss", "perc_dead_units"):
+        np.testing.assert_allclose(rtp[k], r1[k], rtol=1e-4, err_msg=k)
