@@ -22,41 +22,14 @@ touch HBM, backward recomputes them per tile, bf16 MXU compute with f32 accumula
 
 import json
 import os
-import subprocess
-import sys
 import time
 
+from sparse_vision_tpu.utils.platform import (
+    pin_cpu_if_requested,
+    probe_tpu_or_pin_cpu,
+)
 
-def _probe_backend():
-    """Bounded TPU-reachability probe BEFORE this process touches jax backends.
-
-    An unhealthy TPU tunnel hangs backend init indefinitely (even jax.devices()),
-    which would make the bench hang instead of reporting. Probe in a subprocess
-    with a hard timeout; on failure pin this process to CPU so the bench always
-    prints its JSON line (with an honest "backend" field)."""
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        return  # caller already wants CPU; jax honors it via the config pin below
-    if os.environ.get("SVT_SKIP_TPU_PROBE"):
-        return
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            # generous default: on this 1-core host a loaded CPU can slow a
-            # HEALTHY probe (tunneled plugin registration) well past 120 s, and
-            # a false fallback would record a misleading CPU number — consumers
-            # must check the JSON's 'backend' field either way
-            timeout=float(os.environ.get("SVT_TPU_PROBE_TIMEOUT", "300")),
-            check=True, capture_output=True,
-        )
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-        print("bench: TPU backend unreachable within the probe timeout — "
-              "falling back to CPU", file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-
-
-_probe_backend()
-
-from sparse_vision_tpu.utils.platform import pin_cpu_if_requested
+probe_tpu_or_pin_cpu("bench")
 
 pin_cpu_if_requested()  # site-hook quirk: see utils/platform.py
 

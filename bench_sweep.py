@@ -17,35 +17,11 @@ Run on the chip:
 
 import json
 import os
-import subprocess
-import sys
 import time
 
+from sparse_vision_tpu.utils.platform import pin_cpu_if_requested, probe_tpu_or_pin_cpu
 
-def _probe_backend():
-    """Bounded TPU-reachability probe (same rationale as bench.py: a wedged
-    tunnel hangs backend init indefinitely; fall back to CPU with an honest
-    "backend" field)."""
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        return
-    if os.environ.get("SVT_SKIP_TPU_PROBE"):
-        return
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=float(os.environ.get("SVT_TPU_PROBE_TIMEOUT", "300")),
-            check=True, capture_output=True,
-        )
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-        print("bench_sweep: TPU backend unreachable within the probe timeout — "
-              "falling back to CPU", file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-
-
-_probe_backend()
-
-from sparse_vision_tpu.utils.platform import pin_cpu_if_requested
-
+probe_tpu_or_pin_cpu("bench_sweep")
 pin_cpu_if_requested()
 
 import jax
@@ -79,7 +55,6 @@ def bench_config(n_combos: int, tokens: int, scan: int, trips: int):
         make_sae_train_step_from_acts,
     )
     from sparse_vision_tpu.train.sweep_vmap import (
-        make_sae_sweep_multi_step,
         make_sae_sweep_step,
         stack_sae_states,
     )
@@ -99,7 +74,7 @@ def bench_config(n_combos: int, tokens: int, scan: int, trips: int):
     sweep_step = make_sae_sweep_step(
         "sae_mlp", lambdas, lrs, "constrained_adam", 10_000, EF
     )
-    sweep_multi = make_sae_sweep_multi_step(sweep_step)
+    sweep_multi = make_sae_train_multi_step(sweep_step)
     ss, m = sweep_multi(ss, acts)  # compile + warmup
     _ = float(m["sae_loss"][-1, 0])
 

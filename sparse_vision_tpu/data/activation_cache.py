@@ -264,6 +264,11 @@ def dump_activations_multi(
     # dtype="int8": the device->host leg stays bf16 (per-shard scales can't be known
     # on device mid-stream); the shard writer quantizes at flush (quantize_int8).
     quantize = isinstance(dtype, str) and dtype == "int8"
+    if not quantize and np.dtype(dtype) == np.int8:
+        # np.int8 would be a silent astype TRUNCATION on device (no scales, data
+        # destroyed) while meta would still say "int8" — only the string form
+        # routes through quantize_int8
+        raise ValueError("pass dtype='int8' (the string) for quantized dumps")
     acc_dtype = _BF16 if quantize else np.dtype(dtype)
     jdt = jnp.bfloat16 if np.dtype(acc_dtype) == _BF16 else np.dtype(acc_dtype)
 

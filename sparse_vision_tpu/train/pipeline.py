@@ -567,9 +567,13 @@ class Pipeline:
                 if cache is None:  # dump finished during the streamed epoch
                     dump_thread.join()
                     cache = ActivationCache(cache_dir)
+                # device dequant needs stack-aligned shards (scales are per
+                # shard); a shared int8 cache dumped under a DIFFERENT
+                # tokens-per-step geometry falls back to host dequant
+                aligned = int(cache.meta["shard_tokens"]) % (scan_k * tps) == 0
                 stacks_it = cache.stacks(
                     tps, scan_k, shuffle=True, seed=cfg.seed + epoch,
-                    dequantize="device",
+                    dequantize="device" if aligned else "host",
                 )
             with maybe_profile(cfg.profile_dir or None):
                 # stacks are zero-copy shard views when scan_k*tps divides the

@@ -173,22 +173,6 @@ def make_sae_sweep_step(
     return step_fn
 
 
-def make_sae_sweep_multi_step(step_fn):
-    """One jitted dispatch over a stacked [K, T, C] microbatch sequence (same
-    contract as train/steps.make_sae_train_multi_step; the input SweepState is
-    DONATED)."""
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def multi(ss: SweepState, acts_stack: jax.Array):
-        def body(ss, a):
-            return step_fn(ss, a)
-
-        return jax.lax.scan(body, ss, acts_stack)
-
-    return multi
-
-
 def group_sweepable(
     cfgs: Sequence[RunConfig],
 ) -> tuple[list[tuple[RunConfig, list[dict]]], list[RunConfig]]:
@@ -213,13 +197,24 @@ def group_sweepable(
             order.append(key)
         buckets[key].append(cfg)
 
+    from sparse_vision_tpu.utils.paths import sae_params_no_epochs
+
     groups: list[tuple[RunConfig, list[dict]]] = []
     singles: list[RunConfig] = []
     for key in order:
         members = buckets[key]
         base = members[0]
+        # run identities exclude the seed (reference parameter-string parity,
+        # utils/paths.py), so a multi-seed sweep has colliding checkpoint/results
+        # identities — run those individually (they overwrite each other's
+        # artifacts exactly as the reference would) instead of tripping
+        # train_sae_sweep_cached's duplicate guard
+        identities = [
+            (c.sae_layer, tuple(sae_params_no_epochs(c).values())) for c in members
+        ]
         eligible = (
             len(members) >= 2
+            and len(set(identities)) == len(identities)
             and base.use_sae
             and base.training
             and base.use_activation_cache
@@ -288,18 +283,14 @@ def train_sae_sweep_cached(
     pipes: list[Pipeline] = []
     for cfg in cfgs:
         p = Pipeline(cfg, datasets=datasets)
+        if datasets is None:
+            datasets = (p.train_ds, p.val_ds, p.category_names, p.img_size)
         if pipes:
             # one backbone for the whole sweep: the cache is dumped from the first
             # combo's frozen model, so every combo must eval against that model too
             p.frozen_params = pipes[0].frozen_params
             p.net_state = pipes[0].net_state
             p._model_ckpt_epoch = pipes[0]._model_ckpt_epoch
-            datasets = datasets or (
-                pipes[0].train_ds, pipes[0].val_ds,
-                pipes[0].category_names, pipes[0].img_size,
-            )
-        else:
-            datasets = (p.train_ds, p.val_ds, p.category_names, p.img_size)
         pipes.append(p)
 
     ckpt_dirs = [p._sae_ckpt_dir() for p in pipes]
@@ -332,15 +323,61 @@ def train_sae_sweep_cached(
         jumprelu_bandwidth=base_cfg.jumprelu_bandwidth,
         matryoshka_prefixes=base_cfg.matryoshka_prefix_fractions,
     )
-    multi_fn = make_sae_sweep_multi_step(step_fn)
+    # one jitted multi-step dispatch per scan block; the wrapper is carry-type
+    # agnostic, so the SweepState rides the same scan/donate machinery as a
+    # single run (train/steps.make_sae_train_multi_step)
+    from sparse_vision_tpu.train.steps import make_sae_train_multi_step
+
+    multi_fn = make_sae_train_multi_step(step_fn)
     ss = stack_sae_states([p.ts for p in pipes])
+
+    # multi-chip: tokens shard over the mesh 'data' axis via GSPMD (the stacked
+    # states replicate — each combo's update needs the full token block anyway);
+    # a 'model' axis cannot compose with the vmapped latent layout
+    mesh = p0.mesh
+    if mesh is not None and int(dict(mesh.shape).get("model", 1)) > 1:
+        raise ValueError(
+            "Vmapped sweeps do not compose with tensor parallelism "
+            f"(mesh_shape={base_cfg.mesh_shape}); run TP combos individually"
+        )
+    if mesh is not None and int(dict(mesh.shape).get("data", 1)) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ss = jax.device_put(ss, NamedSharding(mesh, P()))
+        _stack_sh = NamedSharding(mesh, P(None, "data", None))
+        _tok_sh = NamedSharding(mesh, P("data", None))
+
+        def _put_stack(arr):
+            return jax.device_put(np.ascontiguousarray(arr), _stack_sh)
+
+        def _put_tok(arr):
+            return jax.device_put(np.ascontiguousarray(arr), _tok_sh)
+    else:
+        def _put_stack(arr):
+            return jnp.asarray(np.asarray(arr))
+
+        def _put_tok(arr):
+            return jnp.asarray(arr)
 
     def scatter_states():
         for i, p in enumerate(pipes):
             p.ts = unstack_sae_state(ss, i)
 
+    def log_all(step: int, metrics, last: bool):
+        # one host transfer per metric per DISPATCH (not per combo): every
+        # combo's logger/W&B run then receives its own row, matching what the
+        # individual runs would log
+        host = {k: np.asarray(v[-1] if last else v) for k, v in metrics.items()}
+        for i, p in enumerate(pipes):
+            p.logger.log_train(step, {k: float(host[k][i]) for k in host})
+
     scan_k = p0.CACHE_SCAN_K
     tps = base_cfg.cache_tokens_per_step
+    if mesh is not None and tps % int(dict(mesh.shape).get("data", 1)):
+        raise ValueError(
+            f"cache_tokens_per_step={tps} not divisible by data mesh axis "
+            f"{dict(mesh.shape).get('data', 1)}"
+        )
     last_evals: list[Optional[dict]] = [None] * len(pipes)
     scatter_states()
     for p in pipes:  # pre-training eval (deploy_model:1315-1320)
@@ -350,16 +387,12 @@ def train_sae_sweep_cached(
             tps, scan_k, shuffle=True, seed=base_cfg.seed + epoch
         ):
             if stack_arr.shape[0] == scan_k:
-                ss, ms = multi_fn(ss, jnp.asarray(np.asarray(stack_arr)))
-                p0.logger.log_train(
-                    int(ss.step), {k: float(v[-1, 0]) for k, v in ms.items()}
-                )
+                ss, ms = multi_fn(ss, _put_stack(stack_arr))
+                log_all(int(ss.step), ms, last=True)
             else:  # tail (< scan_k steps) runs single-step
                 for tok in stack_arr:
-                    ss, m = step_fn(ss, jnp.asarray(tok))
-                    p0.logger.log_train(
-                        int(ss.step), {k: float(v[0]) for k, v in m.items()}
-                    )
+                    ss, m = step_fn(ss, _put_tok(tok))
+                    log_all(int(ss.step), m, last=False)
         scatter_states()
         for i, p in enumerate(pipes):
             ckpt.save_checkpoint(

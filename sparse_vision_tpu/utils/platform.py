@@ -42,3 +42,35 @@ def pin_cpu_if_requested() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+
+def probe_tpu_or_pin_cpu(caller: str = "bench") -> None:
+    """Bounded TPU-reachability probe BEFORE this process touches jax backends.
+
+    An unhealthy TPU tunnel hangs backend init indefinitely (even
+    ``jax.devices()``), which would make a bench hang instead of reporting.
+    Probe in a subprocess with a hard timeout; on failure set JAX_PLATFORMS=cpu
+    so the caller always completes (with an honest "backend" field in its
+    output). The generous default timeout exists because on this 1-core host a
+    loaded CPU can slow a HEALTHY probe (tunneled plugin registration) well past
+    120 s, and a false fallback would record a misleading CPU number.
+    Respects SVT_SKIP_TPU_PROBE / SVT_TPU_PROBE_TIMEOUT. Must run before any
+    jax import in the calling process; pair with :func:`pin_cpu_if_requested`.
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return  # caller already wants CPU
+    if os.environ.get("SVT_SKIP_TPU_PROBE"):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=float(os.environ.get("SVT_TPU_PROBE_TIMEOUT", "300")),
+            check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print(f"{caller}: TPU backend unreachable within the probe timeout — "
+              "falling back to CPU", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"

@@ -214,6 +214,13 @@ def test_group_sweepable_partitions():
     g2, s2 = group_sweepable(live)
     assert not g2 and len(s2) == 2
 
+    # seed-only sweeps have COLLIDING run identities (the parameter string
+    # excludes seed, utils/paths.py) — they must fall back to individual runs
+    # instead of tripping the orchestrator's duplicate guard
+    seeds = [dataclasses.replace(base, seed=s) for s in (0, 1, 2)]
+    g3, s3 = group_sweepable(seeds)
+    assert not g3 and len(s3) == 3
+
 
 def test_cli_vmap_sweep(tmp_path):
     """--run_pipeline --parameters --vmap_sweep trains grouped combos in one
@@ -238,6 +245,27 @@ def test_cli_vmap_sweep(tmp_path):
     rows = read_results(csv_path)
     lambdas = sorted(float(r["lambda_sparse"]) for r in rows if r["epochs"] == 1)
     assert lambdas == [0.05, 0.3]
+
+
+def test_sweep_data_mesh_matches_unsharded(tmp_path):
+    """mesh_shape=(8,): the sweep shards token blocks over 'data' via GSPMD with
+    replicated stacked states, and matches the unsharded sweep's results."""
+    overrides = [{"sae_lambda_sparse": 0.05}, {"sae_lambda_sparse": 0.3}]
+    r_plain = train_sae_sweep_cached(_base_cfg(tmp_path / "plain"), overrides)
+    r_mesh = train_sae_sweep_cached(
+        _base_cfg(tmp_path / "mesh", mesh_shape=(8,)), overrides
+    )
+    for rp, rm in zip(r_plain, r_mesh):
+        for k in ("sae_rec_loss", "sae_loss", "sparsity"):
+            np.testing.assert_allclose(
+                float(rm[k]), float(rp[k]), rtol=1e-4, err_msg=k
+            )
+
+    # tensor-parallel meshes cannot compose with the vmapped latent layout
+    with pytest.raises(ValueError, match="tensor parallelism"):
+        train_sae_sweep_cached(
+            _base_cfg(tmp_path / "tp", mesh_shape=(2, 4)), overrides
+        )
 
 
 def test_sweep_validation():
