@@ -104,6 +104,7 @@ def main() -> int:
         sae_lambda_sparse=5.0,  # the reference's known-good mixed3a lambda
         sae_expansion_factor=EXPANSION, dead_neurons_steps=200,
         use_activation_cache=True, cache_tokens_per_step=TPS, log_every=25,
+        cache_dtype="bfloat16",
         eval_batch_size=32,  # stock eval at 16k latents: [B*841, 16384] must fit HBM
     )
 
@@ -142,10 +143,13 @@ def main() -> int:
         report["t_tap_compile_s"] = round(time.perf_counter() - t0, 1)
         print(f"tap compile+warmup: {report['t_tap_compile_s']}s")
         t0 = time.perf_counter()
+        # the Pipeline's own dump geometry: bf16 + stack-aligned shards, so the
+        # training phase reads zero-copy scan stacks (round 3+; earlier rounds
+        # dumped 64k-token shards and paid a per-dispatch np.stack assembly)
         dump_activations(
             pipe.net, pipe.frozen_params, pipe.net_state, pipe.train_ds,
-            cfg.sae_layer, cache_dir, batch_size=cfg.sae_batch_size,
-            dtype="bfloat16", shuffle_images=True, workers=cfg.data_workers,
+            cfg.sae_layer, cache_dir, shuffle_images=True,
+            **pipe._cache_dump_kwargs(),
         )
         t_dump = time.perf_counter() - t0
     cache = ActivationCache(cache_dir)
@@ -236,6 +240,62 @@ def main() -> int:
         print(
             f"overlap: dump+epoch combined {t_ovl_compute:.1f}s vs sequential "
             f"{seq_equiv:.1f}s (saving {seq_equiv - t_ovl_compute:.1f}s)"
+        )
+
+    # ---- H. (opt-in) int8 cache: dump + train with cache_dtype="int8" --------
+    # NORTHSTAR_INT8=1 reruns the chain with the quantized cache (per-shard
+    # per-channel int8 + device dequant) in a fresh run dir: reports the cache
+    # bytes (expect ~1/2 of bf16), the cached-training rate (half the
+    # host->device bytes per epoch), and the quality deltas vs the bf16 run.
+    if os.environ.get("NORTHSTAR_INT8"):
+        import dataclasses
+        import shutil as _sh
+
+        i8_runs = os.path.join(WORK, "runs_int8")
+        _sh.rmtree(i8_runs, ignore_errors=True)
+        i8_cfg = dataclasses.replace(
+            cfg, directory_path=i8_runs, cache_dtype="int8",
+        )
+        pipe3 = plmod.Pipeline(i8_cfg)
+        i8_cache_dir = os.path.join(
+            pipe3.paths["evaluation_results"], "activation_cache", cfg.sae_layer
+        )
+        t0 = time.perf_counter()
+        # the Pipeline's dump geometry (stack-aligned shards) — otherwise the
+        # int8 read path would fall back to host dequant and this phase would
+        # not measure the device-dequant transfer saving
+        dump_activations(
+            pipe3.net, pipe3.frozen_params, pipe3.net_state, pipe3.train_ds,
+            cfg.sae_layer, i8_cache_dir, shuffle_images=True,
+            **pipe3._cache_dump_kwargs(),
+        )
+        t_dump8 = time.perf_counter() - t0
+        eval_time["s"] = 0.0
+        t0 = time.perf_counter()
+        result8 = pipe3.run()
+        t_total8 = time.perf_counter() - t0
+        t_train8 = t_total8 - eval_time["s"]
+        steps8 = int(pipe3.ts.step)
+        report.update(
+            int8_t_dump_s=round(t_dump8, 1),
+            int8_cache_bytes=sum(
+                os.path.getsize(os.path.join(i8_cache_dir, f))
+                for f in os.listdir(i8_cache_dir)
+            ),
+            int8_t_train_s=round(t_train8, 1),
+            int8_train_tokens_per_s=round(steps8 * TPS / t_train8, 0),
+            int8_final_nrmse=float(result8["sae_nrmse_loss"]),
+            int8_final_l0=float(result8["sparsity"]) * 256,
+            int8_nrmse_delta=float(result8["sae_nrmse_loss"])
+            - report["final_nrmse"],
+        )
+        print(
+            f"int8: dump {t_dump8:.1f}s, cache "
+            f"{report['int8_cache_bytes'] / 1e6:.0f} MB "
+            f"(bf16 run: {report['cache_bytes'] / 1e6:.0f} MB... f32-equiv x4), "
+            f"train {steps8 * TPS / t_train8:,.0f} tok/s, "
+            f"NRMSE {result8['sae_nrmse_loss']:.4f} "
+            f"(delta {report['int8_nrmse_delta']:+.4f})"
         )
 
     print(json.dumps(report))
