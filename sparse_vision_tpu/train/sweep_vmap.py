@@ -22,9 +22,10 @@ Scope: combos must share every shape-/schedule-/structure-determining field
 (variant, expansion factor, layer, optimizer NAME, dead_neurons_steps, batch
 geometry); only SWEEPABLE_FIELDS vary. Data order follows ``base_cfg.seed`` (one
 shared stream) — a combo's ``seed`` override changes its SAE init and resample
-draws, not the shuffle. Fused Pallas kernels are not routed here: the sweep's
-win is batching many small/medium SAEs; a single large SAE should train alone on
-the fused path (ops/fused_sae.py et al.).
+draws, not the shuffle. Small/medium SAEs sweep on the stock path (batched
+matmuls already fill the MXU); large-SAE sweeps keep the fused Pallas kernels
+via ``fused=True`` (pallas_call's vmap batching rule adds the combo axis as an
+outer grid dimension, preserving the innermost-reduction grid rule).
 """
 
 from __future__ import annotations
@@ -104,6 +105,8 @@ def make_sae_sweep_step(
     topk_approx: bool = False,
     jumprelu_bandwidth: float = 1e-3,
     matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
+    fused: bool = False,
+    fused_opts: Optional[dict] = None,
 ):
     """Build the jitted N-combo step: ``(SweepState, act [T, C]) -> (SweepState,
     metrics dict of [N] arrays)``.
@@ -111,30 +114,83 @@ def make_sae_sweep_step(
     Per-combo math matches make_sae_train_step_from_acts' stock path exactly; the
     learning rate enters as a traced scalar (optax transforms are linear in their
     scale argument, and constrained_adam's renormalization closes over it), so one
-    compiled program serves every combo."""
+    compiled program serves every combo.
+
+    ``fused=True`` routes the per-combo loss through the Pallas fused kernels
+    (large-SAE sweeps keep the fused path's HBM savings; pallas_call's vmap
+    batching rule adds the combo axis as an OUTER grid dimension, so the kernels'
+    innermost-reduction grid rule is preserved). Same variant support and tile
+    constraints as make_sae_train_step_from_acts."""
     lambdas = jnp.asarray(list(lambdas), jnp.float32)
     lrs = jnp.asarray(list(learning_rates), jnp.float32)
     if lambdas.shape != lrs.shape:
         raise ValueError("lambdas and learning_rates must have equal length")
     can_resample = sae_model_name == "sae_mlp"
 
+    if fused:
+        # same dispatch as make_sae_train_step_from_acts' fused branches, with
+        # lambda as a traced per-combo scalar
+        if sae_model_name == "topk_sae":
+            from sparse_vision_tpu.ops.fast_topk_sae import fast_topk_sae_loss_terms
+
+            def fused_loss(p, act, lam):
+                return fast_topk_sae_loss_terms(
+                    p, act, lam, expansion_factor, topk, approx=topk_approx)
+        elif sae_model_name == "gated_sae":
+            from sparse_vision_tpu.ops.fused_gated_sae import fused_gated_sae_loss_terms
+
+            def fused_loss(p, act, lam):
+                return fused_gated_sae_loss_terms(
+                    p, act, lam, expansion_factor, **(fused_opts or {}))
+        elif sae_model_name == "jumprelu_sae":
+            from sparse_vision_tpu.ops.fused_jumprelu_sae import (
+                fused_jumprelu_sae_loss_terms,
+            )
+
+            def fused_loss(p, act, lam):
+                return fused_jumprelu_sae_loss_terms(
+                    p, act, lam, expansion_factor, **(fused_opts or {}))
+        elif sae_model_name == "matryoshka_sae":
+            from sparse_vision_tpu.ops.fused_matryoshka_sae import (
+                fused_matryoshka_sae_loss_terms,
+            )
+
+            def fused_loss(p, act, lam):
+                return fused_matryoshka_sae_loss_terms(
+                    p, act, lam, expansion_factor, tuple(matryoshka_prefixes),
+                    **(fused_opts or {}))
+        elif sae_model_name == "sae_mlp":
+            from sparse_vision_tpu.ops.fused_sae import fused_sae_loss_terms
+
+            def fused_loss(p, act, lam):
+                return fused_sae_loss_terms(
+                    p, act, lam, expansion_factor, **(fused_opts or {}))
+        else:
+            raise ValueError(f"fused sweep path does not support {sae_model_name}")
+
     def combo_update(params, opt_state, dead_acc, rng, lam, lr, act):
         tx = optim.get_optimizer(optimizer_name, lr)
 
         def loss_fn(p):
-            out = sae_inference_and_loss(
-                sae_model_name, p, act, lam, topk=topk, topk_approx=topk_approx,
-                jumprelu_bandwidth=jumprelu_bandwidth,
-                matryoshka_prefixes=matryoshka_prefixes,
-            )
+            if fused:
+                out = fused_loss(p, act, lam)
+            else:
+                out = sae_inference_and_loss(
+                    sae_model_name, p, act, lam, topk=topk, topk_approx=topk_approx,
+                    jumprelu_bandwidth=jumprelu_bandwidth,
+                    matryoshka_prefixes=matryoshka_prefixes,
+                )
             return out["loss"], out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        dead, sparsity, _ = metrics.measure_inactive_units(
-            out["encoded"], expansion_factor
-        )
+        if fused:
+            dead, sparsity = out["dead"], out["sparsity"]
+        else:
+            dead, sparsity, _ = metrics.measure_inactive_units(
+                out["encoded"], expansion_factor
+            )
         dead_acc = jnp.logical_and(dead_acc, dead)
         rng, sub = jax.random.split(rng)
         m = {
@@ -311,6 +367,44 @@ def train_sae_sweep_cached(
         )
     cache = ActivationCache(cache_dir)
 
+    # fused Pallas path for large-SAE sweeps (single-device only: GSPMD cannot
+    # partition a vmapped pallas_call over a mesh) — same gate as train_sae_cached
+    tps = base_cfg.cache_tokens_per_step
+    tile_t = 1024 if base_cfg.sae_model_name == "gated_sae" else 2048
+    single_device = p0.mesh is None or int(
+        np.prod(list(p0.mesh.shape.values()))) == 1
+    from sparse_vision_tpu.models.sae import matryoshka_prefix_counts
+    from sparse_vision_tpu.ops.fused_matryoshka_sae import can_fuse_matryoshka
+    from sparse_vision_tpu.ops.fused_sae import can_fuse
+
+    fused = (
+        base_cfg.use_pallas
+        and jax.default_backend() != "cpu"
+        and single_device
+        and (
+            base_cfg.sae_model_name == "topk_sae"
+            or (
+                base_cfg.sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae")
+                and can_fuse(tps, p0.num_units, tile_t=tile_t)
+            )
+            or (
+                base_cfg.sae_model_name == "matryoshka_sae"
+                and can_fuse_matryoshka(
+                    tps, p0.num_units,
+                    matryoshka_prefix_counts(
+                        p0.num_units, base_cfg.matryoshka_prefix_fractions),
+                    tile_t=tile_t,
+                )
+            )
+        )
+    )
+    fused_opts = {
+        "compute_dtype": jnp.bfloat16 if base_cfg.compute_dtype == "bfloat16"
+        else jnp.float32
+    }
+    if base_cfg.sae_model_name == "jumprelu_sae":
+        fused_opts["bandwidth"] = base_cfg.jumprelu_bandwidth
+
     step_fn = make_sae_sweep_step(
         base_cfg.sae_model_name,
         [p.cfg.sae_lambda_sparse for p in pipes],
@@ -322,6 +416,8 @@ def train_sae_sweep_cached(
         topk_approx=base_cfg.sae_topk_approx,
         jumprelu_bandwidth=base_cfg.jumprelu_bandwidth,
         matryoshka_prefixes=base_cfg.matryoshka_prefix_fractions,
+        fused=fused,
+        fused_opts=fused_opts,
     )
     # one jitted multi-step dispatch per scan block; the wrapper is carry-type
     # agnostic, so the SweepState rides the same scan/donate machinery as a
@@ -372,7 +468,6 @@ def train_sae_sweep_cached(
             p.logger.log_train(step, {k: float(host[k][i]) for k in host})
 
     scan_k = p0.CACHE_SCAN_K
-    tps = base_cfg.cache_tokens_per_step
     if mesh is not None and tps % int(dict(mesh.shape).get("data", 1)):
         raise ValueError(
             f"cache_tokens_per_step={tps} not divisible by data mesh axis "

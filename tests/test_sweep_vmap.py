@@ -184,6 +184,58 @@ def test_sweep_cached_e2e_matches_individual_runs(tmp_path):
     assert lambdas == [0.05, 0.3]
 
 
+@pytest.mark.parametrize(
+    "sae_name,kw",
+    [
+        ("sae_mlp", {}),
+        ("gated_sae", {}),
+        ("matryoshka_sae", {"matryoshka_prefixes": (0.25, 1.0)}),
+    ],
+)
+def test_sweep_step_fused_matches_stock(sae_name, kw):
+    """fused=True (interpret-mode Pallas under vmap) matches the stock sweep step
+    per combo — the large-SAE sweep configuration."""
+    lambdas, lrs, seeds = [0.05, 0.2], [1e-3, 2e-3], [1, 2]
+    # fused-kernel tile quanta: latent tiles are 128-lane aligned (same shapes as
+    # tests/test_fused_sae.py)
+    c, ef = 128, 4  # h = 512
+    fused_opts = {"interpret": True, "compute_dtype": jnp.float32,
+                  "tile_t": 32, "tile_h": 128}
+    acts = np.random.RandomState(3).randn(2, 64, c).astype(np.float32)
+
+    def run(fused):
+        states = []
+        for lam, lr, sd in zip(lambdas, lrs, seeds):
+            tx = optim.get_optimizer("adam", lr)
+            p = init_sae(sae_name, jax.random.key(sd), c, ef)
+            states.append(init_sae_train_state(p, tx, c * ef, seed=sd))
+        ss = stack_sae_states(states)
+        step = make_sae_sweep_step(
+            sae_name, lambdas, lrs, "adam", 100, ef,
+            fused=fused, fused_opts=fused_opts if fused else None, **kw,
+        )
+        for a in acts:
+            ss, m = step(ss, jnp.asarray(a))
+        return ss, m
+
+    ss_f, m_f = run(True)
+    ss_s, m_s = run(False)
+    for i in range(2):
+        sf, sst = unstack_sae_state(ss_f, i), unstack_sae_state(ss_s, i)
+        for k in sf.params:
+            # tolerance note: a pre-activation sitting exactly at the ReLU
+            # boundary can flip between the two float implementations, moving
+            # ONE weight by ~1e-5 after the Adam step — real kernel bugs
+            # diverge everywhere, not 1 element in 65k
+            np.testing.assert_allclose(
+                np.asarray(sf.params[k]), np.asarray(sst.params[k]),
+                rtol=2e-3, atol=5e-5, err_msg=f"{i}/{k}",
+            )
+    np.testing.assert_allclose(
+        np.asarray(m_f["sae_loss"]), np.asarray(m_s["sae_loss"]), rtol=1e-5
+    )
+
+
 def test_group_sweepable_partitions():
     """Grouping: cached SAE-train entries differing only in sweepable fields fuse;
     eval/MIS/live-train/singleton entries run individually, order preserved."""
