@@ -320,6 +320,26 @@ def test_sweep_data_mesh_matches_unsharded(tmp_path):
         )
 
 
+def test_sweep_checkpoint_resume_matches_straight_run(tmp_path):
+    """A sweep resumed from its epoch-1 checkpoints (sae_checkpoint_epoch=1)
+    matches the straight 2-epoch sweep — the per-combo Pipeline restore feeds
+    stack_sae_states, which requires all combos at the same step."""
+    overrides = [{"sae_lambda_sparse": 0.05}, {"sae_lambda_sparse": 0.3}]
+    r_straight = train_sae_sweep_cached(
+        _base_cfg(tmp_path / "straight", sae_epochs=2), overrides
+    )
+    train_sae_sweep_cached(_base_cfg(tmp_path / "resume", sae_epochs=1), overrides)
+    r_resumed = train_sae_sweep_cached(
+        _base_cfg(tmp_path / "resume", sae_epochs=2, sae_checkpoint_epoch=1),
+        overrides,
+    )
+    for rs, rr in zip(r_straight, r_resumed):
+        for k in ("sae_rec_loss", "sae_loss", "sparsity"):
+            np.testing.assert_allclose(
+                float(rr[k]), float(rs[k]), rtol=1e-5, atol=1e-7, err_msg=k
+            )
+
+
 def test_sweep_validation():
     cfg = _base_cfg("/tmp/unused")
     with pytest.raises(ValueError, match="non-sweepable"):
