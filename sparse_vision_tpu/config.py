@@ -153,6 +153,11 @@ class RunConfig:
     # ImageNet path (data/activation_cache.py)
     use_activation_cache: bool = False
     cache_tokens_per_step: int = 4096
+    # transcoder runs (sae_model_name="transcoder"): the layer whose activations
+    # the dictionary PREDICTS; sae_layer is the layer it reads. Both layers must
+    # share spatial dims (per-token map between channel spaces); see
+    # train/transcoder.py
+    transcoder_target_layer: str = ""
     # on-disk dtype of the activation cache ("float32" | "bfloat16" | "int8");
     # bfloat16 halves cache bytes + host<->device transfer and matches the fused
     # kernels' matmul dtype (the production setting; docs/NORTHSTAR.md dumps bf16).

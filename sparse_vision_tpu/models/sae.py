@@ -356,6 +356,68 @@ def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int,
     raise ValueError(f"Unknown SAE model name {name}.")
 
 
+def init_transcoder(key: jax.Array, d_in: int, expansion_factor: int, d_out: int,
+                    dtype=jnp.float32) -> dict:
+    """Transcoder (beyond-reference variant; Dunefsky et al. 2024 "Transcoders
+    find interpretable LLM feature circuits"): a sparse dictionary that maps one
+    layer's activations to ANOTHER layer's, replacing the computation between
+    the two tap points with an interpretable sparse bottleneck. Same parameter
+    layout/initialization recipe as sae_mlp, but the decoder targets ``d_out``
+    and there is no input centering (b_dec lives in the OUTPUT space)."""
+    h = int(d_in * expansion_factor)
+    k_enc, k_dec = jax.random.split(key)
+    w_enc = kaiming_uniform(k_enc, (h, d_in), fan_in=d_in, dtype=dtype).T
+    w_dec = kaiming_uniform(k_dec, (d_out, h), fan_in=h, dtype=dtype).T
+    w_dec = _unit_rows(w_dec)
+    return {
+        "W_enc": w_enc,
+        "b_enc": jnp.zeros((h,), dtype),
+        "W_dec": w_dec,
+        "b_dec": jnp.zeros((d_out,), dtype),
+    }
+
+
+def transcoder_apply(params: dict, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (encoded, predicted_target, pre_relu) on token input [T, d_in]:
+    z = ReLU(x W_enc + b_enc); y_hat = z W_dec + b_dec (b_dec is an output-space
+    bias — unlike sae_mlp there is no ``x - b_dec`` centering, the input and
+    output spaces differ)."""
+    pre = x @ params["W_enc"] + params["b_enc"]
+    post = jax.nn.relu(pre)
+    y_hat = post @ params["W_dec"] + params["b_dec"]
+    return post, y_hat, pre
+
+
+def transcoder_inference_and_loss(
+    params: dict, act_in: jax.Array, act_tgt: jax.Array, lambda_sparse: float
+) -> dict:
+    """Transcoder twin of :func:`sae_inference_and_loss`: encode the INPUT layer's
+    tokens, predict the TARGET layer's tokens, and compute the same loss terms
+    with the target as the reconstruction reference (MSE(y_hat, y_tgt) + L1).
+
+    Both taps must share the token geometry (same batch and spatial/sequence
+    dims) so tokens pair 1:1 — the transcoder is a per-token map between the two
+    layers' channel spaces."""
+    from sparse_vision_tpu.ops import losses  # local import to avoid cycles
+
+    tok_in, transformed = tokens_from_act(act_in)
+    tok_tgt, _ = tokens_from_act(act_tgt)
+    if tok_in.shape[0] != tok_tgt.shape[0]:
+        raise ValueError(
+            f"Transcoder taps disagree on token count: input {act_in.shape} -> "
+            f"{tok_in.shape[0]} tokens, target {act_tgt.shape} -> "
+            f"{tok_tgt.shape[0]} tokens (layers must share spatial dims)"
+        )
+    encoded, y_hat, pre = transcoder_apply(params, tok_in)
+    terms = losses.sae_loss_terms(encoded, y_hat, tok_tgt, lambda_sparse)
+    if transformed:
+        encoded = act_from_tokens(encoded, act_in.shape)
+        pre = act_from_tokens(pre, act_in.shape)
+        y_hat = act_from_tokens(y_hat, act_tgt.shape)
+    terms.update(encoded=encoded, encoded_pre=pre, decoded=y_hat)
+    return terms
+
+
 def tokens_from_act(act: jax.Array) -> tuple[jax.Array, bool]:
     """[B, H, W, C] -> [B*H*W, C] tokens (reference reshape_tensor, utils.py:2770-2774).
     3-D [B, N, D] sequence taps (ViT residual stream) flatten the same way: every

@@ -81,10 +81,11 @@ def resample_dead_neurons(
     # --- decoder weights: our W_dec[h, d] rows are torch's columns ---
     # reference quirk: mean over act-axis rows of norms across LIVE latents (dim=1 of
     # torch W_dec[:, live]) — i.e. per-act-dim norms over the live-latent axis.
-    dec_live = jnp.where(live[:, None], w_dec, 0.0)  # [h, d]
-    quirk_norms = jnp.linalg.norm(dec_live, axis=0)  # [d] — norm across live latents
+    d_out = w_dec.shape[1]  # == d for sae_mlp; the transcoder decodes to another layer
+    dec_live = jnp.where(live[:, None], w_dec, 0.0)  # [h, d_out]
+    quirk_norms = jnp.linalg.norm(dec_live, axis=0)  # [d_out] — norm across live latents
     avg_l2_dec = jnp.where(jnp.any(live), jnp.mean(quirk_norms), 1.0)
-    new_dec_t = kaiming_uniform(k_dec, (d, h), fan_in=h, dtype=w_dec.dtype)  # torch [d, h]
+    new_dec_t = kaiming_uniform(k_dec, (d_out, h), fan_in=h, dtype=w_dec.dtype)  # torch layout
     new_dec_t = new_dec_t / jnp.linalg.norm(new_dec_t, axis=1, keepdims=True) * avg_l2_dec
     new_w_dec = jnp.where(dead_mask[:, None], new_dec_t.T, w_dec)
     # renormalize ALL latent directions to unit norm (sae_mlp.py:141-143)

@@ -113,11 +113,26 @@ class Pipeline:
             self.sae_input_size = get_sae_input_size(
                 self.net, cfg.dataset_name, cfg.sae_layer
             )
-            self.sae_params = init_sae(
-                cfg.sae_model_name, self.k_sae, self.sae_input_size,
-                cfg.sae_expansion_factor,
-                jumprelu_threshold_init=cfg.jumprelu_threshold_init,
-            )
+            if cfg.sae_model_name == "transcoder":
+                from sparse_vision_tpu.models.sae import init_transcoder
+
+                if not cfg.transcoder_target_layer:
+                    raise ValueError(
+                        "sae_model_name='transcoder' needs transcoder_target_layer"
+                    )
+                self.transcoder_out_size = get_sae_input_size(
+                    self.net, cfg.dataset_name, cfg.transcoder_target_layer
+                )
+                self.sae_params = init_transcoder(
+                    self.k_sae, self.sae_input_size, cfg.sae_expansion_factor,
+                    self.transcoder_out_size,
+                )
+            else:
+                self.sae_params = init_sae(
+                    cfg.sae_model_name, self.k_sae, self.sae_input_size,
+                    cfg.sae_expansion_factor,
+                    jumprelu_threshold_init=cfg.jumprelu_threshold_init,
+                )
             if cfg.sae_weights_path:
                 # weight-only import: native .npz or reference-format torch .pth
                 # (load_pretrained_model parity, utils.py:197-225)
@@ -242,6 +257,10 @@ class Pipeline:
     # SAE training (mode 3)
     # ------------------------------------------------------------------
     def train_sae(self):
+        if self.cfg.sae_model_name == "transcoder":
+            from sparse_vision_tpu.train.transcoder import train_transcoder_cached
+
+            return train_transcoder_cached(self)
         if self.cfg.use_activation_cache:
             return self.train_sae_cached()
         cfg = self.cfg
@@ -660,6 +679,17 @@ class Pipeline:
         # spliced-backbone graph every epoch
         if not hasattr(self, "_sae_eval_step_cache"):
             cfg = self.cfg
+            if cfg.sae_model_name == "transcoder":
+                from sparse_vision_tpu.train.transcoder import (
+                    make_transcoder_eval_step,
+                )
+
+                self._sae_eval_step_cache = make_transcoder_eval_step(
+                    self.net, cfg.sae_layer, cfg.transcoder_target_layer,
+                    cfg.sae_lambda_sparse, cfg.sae_expansion_factor,
+                    self.criterion,
+                )
+                return self._sae_eval_step_cache
             self._sae_eval_step_cache = make_sae_eval_step(
                 self.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
                 cfg.sae_expansion_factor, self.criterion, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,

@@ -1,0 +1,265 @@
+"""Transcoder training: a sparse dictionary mapping one layer's activations to
+ANOTHER layer's (beyond-reference variant; Dunefsky et al. 2024 "Transcoders
+find interpretable LLM feature circuits").
+
+Where an SAE reconstructs the layer it reads (splice = approximate identity), a
+transcoder REPLACES the computation between two tap points with an
+interpretable sparse bottleneck: z = ReLU(x_in W_enc + b_enc), y_hat = z W_dec
++ b_dec trained against the downstream layer's actual output. The spliced model
+then runs backbone -> in_layer -> transcoder -> (skip to) after out_layer.
+
+TPU-native fit: `dump_activations_multi` taps BOTH layers from one backbone
+pass into two aligned token caches (identical shard geometry and token order),
+so training zips the caches at memory bandwidth — the paired-activation data
+problem that makes transcoder training awkward elsewhere is already this
+framework's production path (data/activation_cache.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sparse_vision_tpu.models.sae import transcoder_inference_and_loss
+from sparse_vision_tpu.ops import metrics
+from sparse_vision_tpu.ops.resample import (
+    resample_dead_neurons,
+    should_reset_measurement,
+    should_resample,
+)
+from sparse_vision_tpu.train.steps import SAETrainState
+
+
+def make_transcoder_train_step_from_acts(
+    lambda_sparse: float,
+    tx: optax.GradientTransformation,
+    dead_neurons_steps: int,
+    expansion_factor: int,
+):
+    """Jitted transcoder step over pre-extracted PAIRED activations:
+    ``(ts, x_in [T, d_in], y_tgt [T, d_out]) -> (ts, metrics)``. Same update
+    skeleton as make_sae_train_step_from_acts (ConstrainedAdam projection/renorm
+    applies to the output-space decoder rows unchanged; dead-latent resampling
+    uses the d_out-aware surgery in ops/resample.py)."""
+
+    def loss_fn(params, x_in, y_tgt):
+        out = transcoder_inference_and_loss(params, x_in, y_tgt, lambda_sparse)
+        return out["loss"], out
+
+    @jax.jit
+    def step_fn(ts: SAETrainState, x_in: jax.Array, y_tgt: jax.Array):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, x_in, y_tgt
+        )
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        step = ts.step + 1
+        dead, sparsity, _ = metrics.measure_inactive_units(
+            out["encoded"], expansion_factor
+        )
+        dead_acc = jnp.logical_and(ts.dead_acc, dead)
+        rng, sub = jax.random.split(ts.rng)
+
+        def do_resample(p, o, acc):
+            p2, o2 = resample_dead_neurons(p, o, acc, sub)
+            return p2, o2, jnp.ones_like(acc)
+
+        def no_resample(p, o, acc):
+            acc = jnp.where(
+                should_reset_measurement(step, dead_neurons_steps),
+                jnp.ones_like(acc), acc,
+            )
+            return p, o, acc
+
+        new_params, opt_state, dead_acc = jax.lax.cond(
+            should_resample(step, dead_neurons_steps),
+            do_resample, no_resample, new_params, opt_state, dead_acc,
+        )
+        m = {
+            "sae_loss": loss,
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sparsity": sparsity,
+            "perc_dead": jnp.sum(dead_acc) / dead_acc.shape[0],
+        }
+        return SAETrainState(new_params, opt_state, step, dead_acc, rng), m
+
+    return step_fn
+
+
+def make_transcoder_multi_step(step_fn):
+    """One jitted dispatch over paired [K, T, d_in] / [K, T, d_out] stacks
+    (lax.scan; the train state is DONATED, as in make_sae_train_multi_step)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(ts: SAETrainState, x_stack: jax.Array, y_stack: jax.Array):
+        def body(ts, xy):
+            return step_fn(ts, xy[0], xy[1])
+
+        return jax.lax.scan(body, ts, (x_stack, y_stack))
+
+    return multi
+
+
+def make_transcoder_eval_step(
+    net,
+    in_layer: str,
+    tgt_layer: str,
+    lambda_sparse: float,
+    expansion_factor: int,
+    criterion,
+    last_stage: Optional[str] = None,
+):
+    """Eval step for the transcoder-spliced model, shaped exactly like
+    make_sae_eval_step's output so Pipeline.eval_modified consumes it unchanged.
+
+    The modified model SKIPS the segment (in_layer, tgt_layer]: logits_mod =
+    backbone-to-in_layer -> transcoder -> apply_segment(after=tgt_layer)."""
+    last = last_stage or net.stage_names[-1]
+
+    @jax.jit
+    def step_fn(params: dict, frozen_params: dict, frozen_state: dict,
+                images: jax.Array, labels: jax.Array):
+        logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
+        act_in = taps[in_layer]
+        act_tgt = taps[tgt_layer]
+        out = transcoder_inference_and_loss(params, act_in, act_tgt, lambda_sparse)
+        logits_mod = net.apply_segment(
+            frozen_params, out["decoded"], after=tgt_layer, upto=last,
+            state=frozen_state,
+        )
+        loss_mod = criterion(logits_mod, labels)
+        loss_orig = criterion(logits_orig, labels)
+        dead, sparsity, freq = metrics.measure_inactive_units(
+            out["encoded"], expansion_factor
+        )
+        batch_metrics = {
+            "model_loss": loss_mod,
+            "loss_diff": loss_mod - loss_orig,
+            "accuracy": metrics.accuracy(logits_mod, labels),
+            "kld": metrics.kld_original_vs_modified(logits_orig, logits_mod),
+            "perc_same": metrics.perc_same_classification(logits_orig, logits_mod),
+            "sae_loss": out["loss"],
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sae_nrmse_loss": out["nrmse_loss"],
+            "sae_rmse_loss": out["rmse_loss"],
+            "sae_aux_loss": out["aux_loss"],
+            "sparsity": sparsity,
+            # variance explained of the TARGET layer by the transcoder's prediction
+            "var_expl": metrics.variance_explained(act_tgt, out["decoded"]),
+        }
+        arrays = {
+            "dead": dead,
+            "freq": freq,
+            "topk_acts": metrics.spatial_mean(out["encoded_pre"]),
+            "correct": jnp.sum(
+                (jnp.argmax(logits_mod, axis=1) == labels).astype(jnp.int32)
+            ),
+        }
+        return batch_metrics, arrays
+
+    return step_fn
+
+
+def train_transcoder_cached(pipe) -> Optional[dict]:
+    """Cached transcoder training through a Pipeline: dump BOTH layers' caches
+    from one backbone pass, then train on zipped token stacks. Per-epoch
+    checkpoints, evals, results rows, and weight exports are produced by the
+    Pipeline's standard machinery."""
+    from sparse_vision_tpu.data.activation_cache import (
+        ActivationCache,
+        dump_activations_multi,
+    )
+    from sparse_vision_tpu.train import checkpoint as ckpt
+    from sparse_vision_tpu.utils.profiling import maybe_profile
+
+    cfg = pipe.cfg
+    tgt = cfg.transcoder_target_layer
+    if not tgt:
+        raise ValueError("transcoder runs need transcoder_target_layer set")
+    if not cfg.use_activation_cache:
+        raise ValueError("transcoder training requires use_activation_cache=True "
+                         "(paired-layer caches from one backbone pass)")
+    if pipe.mesh is not None and int(np.prod(list(pipe.mesh.shape.values()))) > 1:
+        raise ValueError("transcoder training is single-device in this version; "
+                         "drop mesh_shape")
+    if cfg.overlap_dump_train:
+        raise ValueError("overlap_dump_train is not supported for transcoders "
+                         "(training zips two caches)")
+    if cfg.cache_dtype == "int8":
+        # both caches would dequantize fine, but keep the first version simple
+        raise ValueError("transcoder training supports float32/bfloat16 caches")
+
+    dirs = {layer: pipe._cache_dir(layer) for layer in (cfg.sae_layer, tgt)}
+    missing = [l for l, d in dirs.items()
+               if not os.path.exists(os.path.join(d, "meta.json"))]
+    if missing:
+        print(f"Building paired activation caches for {missing} in one pass ...")
+        dump_activations_multi(
+            pipe.net, pipe.frozen_params, pipe.net_state, pipe.train_ds,
+            missing, dirs, **pipe._cache_dump_kwargs(),
+        )
+    cache_in = ActivationCache(dirs[cfg.sae_layer])
+    cache_tgt = ActivationCache(dirs[tgt])
+    if cache_in.total_tokens != cache_tgt.total_tokens:
+        raise ValueError(
+            f"Cache token counts differ: {cfg.sae_layer}={cache_in.total_tokens} "
+            f"vs {tgt}={cache_tgt.total_tokens} — layers must share spatial dims "
+            "and the caches must come from the same dump geometry"
+        )
+
+    step_fn = make_transcoder_train_step_from_acts(
+        cfg.sae_lambda_sparse, pipe.tx, cfg.dead_neurons_steps,
+        cfg.sae_expansion_factor,
+    )
+    multi_fn = make_transcoder_multi_step(step_fn)
+    scan_k = pipe.CACHE_SCAN_K
+    tps = cfg.cache_tokens_per_step
+    start = cfg.sae_checkpoint_epoch
+    last_eval = None
+    pipe.eval_modified(epoch=start, store=False)
+    for epoch in range(start, cfg.sae_epochs):
+        # identical (tokens_per_step, k, shuffle seed, shard geometry) => the two
+        # iterators visit the same token rows in the same order
+        it_in = cache_in.stacks(tps, scan_k, shuffle=True, seed=cfg.seed + epoch)
+        it_tgt = cache_tgt.stacks(tps, scan_k, shuffle=True, seed=cfg.seed + epoch)
+        with maybe_profile(cfg.profile_dir or None):
+            for x_stack, y_stack in zip(it_in, it_tgt):
+                assert x_stack.shape[0] == y_stack.shape[0]
+                if x_stack.shape[0] == scan_k:
+                    pipe.ts, ms = multi_fn(
+                        pipe.ts, jnp.asarray(np.asarray(x_stack)),
+                        jnp.asarray(np.asarray(y_stack)),
+                    )
+                    pipe.logger.log_train(
+                        int(pipe.ts.step), {k: v[-1] for k, v in ms.items()}
+                    )
+                else:  # tail (< scan_k steps) runs single-step
+                    for x_tok, y_tok in zip(x_stack, y_stack):
+                        pipe.ts, m = step_fn(
+                            pipe.ts, jnp.asarray(x_tok), jnp.asarray(y_tok)
+                        )
+                        pipe.logger.log_train(int(pipe.ts.step), m)
+        ckpt.save_checkpoint(
+            pipe._sae_ckpt_dir(), epoch + 1,
+            {
+                "params": pipe.ts.params,
+                "opt_state": pipe.ts.opt_state,
+                "step": pipe.ts.step,
+                "dead_acc": pipe.ts.dead_acc,
+            },
+            blocking=False,
+        )
+        last_eval = pipe.eval_modified(
+            epoch=epoch + 1, final=(epoch + 1 == cfg.sae_epochs)
+        )
+    ckpt.wait_for_saves()
+    pipe._export_sae_weights()
+    return last_eval

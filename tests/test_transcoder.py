@@ -1,0 +1,150 @@
+"""Transcoder variant (beyond-reference; Dunefsky et al. 2024): a sparse
+dictionary mapping layer A's activations to layer B's, trained from the
+framework's paired one-pass activation caches (train/transcoder.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_vision_tpu.config import RunConfig
+from sparse_vision_tpu.models.sae import (
+    init_transcoder,
+    transcoder_apply,
+    transcoder_inference_and_loss,
+)
+from sparse_vision_tpu.train.pipeline import Pipeline
+
+
+def test_transcoder_forward_numpy_golden():
+    k = jax.random.key(0)
+    d_in, ef, d_out, t = 8, 4, 5, 32
+    params = init_transcoder(k, d_in, ef, d_out)
+    assert params["W_enc"].shape == (d_in, d_in * ef)
+    assert params["W_dec"].shape == (d_in * ef, d_out)
+    # decoder rows unit-norm (ConstrainedAdam invariant holds from init)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(params["W_dec"]), axis=1), 1.0, atol=1e-6
+    )
+    x = np.random.RandomState(0).randn(t, d_in).astype(np.float32)
+    enc, y_hat, pre = transcoder_apply(params, jnp.asarray(x))
+    p = {k_: np.asarray(v) for k_, v in params.items()}
+    pre_np = x @ p["W_enc"] + p["b_enc"]
+    enc_np = np.maximum(pre_np, 0.0)
+    y_np = enc_np @ p["W_dec"] + p["b_dec"]
+    np.testing.assert_allclose(np.asarray(pre), pre_np, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(enc), enc_np, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_hat), y_np, rtol=1e-5, atol=1e-6)
+
+    # loss terms: MSE against the TARGET + L1 on the code
+    y_tgt = np.random.RandomState(1).randn(t, d_out).astype(np.float32)
+    out = transcoder_inference_and_loss(params, jnp.asarray(x), jnp.asarray(y_tgt), 0.5)
+    np.testing.assert_allclose(
+        float(out["rec_loss"]), np.mean((y_np - y_tgt) ** 2), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(out["loss"]),
+        np.mean((y_np - y_tgt) ** 2) + 0.5 * np.mean(np.abs(enc_np)), rtol=1e-5,
+    )
+
+
+def test_transcoder_token_count_mismatch_raises():
+    params = init_transcoder(jax.random.key(0), 8, 2, 5)
+    x = jnp.zeros((4, 3, 8))  # 12 tokens
+    y = jnp.zeros((4, 2, 5))  # 8 tokens
+    with pytest.raises(ValueError, match="token count"):
+        transcoder_inference_and_loss(params, x, y, 0.1)
+
+
+def test_resample_with_rectangular_decoder():
+    """Dead-latent resampling with d_out != d_in (the d_out-aware surgery in
+    ops/resample.py): dead rows are replaced, all rows return to unit norm."""
+    import optax
+
+    from sparse_vision_tpu.ops.resample import resample_dead_neurons
+
+    params = init_transcoder(jax.random.key(0), 8, 4, 5)
+    h = 32
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    dead = np.zeros(h, bool)
+    dead[[3, 7, 20]] = True
+    before = np.asarray(params["W_dec"]).copy()
+    new_p, _ = resample_dead_neurons(params, opt_state, jnp.asarray(dead),
+                                     jax.random.key(5))
+    after = np.asarray(new_p["W_dec"])
+    assert after.shape == (h, 5)
+    np.testing.assert_allclose(np.linalg.norm(after, axis=1), 1.0, atol=1e-5)
+    assert not np.allclose(after[3], before[3])  # dead row replaced
+    np.testing.assert_allclose(after[0], before[0], atol=1e-6)  # live row kept
+
+
+def _cfg(d, **kw):
+    defaults = dict(
+        model_name="custom_mlp_8", sae_model_name="transcoder",
+        sae_layer="fc1", transcoder_target_layer="fc2",
+        dataset_name="synthetic", directory_path=str(d),
+        sae_epochs=2, sae_batch_size=64, batch_size=64,
+        sae_learning_rate=1e-3, sae_optimizer_name="constrained_adam",
+        sae_lambda_sparse=0.05, sae_expansion_factor=2,
+        dead_neurons_steps=10_000, use_activation_cache=True,
+        cache_tokens_per_step=64, log_every=1000,
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_transcoder_pipeline_e2e(tmp_path):
+    """Full cached transcoder run on custom_mlp_8 (fc1 [32] -> fc2 [16]): paired
+    caches from one pass, reconstruction improves, eval/checkpoint/export
+    artifacts land."""
+    from sparse_vision_tpu.eval_tools.results import read_results
+    from sparse_vision_tpu.train import checkpoint as ckpt
+
+    pipe = Pipeline(_cfg(tmp_path))
+    assert pipe.sae_params["W_enc"].shape == (32, 64)
+    assert pipe.sae_params["W_dec"].shape == (64, 16)
+    before = pipe.eval_modified(epoch=0, store=False)
+    result = pipe.run()
+    assert int(pipe.ts.step) > 0
+    assert result["sae_rec_loss"] < before["sae_rec_loss"], (before, result)
+    # the transcoder predicts the target layer: variance explained must move
+    # from ~nothing toward positive
+    assert result["var_expl"] > before["var_expl"]
+    # ConstrainedAdam invariant on the OUTPUT-space decoder
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pipe.ts.params["W_dec"]), axis=1), 1.0, atol=1e-4
+    )
+    # both layer caches exist (one backbone pass)
+    for layer in ("fc1", "fc2"):
+        assert os.path.exists(
+            os.path.join(pipe._cache_dir(layer), "meta.json")
+        ), layer
+    assert ckpt.latest_epoch(pipe._sae_ckpt_dir()) == 2
+    csv_path = os.path.join(pipe.paths["evaluation_results"], "sae_eval_results.csv")
+    rows = read_results(csv_path)
+    assert any(r["epochs"] == 2 for r in rows)
+
+
+def test_transcoder_skip_splice_identity(tmp_path):
+    """Sanity anchor for the segment-skip splice: feeding the TRUE target
+    activations through apply_segment(after=target) reproduces the original
+    logits exactly — the transcoder's eval path with a perfect prediction."""
+    pipe = Pipeline(_cfg(tmp_path))
+    b = next(pipe.val_ds.batches(16, shuffle=False))
+    logits, taps, _ = pipe.net.apply(pipe.frozen_params, jnp.asarray(b.images),
+                                     state=pipe.net_state)
+    logits_skip = pipe.net.apply_segment(
+        pipe.frozen_params, taps["fc2"], after="fc2",
+        upto=pipe.net.stage_names[-1], state=pipe.net_state,
+    )
+    np.testing.assert_allclose(np.asarray(logits_skip), np.asarray(logits), atol=1e-6)
+
+
+def test_transcoder_validation(tmp_path):
+    with pytest.raises(ValueError, match="transcoder_target_layer"):
+        Pipeline(_cfg(tmp_path, transcoder_target_layer=""))
+    with pytest.raises(ValueError, match="use_activation_cache"):
+        Pipeline(_cfg(tmp_path / "b", use_activation_cache=False)).train_sae()
