@@ -334,6 +334,25 @@ def test_multichip_example_runs(tmp_path):
     assert "tensor-parallel mesh (2, 4)" in r.stdout
 
 
+def test_new_examples_run(tmp_path):
+    """vmap_sweep and train_transcoder examples stay runnable (user-facing docs)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    for script in ("vmap_sweep.py", "train_transcoder.py"):
+        r = subprocess.run(
+            [sys.executable, os.path.join(root, "examples", script),
+             str(tmp_path / script[:-3])],
+            # same 1-core contention allowance as test_examples_run
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, script + ": " + r.stdout[-2000:] + r.stderr[-2000:]
+        assert r.stdout.rstrip().endswith("OK"), script
+
+
 def test_mis_comparison_example_runs(tmp_path):
     import subprocess
     import sys
