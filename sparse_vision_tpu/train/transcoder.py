@@ -41,16 +41,31 @@ def make_transcoder_train_step_from_acts(
     tx: optax.GradientTransformation,
     dead_neurons_steps: int,
     expansion_factor: int,
+    fused: bool = False,
+    fused_opts: Optional[dict] = None,
 ):
     """Jitted transcoder step over pre-extracted PAIRED activations:
     ``(ts, x_in [T, d_in], y_tgt [T, d_out]) -> (ts, metrics)``. Same update
     skeleton as make_sae_train_step_from_acts (ConstrainedAdam projection/renorm
     applies to the output-space decoder rows unchanged; dead-latent resampling
-    uses the d_out-aware surgery in ops/resample.py)."""
+    uses the d_out-aware surgery in ops/resample.py).
 
-    def loss_fn(params, x_in, y_tgt):
-        out = transcoder_inference_and_loss(params, x_in, y_tgt, lambda_sparse)
-        return out["loss"], out
+    ``fused=True`` routes forward+loss+stats through the Pallas kernels in
+    ops/fused_transcoder.py — the production path at circuit shapes (parity:
+    tests/test_fused_transcoder.py)."""
+    if fused:
+        from sparse_vision_tpu.ops.fused_transcoder import fused_transcoder_loss_terms
+
+        def loss_fn(params, x_in, y_tgt):
+            out = fused_transcoder_loss_terms(
+                params, x_in, y_tgt, lambda_sparse, expansion_factor,
+                **(fused_opts or {}),
+            )
+            return out["loss"], out
+    else:
+        def loss_fn(params, x_in, y_tgt):
+            out = transcoder_inference_and_loss(params, x_in, y_tgt, lambda_sparse)
+            return out["loss"], out
 
     @jax.jit
     def step_fn(ts: SAETrainState, x_in: jax.Array, y_tgt: jax.Array):
@@ -60,9 +75,12 @@ def make_transcoder_train_step_from_acts(
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
         step = ts.step + 1
-        dead, sparsity, _ = metrics.measure_inactive_units(
-            out["encoded"], expansion_factor
-        )
+        if fused:
+            dead, sparsity = out["dead"], out["sparsity"]
+        else:
+            dead, sparsity, _ = metrics.measure_inactive_units(
+                out["encoded"], expansion_factor
+            )
         dead_acc = jnp.logical_and(ts.dead_acc, dead)
         rng, sub = jax.random.split(ts.rng)
 
@@ -215,13 +233,24 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
             "and the caches must come from the same dump geometry"
         )
 
+    from sparse_vision_tpu.ops.fused_sae import can_fuse
+
+    tps = cfg.cache_tokens_per_step
+    fused = (
+        cfg.use_pallas
+        and jax.default_backend() != "cpu"
+        and can_fuse(tps, pipe.num_units, tile_t=2048)
+    )
     step_fn = make_transcoder_train_step_from_acts(
         cfg.sae_lambda_sparse, pipe.tx, cfg.dead_neurons_steps,
-        cfg.sae_expansion_factor,
+        cfg.sae_expansion_factor, fused=fused,
+        fused_opts={
+            "compute_dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+            else jnp.float32
+        },
     )
     multi_fn = make_transcoder_multi_step(step_fn)
     scan_k = pipe.CACHE_SCAN_K
-    tps = cfg.cache_tokens_per_step
     start = cfg.sae_checkpoint_epoch
     last_eval = None
     pipe.eval_modified(epoch=start, store=False)
