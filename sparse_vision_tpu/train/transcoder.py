@@ -211,9 +211,9 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
     if cfg.overlap_dump_train:
         raise ValueError("overlap_dump_train is not supported for transcoders "
                          "(training zips two caches)")
-    if cfg.cache_dtype == "int8":
-        # both caches would dequantize fine, but keep the first version simple
-        raise ValueError("transcoder training supports float32/bfloat16 caches")
+    # int8 caches work through the host-dequant default of ActivationCache.stacks
+    # (the device-dequant pair plumbing would need two scales per step; the
+    # paired-stack zip below reads float32 either way)
 
     dirs = {layer: pipe._cache_dir(layer) for layer in (cfg.sae_layer, tgt)}
     missing = [l for l, d in dirs.items()

@@ -143,6 +143,18 @@ def test_transcoder_skip_splice_identity(tmp_path):
     np.testing.assert_allclose(np.asarray(logits_skip), np.asarray(logits), atol=1e-6)
 
 
+def test_transcoder_int8_cache(tmp_path):
+    """Transcoder training from int8 paired caches (host-dequant read path)
+    stays close to the float32-cache run."""
+    p32 = Pipeline(_cfg(tmp_path / "f32", sae_epochs=1))
+    r32 = p32.run()
+    p8 = Pipeline(_cfg(tmp_path / "i8", sae_epochs=1, cache_dtype="int8"))
+    p8.frozen_params, p8.net_state = p32.frozen_params, p32.net_state
+    r8 = p8.run()
+    assert int(p8.ts.step) == int(p32.ts.step) > 0
+    assert r8["sae_rec_loss"] == pytest.approx(r32["sae_rec_loss"], rel=0.05)
+
+
 def test_transcoder_validation(tmp_path):
     with pytest.raises(ValueError, match="transcoder_target_layer"):
         Pipeline(_cfg(tmp_path, transcoder_target_layer=""))
