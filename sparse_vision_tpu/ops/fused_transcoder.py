@@ -163,39 +163,8 @@ def make_fused_transcoder_op(tile_t: int = 2048, tile_h: int = 2048,
         return a.astype(compute_dtype) if lowp else a
 
     def _forward_raw(params, x):
-        t, c_in = x.shape
-        h = params["b_enc"].shape[0]
-        c_out = params["b_dec"].shape[0]
-        tt, th = _pick_tiles(t, h, tile_t, tile_h)
-        grid = (t // tt, h // th)  # H innermost: recon accumulates contiguously
-        kernel = functools.partial(_fwd_kernel, compute_dtype=compute_dtype)
-        recon, act_part, row_active, l1_sum = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((tt, c_in), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((c_in, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((th, c_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((tt, c_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, th), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((t, c_out), jnp.float32),
-                jax.ShapeDtypeStruct((8 * t // tt, h), jnp.float32),
-                jax.ShapeDtypeStruct((t, 1), jnp.float32),
-                jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            ],
-            interpret=interpret,
-            compiler_params=_compiler_params(interpret),
-        )(
-            _cast(x), _cast(params["W_enc"]), params["b_enc"].reshape(1, h),
-            _cast(params["W_dec"]), params["b_dec"].reshape(1, c_out),
+        recon, act_part, row_active, l1_sum = _run_fwd_kernel(
+            params, x, tile_t, tile_h, compute_dtype, interpret, _cast
         )
         act_count = jnp.sum(act_part, axis=0)  # [H]
         return recon, act_count, row_active, l1_sum
@@ -225,43 +194,15 @@ def make_fused_transcoder_op(tile_t: int = 2048, tile_h: int = 2048,
 
     def op_bwd(res, ct):
         params, x, err = res
-        t, c_in = x.shape
+        t, _ = x.shape
         h = params["b_enc"].shape[0]
         c_out = params["b_dec"].shape[0]
-        tt, th = _pick_tiles(t, h, tile_t, tile_h)
         coeffs = jnp.array(
             [[ct["rec_loss"] * 2.0 / (t * c_out), ct["l1_loss"] / (t * h)]],
             jnp.float32,
         )
-        kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype)
-        dw_enc, db_enc, dw_dec, db_dec = pl.pallas_call(
-            kernel,
-            grid=(h // th, t // tt),  # T innermost: dW accumulates contiguously
-            in_specs=[
-                pl.BlockSpec((tt, c_in), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((c_in, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((th, c_out), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tt, c_out), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((c_in, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((th, c_out), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c_out), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((c_in, h), jnp.float32),
-                jax.ShapeDtypeStruct((1, h), jnp.float32),
-                jax.ShapeDtypeStruct((h, c_out), jnp.float32),
-                jax.ShapeDtypeStruct((1, c_out), jnp.float32),
-            ],
-            interpret=interpret,
-            compiler_params=_compiler_params(interpret),
-        )(
-            _cast(x), _cast(params["W_enc"]), params["b_enc"].reshape(1, h),
-            _cast(params["W_dec"]), _cast(err), coeffs,
+        dw_enc, db_enc, dw_dec, db_dec = _run_bwd_kernel(
+            params, x, err, coeffs, tile_t, tile_h, compute_dtype, interpret, _cast
         )
         dparams = {
             "W_enc": dw_enc,
@@ -273,6 +214,205 @@ def make_fused_transcoder_op(tile_t: int = 2048, tile_h: int = 2048,
 
     op.defvjp(op_fwd, op_bwd)
     return op
+
+
+def _run_fwd_kernel(params, x, tile_t, tile_h, compute_dtype, interpret, cast):
+    """The forward pallas_call on explicit operands (shared by the single-device
+    op above and the TP op below, which runs it on local latent shards)."""
+    t, c_in = x.shape
+    h = params["b_enc"].shape[0]
+    c_out = params["b_dec"].shape[0]
+    tt, th = _pick_tiles(t, h, tile_t, tile_h)
+    kernel = functools.partial(_fwd_kernel, compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(t // tt, h // th),
+        in_specs=[
+            pl.BlockSpec((tt, c_in), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, c_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tt, c_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, th), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((8 * t // tt, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(
+        cast(x), cast(params["W_enc"]), params["b_enc"].reshape(1, h),
+        cast(params["W_dec"]), params["b_dec"].reshape(1, c_out),
+    )
+
+
+def _run_bwd_kernel(params, x, err, coeffs, tile_t, tile_h, compute_dtype,
+                    interpret, cast):
+    t, c_in = x.shape
+    h = params["b_enc"].shape[0]
+    c_out = params["b_dec"].shape[0]
+    tt, th = _pick_tiles(t, h, tile_t, tile_h)
+    kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(h // th, t // tt),
+        in_specs=[
+            pl.BlockSpec((tt, c_in), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, c_out), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, c_out), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((c_in, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, c_out), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c_in, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((1, c_out), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(
+        cast(x), cast(params["W_enc"]), params["b_enc"].reshape(1, h),
+        cast(params["W_dec"]), cast(err), coeffs,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_transcoder_tp_op(n_data: int, n_model: int, tile_t: int = 2048,
+                                tile_h: int = 2048, compute_dtype=jnp.bfloat16,
+                                interpret: bool = False, data_axis: str = "data",
+                                model_axis: str = "model"):
+    """Tensor-parallel fused transcoder op (ops/fused_sae_tp.py decomposition):
+    MUST be called from inside a shard_map over a (data, model) mesh.
+
+    Per chip: the unchanged kernels run on the local latent shard producing a
+    PARTIAL target prediction; the full prediction is ``psum_model(part) -
+    (m-1)*b_dec``; the MSE against y comes after the psum. In the backward,
+    dW_enc/db_enc/dW_dec are H-local (psum over 'data' only) and db_dec =
+    sum(drecon) is IDENTICAL on every model chip (the error is), so it psums
+    over 'data' only — simpler than the SAE op, which also carries a centering
+    path. Loss scalars and gradients come out GLOBAL: do not pmean again."""
+    lowp = compute_dtype != jnp.float32
+
+    def cast(a):
+        return a.astype(compute_dtype) if lowp else a
+
+    axes_both = (data_axis, model_axis)
+
+    def _forward_raw(params, x):
+        recon_part, act_part, row_active, l1_sum = _run_fwd_kernel(
+            params, x, tile_t, tile_h, compute_dtype, interpret, cast
+        )
+        recon = jax.lax.psum(recon_part, model_axis) - (n_model - 1) * params[
+            "b_dec"
+        ].reshape(1, -1)
+        act_count = jnp.sum(act_part, axis=0)  # [H_local], local batch
+        return recon, act_count, row_active, l1_sum
+
+    def _assemble(params, x, y, recon, act_count, row_active, l1_sum):
+        t_l = x.shape[0]
+        h_l = params["b_enc"].shape[0]
+        t_g = t_l * n_data
+        h_g = h_l * n_model
+        err = recon - y
+        act_count_g = jax.lax.psum(act_count, data_axis)
+        return {
+            "rec_loss": jax.lax.pmean(jnp.mean(jnp.square(err)), data_axis),
+            "l1_loss": jax.lax.psum(l1_sum[0, 0], axes_both) / (t_g * h_g),
+            "recon": recon,
+            "dead": act_count_g == 0,
+            "activity_freq": act_count_g / t_g,
+            "row_active": jax.lax.psum(row_active[:, 0], model_axis),
+        }
+
+    @jax.custom_vjp
+    def op(params, x, y):
+        return _assemble(params, x, y, *_forward_raw(params, x))
+
+    def op_fwd(params, x, y):
+        recon, act_count, row_active, l1_sum = _forward_raw(params, x)
+        out = _assemble(params, x, y, recon, act_count, row_active, l1_sum)
+        return out, (params, x, recon - y)
+
+    def op_bwd(res, ct):
+        params, x, err = res
+        t_l = x.shape[0]
+        h_l = params["b_enc"].shape[0]
+        c_out = params["b_dec"].shape[0]
+        t_g = t_l * n_data
+        h_g = h_l * n_model
+        c_rec = ct["rec_loss"] * 2.0 / (t_g * c_out)
+        c_l1 = ct["l1_loss"] / (t_g * h_g)
+        coeffs = jnp.stack([c_rec, c_l1]).reshape(1, 2).astype(jnp.float32)
+        dw_enc, db_enc, dw_dec, db_dec = _run_bwd_kernel(
+            params, x, err, coeffs, tile_t, tile_h, compute_dtype, interpret, cast
+        )
+        dparams = {
+            "W_enc": jax.lax.psum(dw_enc, data_axis),
+            "b_enc": jax.lax.psum(db_enc[0], data_axis),
+            "W_dec": jax.lax.psum(dw_dec, data_axis),
+            # identical on every model chip (err is): 'data' psum only
+            "b_dec": jax.lax.psum(db_dec[0], data_axis),
+        }
+        return dparams, jnp.zeros_like(x), jnp.zeros_like(err)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def fused_transcoder_tp_loss_terms(
+    params: dict, x: jax.Array, y: jax.Array, lambda_sparse: float,
+    expansion_factor: int, n_data: int, n_model: int, *, tile_t: int = 2048,
+    tile_h: int = 2048, compute_dtype=jnp.bfloat16, interpret: bool = False,
+) -> dict:
+    """TP twin of fused_transcoder_loss_terms (call inside shard_map).
+    NRMSE/RMSE assemble from the full local-token prediction with 'data'-axis
+    means (zero-range dims excluded per ops/losses.rmse_nrmse, evaluated on the
+    LOCAL token shard's range — exact parity with the single-device op holds
+    when each shard sees the same range signs, which the parity tests pin)."""
+    op = make_fused_transcoder_tp_op(
+        n_data, n_model, tile_t, tile_h, compute_dtype, interpret
+    )
+    out = op(params, x, y)
+    h_g = params["b_enc"].shape[0] * n_model
+    recon = out["recon"]
+    sq = jnp.square(jax.lax.stop_gradient(recon) - jax.lax.stop_gradient(y))
+    sample_mse = jax.lax.pmean(jnp.mean(sq, axis=0), "data")
+    sample_range = jax.lax.pmax(jnp.max(y, axis=0), "data") - jax.lax.pmin(
+        jnp.min(y, axis=0), "data"
+    )
+    sample_rmse = jnp.sqrt(sample_mse)
+    _valid = sample_range > 0
+    _nrmse = jnp.sum(
+        jnp.where(_valid, sample_rmse / jnp.where(_valid, sample_range, 1.0), 0.0)
+    ) / jnp.maximum(jnp.sum(_valid), 1)
+    return {
+        "loss": out["rec_loss"] + lambda_sparse * out["l1_loss"],
+        "rec_loss": out["rec_loss"],
+        "l1_loss": out["l1_loss"],
+        "nrmse_loss": _nrmse,
+        "rmse_loss": jnp.mean(sample_rmse),
+        "aux_loss": jnp.zeros((), jnp.float32),
+        "decoded": recon,
+        "dead": out["dead"],
+        "activity_freq": out["activity_freq"],
+        "sparsity": jnp.mean(out["row_active"] / (h_g / expansion_factor)),
+    }
 
 
 def fused_transcoder_loss_terms(

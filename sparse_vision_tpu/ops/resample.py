@@ -169,12 +169,13 @@ def resample_dead_neurons_tp(
 
     # --- decoder weights (reference quirk preserved: per-act-dim norms across the
     # GLOBAL live-latent axis, then mean) ---
-    dec_live = jnp.where(live[:, None], w_dec, 0.0)  # [h_l, d]
+    d_out = w_dec.shape[1]  # == d for sae_mlp; transcoders decode to another layer
+    dec_live = jnp.where(live[:, None], w_dec, 0.0)  # [h_l, d_out]
     quirk_norms = jnp.sqrt(
         jax.lax.psum(jnp.sum(jnp.square(dec_live), axis=0), model_axis)
-    )  # [d]
+    )  # [d_out]
     avg_l2_dec = jnp.where(any_live, jnp.mean(quirk_norms), 1.0)
-    new_dec_t = kaiming_uniform(k_dec, (d, h_g), fan_in=h_g, dtype=w_dec.dtype)
+    new_dec_t = kaiming_uniform(k_dec, (d_out, h_g), fan_in=h_g, dtype=w_dec.dtype)
     new_dec_t = new_dec_t / jnp.linalg.norm(new_dec_t, axis=1, keepdims=True) * avg_l2_dec
     new_dec_t = jax.lax.dynamic_slice_in_dim(new_dec_t, k_idx * h_l, h_l, 1)
     new_w_dec = jnp.where(dead_mask[:, None], new_dec_t.T, w_dec)

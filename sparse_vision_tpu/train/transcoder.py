@@ -125,6 +125,92 @@ def make_transcoder_multi_step(step_fn):
     return multi
 
 
+def make_tp_transcoder_train_step(
+    mesh,
+    ts_placed: SAETrainState,
+    lambda_sparse: float,
+    tx: optax.GradientTransformation,
+    dead_neurons_steps: int,
+    expansion_factor: int,
+    fused_opts: Optional[dict] = None,
+):
+    """Tensor-parallel fused transcoder step: ``step(ts, x, y)`` with the latent
+    dim sharded over 'model', tokens over 'data', the fused kernels per chip
+    (ops/fused_transcoder.make_fused_transcoder_tp_op), and the TP-aware
+    dead-latent resample (d_out-generalized resample_dead_neurons_tp). Mirrors
+    parallel/tensor_parallel.make_tp_fused_train_step."""
+    from jax.sharding import PartitionSpec as P
+
+    from sparse_vision_tpu.ops.fused_transcoder import fused_transcoder_tp_loss_terms
+    from sparse_vision_tpu.ops.resample import resample_dead_neurons_tp
+    from sparse_vision_tpu.parallel.sharded_steps import shard_map
+
+    n_data = int(mesh.shape["data"])
+    n_model = int(mesh.shape["model"])
+    opts = dict(fused_opts or {})
+
+    def local_loss(params, x_local, y_local):
+        out = fused_transcoder_tp_loss_terms(
+            params, x_local, y_local, lambda_sparse, expansion_factor,
+            n_data, n_model, **opts,
+        )
+        return out["loss"], out
+
+    def shard_body(ts: SAETrainState, x_local: jax.Array, y_local: jax.Array):
+        (loss, out), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            ts.params, x_local, y_local
+        )
+        # grads are already GLOBAL (psums live inside the op's custom_vjp)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        step = ts.step + 1
+        dead_acc = jnp.logical_and(ts.dead_acc, out["dead"])
+        rng, sub = jax.random.split(ts.rng)
+
+        def do_resample(p, o, acc):
+            p2, o2 = resample_dead_neurons_tp(p, o, acc, sub, n_model)
+            return p2, o2, jnp.ones_like(acc)
+
+        def no_resample(p, o, acc):
+            acc = jnp.where(
+                should_reset_measurement(step, dead_neurons_steps),
+                jnp.ones_like(acc), acc,
+            )
+            return p, o, acc
+
+        new_params, opt_state, dead_acc = jax.lax.cond(
+            should_resample(step, dead_neurons_steps),
+            do_resample, no_resample, new_params, opt_state, dead_acc,
+        )
+        h_g = dead_acc.shape[0] * n_model
+        m = {
+            "sae_loss": loss,
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sparsity": out["sparsity"],
+            "perc_dead": jax.lax.psum(jnp.sum(dead_acc), "model") / h_g,
+        }
+        return SAETrainState(new_params, opt_state, step, dead_acc, rng), m
+
+    state_specs = jax.tree.map(lambda x: x.sharding.spec, ts_placed)
+    sharded = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(state_specs, P("data", None), P("data", None)),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step_fn(ts: SAETrainState, x: jax.Array, y: jax.Array):
+        if x.shape[0] % n_data:
+            raise ValueError(
+                f"token count {x.shape[0]} not divisible by data={n_data}"
+            )
+        return sharded(ts, x, y)
+
+    return step_fn
+
+
 def make_transcoder_eval_step(
     net,
     in_layer: str,
@@ -205,9 +291,6 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
     if not cfg.use_activation_cache:
         raise ValueError("transcoder training requires use_activation_cache=True "
                          "(paired-layer caches from one backbone pass)")
-    if pipe.mesh is not None and int(np.prod(list(pipe.mesh.shape.values()))) > 1:
-        raise ValueError("transcoder training is single-device in this version; "
-                         "drop mesh_shape")
     if cfg.overlap_dump_train:
         raise ValueError("overlap_dump_train is not supported for transcoders "
                          "(training zips two caches)")
@@ -235,20 +318,79 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
 
     from sparse_vision_tpu.ops.fused_sae import can_fuse
 
+    mesh = pipe.mesh
+    n_data = int(mesh.shape["data"]) if mesh is not None else 1
+    tensor_parallel = (
+        mesh is not None and "model" in mesh.axis_names
+        and int(mesh.shape["model"]) > 1
+    )
     tps = cfg.cache_tokens_per_step
-    fused = (
-        cfg.use_pallas
-        and jax.default_backend() != "cpu"
-        and can_fuse(tps, pipe.num_units, tile_t=2048)
-    )
-    step_fn = make_transcoder_train_step_from_acts(
-        cfg.sae_lambda_sparse, pipe.tx, cfg.dead_neurons_steps,
-        cfg.sae_expansion_factor, fused=fused,
-        fused_opts={
-            "compute_dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-            else jnp.float32
-        },
-    )
+    if mesh is not None and tps % n_data:
+        raise ValueError(
+            f"cache_tokens_per_step={tps} not divisible by data mesh axis {n_data}"
+        )
+    fused_opts = {
+        "compute_dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+        else jnp.float32
+    }
+    if tensor_parallel:
+        # latent dim shards over 'model': fused TP kernels on local shards when
+        # they tile, else a clear error (the stock GSPMD fallback cannot place
+        # the rectangular decoder correctly through the generic sae path)
+        from sparse_vision_tpu.parallel.tensor_parallel import (
+            put_tokens_tp,
+            put_tp_state,
+        )
+
+        n_model = int(mesh.shape["model"])
+        if pipe.num_units % n_model or not can_fuse(
+            tps // n_data, pipe.num_units // n_model, tile_t=2048
+        ):
+            raise ValueError(
+                f"TP transcoder needs latents ({pipe.num_units}) divisible by the "
+                f"model axis ({n_model}) and tile-compatible local shards"
+            )
+        interp = jax.devices()[0].platform == "cpu"
+        if interp:
+            fused_opts.update(interpret=True, compute_dtype=jnp.float32)
+        pipe.ts = put_tp_state(mesh, pipe.ts)
+        step_fn = make_tp_transcoder_train_step(
+            mesh, pipe.ts, cfg.sae_lambda_sparse, pipe.tx,
+            cfg.dead_neurons_steps, cfg.sae_expansion_factor,
+            fused_opts=fused_opts,
+        )
+
+        def _put_pair(x, y, token_axis):
+            return (put_tokens_tp(mesh, np.ascontiguousarray(x), token_axis),
+                    put_tokens_tp(mesh, np.ascontiguousarray(y), token_axis))
+    else:
+        if mesh is not None and n_data > 1:
+            # data-only mesh: GSPMD placement of the unchanged jitted step
+            # (tokens shard over 'data', params replicated; the step's means
+            # lower to collectives)
+            from sparse_vision_tpu.parallel.sharded_steps import (
+                put_replicated_state,
+                put_tokens_sharded,
+            )
+
+            pipe.ts = put_replicated_state(mesh, pipe.ts)
+
+            def _put_pair(x, y, token_axis):
+                return (put_tokens_sharded(mesh, np.ascontiguousarray(x), token_axis),
+                        put_tokens_sharded(mesh, np.ascontiguousarray(y), token_axis))
+        else:
+            def _put_pair(x, y, token_axis):
+                return jnp.asarray(x), jnp.asarray(y)
+        fused = (
+            cfg.use_pallas
+            and jax.default_backend() != "cpu"
+            and (mesh is None or n_data == 1)
+            and can_fuse(tps, pipe.num_units, tile_t=2048)
+        )
+        step_fn = make_transcoder_train_step_from_acts(
+            cfg.sae_lambda_sparse, pipe.tx, cfg.dead_neurons_steps,
+            cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
+        )
     multi_fn = make_transcoder_multi_step(step_fn)
     scan_k = pipe.CACHE_SCAN_K
     start = cfg.sae_checkpoint_epoch
@@ -263,18 +405,17 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
             for x_stack, y_stack in zip(it_in, it_tgt):
                 assert x_stack.shape[0] == y_stack.shape[0]
                 if x_stack.shape[0] == scan_k:
-                    pipe.ts, ms = multi_fn(
-                        pipe.ts, jnp.asarray(np.asarray(x_stack)),
-                        jnp.asarray(np.asarray(y_stack)),
+                    xs, ys = _put_pair(
+                        np.asarray(x_stack), np.asarray(y_stack), 1
                     )
+                    pipe.ts, ms = multi_fn(pipe.ts, xs, ys)
                     pipe.logger.log_train(
                         int(pipe.ts.step), {k: v[-1] for k, v in ms.items()}
                     )
                 else:  # tail (< scan_k steps) runs single-step
                     for x_tok, y_tok in zip(x_stack, y_stack):
-                        pipe.ts, m = step_fn(
-                            pipe.ts, jnp.asarray(x_tok), jnp.asarray(y_tok)
-                        )
+                        xt, yt = _put_pair(np.asarray(x_tok), np.asarray(y_tok), 0)
+                        pipe.ts, m = step_fn(pipe.ts, xt, yt)
                         pipe.logger.log_train(int(pipe.ts.step), m)
         ckpt.save_checkpoint(
             pipe._sae_ckpt_dir(), epoch + 1,

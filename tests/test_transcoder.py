@@ -143,6 +143,37 @@ def test_transcoder_skip_splice_identity(tmp_path):
     np.testing.assert_allclose(np.asarray(logits_skip), np.asarray(logits), atol=1e-6)
 
 
+def test_transcoder_data_mesh_matches_single_device(tmp_path):
+    """GSPMD data-parallel transcoder training (mesh_shape=(8,)) matches the
+    single-device run."""
+    p1 = Pipeline(_cfg(tmp_path / "single", sae_epochs=1))
+    r1 = p1.run()
+    p8 = Pipeline(_cfg(tmp_path / "mesh", sae_epochs=1, mesh_shape=(8,),
+                       cache_tokens_per_step=64))
+    p8.frozen_params, p8.net_state = p1.frozen_params, p1.net_state
+    r8 = p8.run()
+    assert int(p8.ts.step) == int(p1.ts.step) > 0
+    for k in ("sae_rec_loss", "sae_loss", "sparsity"):
+        np.testing.assert_allclose(float(r8[k]), float(r1[k]), rtol=1e-4, err_msg=k)
+
+
+def test_transcoder_tensor_parallel_matches_single_device(tmp_path):
+    """(2, 4)-mesh TP transcoder (fused interpret kernels, latent dim sharded
+    over 'model', TP resample) matches the single-device stock run."""
+    p1 = Pipeline(_cfg(tmp_path / "single", sae_epochs=1, dead_neurons_steps=3))
+    r1 = p1.run()
+    ptp = Pipeline(_cfg(tmp_path / "tp", sae_epochs=1, dead_neurons_steps=3,
+                        mesh_shape=(2, 4), cache_tokens_per_step=64))
+    ptp.frozen_params, ptp.net_state = p1.frozen_params, p1.net_state
+    rtp = ptp.run()
+    assert int(ptp.ts.step) == int(p1.ts.step) > 0
+    for k in ("sae_rec_loss", "sae_loss", "perc_dead_units"):
+        np.testing.assert_allclose(float(rtp[k]), float(r1[k]), rtol=1e-4, err_msg=k)
+    # the latent axis is genuinely sharded over 'model'
+    shard_rows = {s.data.shape[0] for s in ptp.ts.params["W_dec"].addressable_shards}
+    assert shard_rows == {ptp.num_units // 4}, shard_rows
+
+
 def test_transcoder_int8_cache(tmp_path):
     """Transcoder training from int8 paired caches (host-dequant read path)
     stays close to the float32-cache run."""
