@@ -382,9 +382,9 @@ def fused_transcoder_tp_loss_terms(
 ) -> dict:
     """TP twin of fused_transcoder_loss_terms (call inside shard_map).
     NRMSE/RMSE assemble from the full local-token prediction with 'data'-axis
-    means (zero-range dims excluded per ops/losses.rmse_nrmse, evaluated on the
-    LOCAL token shard's range — exact parity with the single-device op holds
-    when each shard sees the same range signs, which the parity tests pin)."""
+    collectives: per-dim MSE pmeans and the normalization range uses the GLOBAL
+    per-dim max/min (pmax/pmin over 'data'), so the values match the
+    single-device op exactly (zero-range dims excluded per ops/losses.rmse_nrmse)."""
     op = make_fused_transcoder_tp_op(
         n_data, n_model, tile_t, tile_h, compute_dtype, interpret
     )
@@ -411,7 +411,11 @@ def fused_transcoder_tp_loss_terms(
         "decoded": recon,
         "dead": out["dead"],
         "activity_freq": out["activity_freq"],
-        "sparsity": jnp.mean(out["row_active"] / (h_g / expansion_factor)),
+        # GLOBAL batch sparsity (every TP loss-terms fn pmean's over 'data';
+        # the value leaves the shard_map through a replicated out_spec)
+        "sparsity": jax.lax.pmean(
+            jnp.mean(out["row_active"] / (h_g / expansion_factor)), "data"
+        ),
     }
 
 

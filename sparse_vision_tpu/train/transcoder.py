@@ -309,12 +309,18 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
         )
     cache_in = ActivationCache(dirs[cfg.sae_layer])
     cache_tgt = ActivationCache(dirs[tgt])
-    if cache_in.total_tokens != cache_tgt.total_tokens:
-        raise ValueError(
-            f"Cache token counts differ: {cfg.sae_layer}={cache_in.total_tokens} "
-            f"vs {tgt}={cache_tgt.total_tokens} — layers must share spatial dims "
-            "and the caches must come from the same dump geometry"
-        )
+    # token pairing depends on identical shard geometry, not just counts: the
+    # shuffled iteration order is a function of shard count/size, so a cache
+    # inherited from a run with a different cache_tokens_per_step would zip x
+    # tokens against the WRONG y tokens silently
+    for field in ("total_tokens", "shard_tokens", "num_shards"):
+        a, b = cache_in.meta[field], cache_tgt.meta[field]
+        if a != b:
+            raise ValueError(
+                f"Cache {field} differs: {cfg.sae_layer}={a} vs {tgt}={b} — "
+                "layers must share spatial dims and both caches must come from "
+                "the same dump geometry (delete the stale one to re-dump)"
+            )
 
     from sparse_vision_tpu.ops.fused_sae import can_fuse
 

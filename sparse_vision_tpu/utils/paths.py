@@ -62,7 +62,7 @@ def model_params_dict(cfg: RunConfig) -> dict:
 
 def sae_params_dict(cfg: RunConfig) -> dict:
     # reference: execute_project.py:81-82
-    return {
+    d = {
         "sae_model_name": cfg.sae_model_name,
         "sae_epochs": cfg.sae_epochs,
         "learning_rate": cfg.sae_learning_rate,
@@ -72,6 +72,15 @@ def sae_params_dict(cfg: RunConfig) -> dict:
         "lambda_sparse": cfg.sae_lambda_sparse,
         "dead_neurons_steps": cfg.dead_neurons_steps,
     }
+    # transcoders: the TARGET layer is part of the run identity (two transcoders
+    # reading the same layer but predicting different ones must not collide on
+    # checkpoints/results/exports); non-transcoder identities are unchanged —
+    # the reference parameter-string contract has no such field
+    if getattr(cfg, "transcoder_target_layer", ""):
+        d["sae_model_name"] = (
+            f"{cfg.sae_model_name}-to-{cfg.transcoder_target_layer}"
+        )
+    return d
 
 
 def sae_params_no_epochs(cfg: RunConfig) -> dict:

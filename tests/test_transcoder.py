@@ -167,7 +167,7 @@ def test_transcoder_tensor_parallel_matches_single_device(tmp_path):
     ptp.frozen_params, ptp.net_state = p1.frozen_params, p1.net_state
     rtp = ptp.run()
     assert int(ptp.ts.step) == int(p1.ts.step) > 0
-    for k in ("sae_rec_loss", "sae_loss", "perc_dead_units"):
+    for k in ("sae_rec_loss", "sae_loss", "perc_dead_units", "sparsity"):
         np.testing.assert_allclose(float(rtp[k]), float(r1[k]), rtol=1e-4, err_msg=k)
     # the latent axis is genuinely sharded over 'model'
     shard_rows = {s.data.shape[0] for s in ptp.ts.params["W_dec"].addressable_shards}
@@ -184,6 +184,37 @@ def test_transcoder_int8_cache(tmp_path):
     r8 = p8.run()
     assert int(p8.ts.step) == int(p32.ts.step) > 0
     assert r8["sae_rec_loss"] == pytest.approx(r32["sae_rec_loss"], rel=0.05)
+
+
+def test_transcoder_target_layer_in_run_identity():
+    """Two transcoders reading the same layer but predicting different ones must
+    not collide on checkpoints/results/exports (run identity includes the
+    target; plain SAE identities are unchanged)."""
+    import dataclasses
+
+    from sparse_vision_tpu.utils.paths import run_id, sae_params_no_epochs
+
+    a = _cfg("/tmp/unused")
+    b = dataclasses.replace(a, transcoder_target_layer="fc3")
+    assert run_id(a) != run_id(b)
+    assert (tuple(sae_params_no_epochs(a).values())
+            != tuple(sae_params_no_epochs(b).values()))
+    plain = dataclasses.replace(a, sae_model_name="sae_mlp",
+                                transcoder_target_layer="")
+    assert "to-" not in run_id(plain)
+
+
+def test_transcoder_mismatched_cache_geometry_rejected(tmp_path):
+    """An input cache inherited from a run with a different tokens-per-step
+    geometry must be rejected, not silently mispaired."""
+    p1 = Pipeline(_cfg(tmp_path, cache_tokens_per_step=64, sae_epochs=1))
+    p1.run()  # dumps fc1 + fc2 at the 64-tps shard geometry
+    import shutil
+
+    shutil.rmtree(p1._cache_dir("fc2"))  # fc2 will re-dump at the new geometry
+    p2 = Pipeline(_cfg(tmp_path, cache_tokens_per_step=96, sae_epochs=1))
+    with pytest.raises(ValueError, match="shard_tokens"):
+        p2.run()
 
 
 def test_transcoder_validation(tmp_path):
