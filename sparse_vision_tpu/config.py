@@ -153,6 +153,12 @@ class RunConfig:
     # ImageNet path (data/activation_cache.py)
     use_activation_cache: bool = False
     cache_tokens_per_step: int = 4096
+    # end-to-end finetune after SAE training (arXiv:2503.17272, PAPERS.md): N
+    # short epochs minimizing KL(spliced || original) through the splice —
+    # directly improves the thesis' fidelity metrics (KLD/%same/loss_diff);
+    # sae_e2e_alpha_mse anchors with the reconstruction MSE (0 = pure KL)
+    sae_e2e_finetune_epochs: int = 0
+    sae_e2e_alpha_mse: float = 0.0
     # transcoder runs (sae_model_name="transcoder"): the layer whose activations
     # the dictionary PREDICTS; sae_layer is the layer it reads. Both layers must
     # share spatial dims (per-token map between channel spaces); see

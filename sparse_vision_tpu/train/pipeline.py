@@ -301,6 +301,10 @@ class Pipeline:
             )
         ckpt.wait_for_saves()
         self._export_sae_weights()
+        if cfg.sae_e2e_finetune_epochs > 0:
+            from sparse_vision_tpu.train.e2e_finetune import e2e_finetune
+
+            last_eval = e2e_finetune(self) or last_eval
         return last_eval
 
     # ------------------------------------------------------------------
@@ -641,6 +645,10 @@ class Pipeline:
             )
         ckpt.wait_for_saves()
         self._export_sae_weights()
+        if cfg.sae_e2e_finetune_epochs > 0:
+            from sparse_vision_tpu.train.e2e_finetune import e2e_finetune
+
+            last_eval = e2e_finetune(self) or last_eval
         return last_eval
 
     # ------------------------------------------------------------------

@@ -1,0 +1,72 @@
+"""End-to-end KL finetune after MSE training (train/e2e_finetune.py;
+arXiv:2503.17272 "a short finetune is all you need"): the spliced model's
+fidelity metrics must improve beyond what MSE training reached."""
+
+import numpy as np
+import pytest
+
+from sparse_vision_tpu.config import RunConfig
+from sparse_vision_tpu.train.pipeline import Pipeline
+
+
+def _cfg(d, **kw):
+    defaults = dict(
+        model_name="custom_mlp_9", sae_model_name="sae_mlp", sae_layer="fc1",
+        dataset_name="synthetic", directory_path=str(d),
+        sae_epochs=2, sae_batch_size=64, batch_size=64,
+        sae_learning_rate=1e-3, sae_optimizer_name="constrained_adam",
+        sae_lambda_sparse=0.1, sae_expansion_factor=2,
+        dead_neurons_steps=10_000, log_every=1000,
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_e2e_finetune_improves_kld(tmp_path):
+    """MSE-train, then 3 KL epochs: downstream KLD drops below the MSE-trained
+    model's, and the finetune's per-epoch checkpoints/results land after the
+    training epochs."""
+    from sparse_vision_tpu.eval_tools.results import read_results
+    from sparse_vision_tpu.train import checkpoint as ckpt
+
+    base = Pipeline(_cfg(tmp_path / "mse"))
+    r_mse = base.run()
+
+    ft = Pipeline(_cfg(tmp_path / "ft", sae_e2e_finetune_epochs=3))
+    ft.frozen_params, ft.net_state = base.frozen_params, base.net_state
+    r_ft = ft.run()
+    assert r_ft["kld"] < r_mse["kld"], (r_mse["kld"], r_ft["kld"])
+    assert r_ft["perc_same"] >= r_mse["perc_same"] - 0.02
+    # decoder rows stay unit-norm through the KL pass (ConstrainedAdam)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(ft.ts.params["W_dec"]), axis=1), 1.0, atol=1e-4
+    )
+    # finetune epochs checkpoint after the training epochs (resume-compatible)
+    assert ckpt.latest_epoch(ft._sae_ckpt_dir()) == 2 + 3
+    import os
+
+    rows = read_results(
+        os.path.join(ft.paths["evaluation_results"], "sae_eval_results.csv")
+    )
+    assert any(r["epochs"] == 5 for r in rows)
+
+
+def test_e2e_finetune_cached_path(tmp_path):
+    """The cached trainer runs the finetune too (activation-cache MSE epochs,
+    then image-driven KL epochs)."""
+    pipe = Pipeline(_cfg(
+        tmp_path, use_activation_cache=True, cache_tokens_per_step=64,
+        sae_epochs=1, sae_e2e_finetune_epochs=1,
+    ))
+    before = pipe.eval_modified(epoch=0, store=False)
+    r = pipe.run()
+    assert int(pipe.ts.step) > 0
+    assert r["kld"] < before["kld"]
+
+
+def test_e2e_finetune_alpha_mse_anchor(tmp_path):
+    """alpha_mse > 0 keeps the reconstruction from drifting while KL improves."""
+    pipe = Pipeline(_cfg(tmp_path, sae_epochs=1, sae_e2e_finetune_epochs=2,
+                         sae_e2e_alpha_mse=1.0))
+    r = pipe.run()
+    assert np.isfinite(r["sae_rec_loss"]) and np.isfinite(r["kld"])
