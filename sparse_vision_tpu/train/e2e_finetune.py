@@ -108,14 +108,14 @@ def e2e_finetune(pipe, epochs: Optional[int] = None) -> Optional[dict]:
     epochs = cfg.sae_e2e_finetune_epochs if epochs is None else epochs
     if epochs <= 0:
         return None
-    if pipe.mesh is not None:
-        import numpy as np
-
-        if int(np.prod(list(pipe.mesh.shape.values()))) > 1:
-            raise ValueError(
-                "e2e finetune is single-device in this version; run it as a "
-                "standalone pass on the exported weights"
-            )
+    if (pipe.mesh is not None and "model" in pipe.mesh.axis_names
+            and int(pipe.mesh.shape["model"]) > 1):
+        raise ValueError(
+            "e2e finetune does not support tensor-parallel meshes yet; run it "
+            "as a standalone single-device pass on the exported weights"
+        )
+    # data-only meshes work via GSPMD: pipe._batches places images sharded over
+    # 'data' and the replicated state flows through the jitted step unchanged
     step_fn = make_sae_e2e_finetune_step(
         pipe.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
         pipe.tx, alpha_mse=cfg.sae_e2e_alpha_mse,

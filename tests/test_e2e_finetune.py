@@ -64,6 +64,22 @@ def test_e2e_finetune_cached_path(tmp_path):
     assert r["kld"] < before["kld"]
 
 
+def test_e2e_finetune_data_mesh(tmp_path):
+    """The finetune runs under the 8-device data mesh via GSPMD (sharded image
+    batches, replicated SAE state) and matches the single-device result."""
+    p1 = Pipeline(_cfg(tmp_path / "single", sae_epochs=1,
+                       sae_e2e_finetune_epochs=1,
+                       use_activation_cache=True, cache_tokens_per_step=64))
+    r1 = p1.run()
+    p8 = Pipeline(_cfg(tmp_path / "mesh", sae_epochs=1,
+                       sae_e2e_finetune_epochs=1, mesh_shape=(8,),
+                       use_activation_cache=True, cache_tokens_per_step=64))
+    p8.frozen_params, p8.net_state = p1.frozen_params, p1.net_state
+    r8 = p8.run()
+    for k in ("kld", "sae_rec_loss"):
+        np.testing.assert_allclose(float(r8[k]), float(r1[k]), rtol=1e-4, err_msg=k)
+
+
 def test_e2e_finetune_alpha_mse_anchor(tmp_path):
     """alpha_mse > 0 keeps the reconstruction from drifting while KL improves."""
     pipe = Pipeline(_cfg(tmp_path, sae_epochs=1, sae_e2e_finetune_epochs=2,
