@@ -127,7 +127,10 @@ def e2e_finetune(pipe, epochs: Optional[int] = None) -> Optional[dict]:
 
     last_eval = None
     base_epoch = cfg.sae_epochs
-    for e in range(epochs):
+    # resume INTO the finetune: sae_checkpoint_epoch beyond the MSE epochs counts
+    # completed finetune epochs — run only the remainder, numbered continuously
+    done = max(0, cfg.sae_checkpoint_epoch - base_epoch)
+    for e in range(done, epochs):
         for b in pipe._batches(
             pipe.train_ds, cfg.sae_batch_size, shuffle=True,
             seed=cfg.seed + 1000 + e,

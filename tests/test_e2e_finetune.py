@@ -80,6 +80,30 @@ def test_e2e_finetune_data_mesh(tmp_path):
         np.testing.assert_allclose(float(r8[k]), float(r1[k]), rtol=1e-4, err_msg=k)
 
 
+def test_e2e_finetune_resume_runs_remainder(tmp_path):
+    """Resuming with sae_checkpoint_epoch past the MSE epochs runs only the
+    REMAINING finetune epochs, numbered continuously — matching the straight run."""
+    from sparse_vision_tpu.train import checkpoint as ckpt
+
+    kw = dict(sae_epochs=1, sae_e2e_finetune_epochs=2)
+    p_straight = Pipeline(_cfg(tmp_path / "straight", **kw))
+    r_straight = p_straight.run()
+
+    # stop after MSE + 1 finetune epoch, then resume for the remainder
+    p_a = Pipeline(_cfg(tmp_path / "resume", sae_epochs=1,
+                        sae_e2e_finetune_epochs=1))
+    p_a.frozen_params, p_a.net_state = p_straight.frozen_params, p_straight.net_state
+    p_a.run()
+    p_b = Pipeline(_cfg(tmp_path / "resume", sae_checkpoint_epoch=2, **kw))
+    p_b.frozen_params, p_b.net_state = p_straight.frozen_params, p_straight.net_state
+    r_b = p_b.run()
+    assert ckpt.latest_epoch(p_b._sae_ckpt_dir()) == 3
+    for k in ("kld", "sae_rec_loss"):
+        np.testing.assert_allclose(
+            float(r_b[k]), float(r_straight[k]), rtol=1e-4, err_msg=k
+        )
+
+
 def test_e2e_finetune_alpha_mse_anchor(tmp_path):
     """alpha_mse > 0 keeps the reconstruction from drifting while KL improves."""
     pipe = Pipeline(_cfg(tmp_path, sae_epochs=1, sae_e2e_finetune_epochs=2,
