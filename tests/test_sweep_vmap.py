@@ -340,6 +340,33 @@ def test_sweep_checkpoint_resume_matches_straight_run(tmp_path):
             )
 
 
+def test_transcoder_sweep_matches_individual_runs(tmp_path):
+    """Vmapped transcoder sweep (paired caches shared across combos) matches two
+    individual transcoder Pipelines."""
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    def tc_cfg(d, **kw):
+        return _base_cfg(
+            d, model_name="custom_mlp_8", sae_model_name="transcoder",
+            sae_layer="fc1", transcoder_target_layer="fc2", **kw,
+        )
+
+    overrides = [{"sae_lambda_sparse": 0.05}, {"sae_lambda_sparse": 0.3}]
+    sweep_results = train_sae_sweep_cached(tc_cfg(tmp_path / "sweep"), overrides)
+    assert len(sweep_results) == 2
+
+    ind = []
+    for ov in overrides:
+        p = Pipeline(dataclasses.replace(tc_cfg(tmp_path / "indiv"), **ov))
+        ind.append(p.train_sae())
+    for r_sweep, r_ind in zip(sweep_results, ind):
+        for k in ("sae_rec_loss", "sae_loss", "sparsity", "kld"):
+            np.testing.assert_allclose(
+                float(r_sweep[k]), float(r_ind[k]), rtol=1e-5, atol=1e-7,
+                err_msg=k,
+            )
+
+
 def test_sweep_validation():
     cfg = _base_cfg("/tmp/unused")
     with pytest.raises(ValueError, match="non-sweepable"):
