@@ -164,6 +164,12 @@ class RunConfig:
     # share spatial dims (per-token map between channel spaces); see
     # train/transcoder.py
     transcoder_target_layer: str = ""
+    # crosscoder runs (sae_model_name="crosscoder"): comma-separated ADDITIONAL
+    # layers beyond sae_layer that share the one sparse code; all layers must
+    # share spatial dims and be listed in network depth order with sae_layer
+    # shallowest (the eval splice replaces the deepest layer's activation).
+    # See models/crosscoder.py + train/crosscoder.py
+    crosscoder_layers: str = ""
     # on-disk dtype of the activation cache ("float32" | "bfloat16" | "int8");
     # bfloat16 halves cache bytes + host<->device transfer and matches the fused
     # kernels' matmul dtype (the production setting; docs/NORTHSTAR.md dumps bf16).
@@ -202,6 +208,12 @@ class RunConfig:
     @property
     def matryoshka_prefix_fractions(self) -> tuple:
         return tuple(float(f) for f in self.sae_matryoshka_prefixes.split(",") if f)
+
+    @property
+    def crosscoder_layer_list(self) -> tuple:
+        """The ADDITIONAL crosscoder layers (sae_layer is the anchor and is not
+        repeated here)."""
+        return tuple(s.strip() for s in self.crosscoder_layers.split(",") if s.strip())
 
     # ---- legacy conversion -------------------------------------------------
     @classmethod

@@ -205,3 +205,91 @@ def resample_dead_neurons_tp(
         fix_state, opt_state, is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState)
     )
     return new_params, new_opt_state
+
+
+def resample_dead_neurons_crosscoder(
+    params: dict,
+    opt_state,
+    dead_mask: jax.Array,  # bool [h], True = dead
+    key: jax.Array,
+) -> tuple[dict, object]:
+    """Dead-latent surgery for the crosscoder's flat multi-layer layout
+    (models/crosscoder.py: ``W_enc_i [d_i, h]``, ``b_enc [h]``,
+    ``W_dec_i [h, d_i]``, ``b_dec_i``).
+
+    Per layer, the sae_mlp recipe (resample_dead_neurons) applies to that
+    layer's encoder/decoder slices — with ONE deliberate difference: dead
+    decoder rows are re-drawn at the LIVE rows' mean norm of that layer and
+    there is NO final unit renormalization. Crosscoder decoder norms are free
+    parameters (they carry the per-layer feature-presence signal and weight the
+    L1 term, models/crosscoder.crosscoder_loss_terms), so the reference's
+    renorm-to-unit step (sae_mlp.py:141-143) would destroy exactly what the
+    variant measures. Adam moments of every dead slice are zeroed across all
+    per-layer entries.
+    """
+    from sparse_vision_tpu.models.crosscoder import crosscoder_num_layers
+
+    n_layers = crosscoder_num_layers(params)
+    live = ~dead_mask
+    n_live = jnp.maximum(jnp.sum(live), 1)
+    any_live = jnp.any(live)
+    h = dead_mask.shape[0]
+    keys = jax.random.split(key, 2 * n_layers)
+
+    new_params = dict(params)
+    b_enc = params["b_enc"]
+    avg_abs_b = jnp.where(
+        any_live, jnp.sum(jnp.where(live, jnp.abs(b_enc), 0.0)) / n_live, 0.0
+    )
+    new_params["b_enc"] = jnp.where(dead_mask, avg_abs_b, b_enc)
+
+    for i in range(n_layers):
+        w_enc = params[f"W_enc_{i}"]  # [d_i, h]
+        w_dec = params[f"W_dec_{i}"]  # [h, d_i]
+        d = w_enc.shape[0]
+        enc_norms = jnp.linalg.norm(w_enc, axis=0)  # [h]
+        avg_enc = jnp.where(
+            any_live, jnp.sum(jnp.where(live, enc_norms, 0.0)) / n_live, 1.0
+        )
+        new_enc_t = kaiming_uniform(keys[2 * i], (h, d), fan_in=d,
+                                    dtype=w_enc.dtype)
+        new_enc_t = (new_enc_t / jnp.linalg.norm(new_enc_t, axis=1,
+                                                 keepdims=True) * avg_enc)
+        new_params[f"W_enc_{i}"] = jnp.where(dead_mask[None, :], new_enc_t.T,
+                                             w_enc)
+
+        dec_norms = jnp.linalg.norm(w_dec, axis=1)  # [h]
+        avg_dec = jnp.where(
+            any_live, jnp.sum(jnp.where(live, dec_norms, 0.0)) / n_live, 1.0
+        )
+        new_dec_t = kaiming_uniform(keys[2 * i + 1], (d, h), fan_in=h,
+                                    dtype=w_dec.dtype)
+        new_dec_t = (new_dec_t / jnp.linalg.norm(new_dec_t, axis=0,
+                                                 keepdims=True) * avg_dec)
+        new_params[f"W_dec_{i}"] = jnp.where(dead_mask[:, None], new_dec_t.T,
+                                             w_dec)
+
+    def zero_dead_moments(moments: dict) -> dict:
+        out = dict(moments)
+        if "b_enc" in out:
+            out["b_enc"] = jnp.where(dead_mask, 0.0, out["b_enc"])
+        for i in range(n_layers):
+            ke, kd = f"W_enc_{i}", f"W_dec_{i}"
+            if ke in out:
+                out[ke] = jnp.where(dead_mask[None, :], 0.0, out[ke])
+            if kd in out:
+                out[kd] = jnp.where(dead_mask[:, None], 0.0, out[kd])
+        return out
+
+    def fix_state(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=s.count, mu=zero_dead_moments(s.mu),
+                nu=zero_dead_moments(s.nu),
+            )
+        return s
+
+    new_opt_state = jax.tree.map(
+        fix_state, opt_state, is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState)
+    )
+    return new_params, new_opt_state

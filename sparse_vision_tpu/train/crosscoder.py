@@ -1,0 +1,333 @@
+"""Crosscoder training: one shared sparse code over L layers' activations
+(beyond-reference variant; Lindsey et al. 2024 — see models/crosscoder.py for
+the math and the decoder-norm diffing readout).
+
+TPU-native fit: `dump_activations_multi` taps ALL L layers from one backbone
+pass into aligned token caches (identical shard geometry and token order), so
+training zips L cache iterators at memory bandwidth — the same paired-cache
+machinery as train/transcoder.py, generalized from 2 to L streams. The step's
+L encoder + L decoder matmuls are independent MXU contractions XLA fuses; the
+data-only mesh path is GSPMD placement of the unchanged jitted step (tokens
+shard over 'data', params replicated).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sparse_vision_tpu.models.crosscoder import (
+    crosscoder_decoder_norms,
+    crosscoder_inference_and_loss,
+)
+from sparse_vision_tpu.ops import metrics
+from sparse_vision_tpu.ops.resample import (
+    resample_dead_neurons_crosscoder,
+    should_reset_measurement,
+    should_resample,
+)
+from sparse_vision_tpu.train.steps import SAETrainState
+
+
+def make_crosscoder_train_step_from_acts(
+    lambda_sparse: float,
+    tx: optax.GradientTransformation,
+    dead_neurons_steps: int,
+    expansion_factor: int,
+):
+    """Jitted crosscoder step over pre-extracted aligned token batches:
+    ``(ts, xs: tuple of [T, d_l]) -> (ts, metrics)``. Same update skeleton as
+    make_sae_train_step_from_acts; resampling uses the multi-layer surgery
+    (ops/resample.resample_dead_neurons_crosscoder)."""
+
+    def loss_fn(params, xs):
+        out = crosscoder_inference_and_loss(params, xs, lambda_sparse)
+        return out["loss"], out
+
+    @jax.jit
+    def step_fn(ts: SAETrainState, xs: tuple):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, xs
+        )
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        step = ts.step + 1
+        dead, sparsity, _ = metrics.measure_inactive_units(
+            out["encoded"], expansion_factor
+        )
+        dead_acc = jnp.logical_and(ts.dead_acc, dead)
+        rng, sub = jax.random.split(ts.rng)
+
+        def do_resample(p, o, acc):
+            p2, o2 = resample_dead_neurons_crosscoder(p, o, acc, sub)
+            return p2, o2, jnp.ones_like(acc)
+
+        def no_resample(p, o, acc):
+            acc = jnp.where(
+                should_reset_measurement(step, dead_neurons_steps),
+                jnp.ones_like(acc), acc,
+            )
+            return p, o, acc
+
+        new_params, opt_state, dead_acc = jax.lax.cond(
+            should_resample(step, dead_neurons_steps),
+            do_resample, no_resample, new_params, opt_state, dead_acc,
+        )
+        m = {
+            "sae_loss": loss,
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sparsity": sparsity,
+            "perc_dead": jnp.sum(dead_acc) / dead_acc.shape[0],
+        }
+        return SAETrainState(new_params, opt_state, step, dead_acc, rng), m
+
+    return step_fn
+
+
+def make_crosscoder_multi_step(step_fn):
+    """One jitted dispatch over a tuple of [K, T, d_l] stacks (lax.scan; the
+    train state is DONATED, as in make_sae_train_multi_step)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(ts: SAETrainState, stacks: tuple):
+        def body(ts, xs):
+            return step_fn(ts, xs)
+
+        return jax.lax.scan(body, ts, stacks)
+
+    return multi
+
+
+def make_crosscoder_eval_step(
+    net,
+    layers: tuple,
+    lambda_sparse: float,
+    expansion_factor: int,
+    criterion,
+    last_stage: Optional[str] = None,
+):
+    """Eval step for the crosscoder-spliced model, shaped exactly like
+    make_sae_eval_step's output so Pipeline.eval_modified consumes it unchanged.
+
+    Splice semantics (the "acausal" readout of Lindsey et al. 2024): the code is
+    computed from the ORIGINAL activations of all L layers, and the DEEPEST
+    layer's activation is replaced by its reconstruction — logits_mod =
+    backbone -> taps(layers) -> crosscoder -> decoded[-1] ->
+    apply_segment(after=layers[-1]). ``layers`` must be in network depth order
+    (validated by train_crosscoder_cached). ``var_expl`` reports the deepest
+    layer (the spliced quantity); rec/nrmse follow the loss convention
+    (models/crosscoder.crosscoder_loss_terms)."""
+    last = last_stage or net.stage_names[-1]
+    deepest = layers[-1]
+
+    @jax.jit
+    def step_fn(params: dict, frozen_params: dict, frozen_state: dict,
+                images: jax.Array, labels: jax.Array):
+        logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
+        acts = tuple(taps[l] for l in layers)
+        out = crosscoder_inference_and_loss(params, acts, lambda_sparse)
+        logits_mod = net.apply_segment(
+            frozen_params, out["decoded"][-1], after=deepest, upto=last,
+            state=frozen_state,
+        )
+        loss_mod = criterion(logits_mod, labels)
+        loss_orig = criterion(logits_orig, labels)
+        dead, sparsity, freq = metrics.measure_inactive_units(
+            out["encoded"], expansion_factor
+        )
+        batch_metrics = {
+            "model_loss": loss_mod,
+            "loss_diff": loss_mod - loss_orig,
+            "accuracy": metrics.accuracy(logits_mod, labels),
+            "kld": metrics.kld_original_vs_modified(logits_orig, logits_mod),
+            "perc_same": metrics.perc_same_classification(logits_orig, logits_mod),
+            "sae_loss": out["loss"],
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sae_nrmse_loss": out["nrmse_loss"],
+            "sae_rmse_loss": out["rmse_loss"],
+            "sae_aux_loss": out["aux_loss"],
+            "sparsity": sparsity,
+            # variance explained of the SPLICED (deepest) layer's activation
+            "var_expl": metrics.variance_explained(
+                taps[deepest], out["decoded"][-1]
+            ),
+        }
+        arrays = {
+            "dead": dead,
+            "freq": freq,
+            "topk_acts": metrics.spatial_mean(out["encoded_pre"]),
+            "correct": jnp.sum(
+                (jnp.argmax(logits_mod, axis=1) == labels).astype(jnp.int32)
+            ),
+        }
+        return batch_metrics, arrays
+
+    return step_fn
+
+
+def save_decoder_norms(params: dict, layers: tuple, folder: str,
+                       name: str) -> str:
+    """Persist the model-diffing readout: per-layer per-latent decoder norms
+    as ``<name>_decoder_norms.csv`` (rows = latents, one column per layer plus
+    a ``share_<layer>`` fraction column) — the crosscoder's headline artifact
+    (Lindsey et al. 2024 §"Model Diffing": shared vs layer-specific features
+    read off exactly this matrix)."""
+    import pandas as pd
+
+    norms = np.asarray(crosscoder_decoder_norms(params))  # [L, h]
+    total = np.maximum(norms.sum(axis=0), 1e-12)
+    data = {"unit": np.arange(norms.shape[1])}
+    for i, layer in enumerate(layers):
+        data[f"norm_{layer}"] = norms[i]
+    for i, layer in enumerate(layers):
+        data[f"share_{layer}"] = norms[i] / total
+    os.makedirs(folder, exist_ok=True)
+    path = os.path.join(folder, f"{name}_decoder_norms.csv")
+    pd.DataFrame(data).to_csv(path, index=False)
+    return path
+
+
+def train_crosscoder_cached(pipe) -> Optional[dict]:
+    """Cached crosscoder training through a Pipeline: dump ALL L layers' caches
+    from one backbone pass, then train on zipped token stacks. Per-epoch
+    checkpoints, evals, results rows, and weight exports ride the Pipeline's
+    standard machinery; the decoder-norm diffing CSV is written next to the
+    exported weights."""
+    from sparse_vision_tpu.data.activation_cache import (
+        ActivationCache,
+        dump_activations_multi,
+    )
+    from sparse_vision_tpu.train import checkpoint as ckpt
+    from sparse_vision_tpu.utils.profiling import maybe_profile
+
+    cfg = pipe.cfg
+    layers = pipe.crosscoder_all_layers
+    if not cfg.use_activation_cache:
+        raise ValueError("crosscoder training requires use_activation_cache=True "
+                         "(aligned multi-layer caches from one backbone pass)")
+    if cfg.overlap_dump_train:
+        raise ValueError("overlap_dump_train is not supported for crosscoders "
+                         "(training zips L caches)")
+    if cfg.sae_optimizer_name == "constrained_adam":
+        raise ValueError(
+            "crosscoders need a plain optimizer (sae_optimizer_name='adam'): "
+            "ConstrainedAdam's unit-norm decoder invariant erases the per-layer "
+            "decoder-norm signal the variant exists to measure "
+            "(models/crosscoder.py)"
+        )
+    # int8 caches work through the host-dequant default of ActivationCache.stacks
+
+    dirs = {layer: pipe._cache_dir(layer) for layer in layers}
+    missing = [l for l, d in dirs.items()
+               if not os.path.exists(os.path.join(d, "meta.json"))]
+    if missing:
+        print(f"Building aligned activation caches for {missing} in one pass ...")
+        dump_activations_multi(
+            pipe.net, pipe.frozen_params, pipe.net_state, pipe.train_ds,
+            missing, dirs, **pipe._cache_dump_kwargs(),
+        )
+    caches = [ActivationCache(dirs[layer]) for layer in layers]
+    # token pairing depends on identical shard geometry, not just counts (the
+    # shuffled iteration order is a function of shard count/size) — same
+    # contract as train/transcoder.py
+    for field in ("total_tokens", "shard_tokens", "num_shards"):
+        vals = [c.meta[field] for c in caches]
+        if len(set(vals)) != 1:
+            raise ValueError(
+                f"Cache {field} differs across {layers}: {vals} — all layers "
+                "must share spatial dims and all caches must come from the same "
+                "dump geometry (delete stale ones to re-dump)"
+            )
+
+    mesh = pipe.mesh
+    n_data = int(mesh.shape["data"]) if mesh is not None else 1
+    if (mesh is not None and "model" in mesh.axis_names
+            and int(mesh.shape["model"]) > 1):
+        raise ValueError(
+            "tensor-parallel crosscoder training is not supported yet — use a "
+            "data-only mesh (the L-layer GSPMD data path shards tokens)"
+        )
+    tps = cfg.cache_tokens_per_step
+    if mesh is not None and tps % n_data:
+        raise ValueError(
+            f"cache_tokens_per_step={tps} not divisible by data mesh axis {n_data}"
+        )
+    if mesh is not None and n_data > 1:
+        from sparse_vision_tpu.parallel.sharded_steps import (
+            put_replicated_state,
+            put_tokens_sharded,
+        )
+
+        pipe.ts = put_replicated_state(mesh, pipe.ts)
+
+        def _put(xs, token_axis):
+            return tuple(
+                put_tokens_sharded(mesh, np.ascontiguousarray(x), token_axis)
+                for x in xs
+            )
+    else:
+        def _put(xs, token_axis):
+            return tuple(jnp.asarray(x) for x in xs)
+
+    step_fn = make_crosscoder_train_step_from_acts(
+        cfg.sae_lambda_sparse, pipe.tx, cfg.dead_neurons_steps,
+        cfg.sae_expansion_factor,
+    )
+    multi_fn = make_crosscoder_multi_step(step_fn)
+    scan_k = pipe.CACHE_SCAN_K
+    start = cfg.sae_checkpoint_epoch
+    last_eval = None
+    pipe.eval_modified(epoch=start, store=False)
+    for epoch in range(start, cfg.sae_epochs):
+        # identical (tokens_per_step, k, shuffle seed, shard geometry) => all L
+        # iterators visit the same token rows in the same order
+        its = [c.stacks(tps, scan_k, shuffle=True, seed=cfg.seed + epoch)
+               for c in caches]
+        with maybe_profile(cfg.profile_dir or None):
+            for stacks in zip(*its):
+                k0 = stacks[0].shape[0]
+                assert all(s.shape[0] == k0 for s in stacks)
+                if k0 == scan_k:
+                    xs = _put(tuple(np.asarray(s) for s in stacks), 1)
+                    pipe.ts, ms = multi_fn(pipe.ts, xs)
+                    pipe.logger.log_train(
+                        int(pipe.ts.step), {k: v[-1] for k, v in ms.items()}
+                    )
+                else:  # tail (< scan_k steps) runs single-step
+                    for toks in zip(*stacks):
+                        xt = _put(tuple(np.asarray(t) for t in toks), 0)
+                        pipe.ts, m = step_fn(pipe.ts, xt)
+                        pipe.logger.log_train(int(pipe.ts.step), m)
+        ckpt.save_checkpoint(
+            pipe._sae_ckpt_dir(), epoch + 1,
+            {
+                "params": pipe.ts.params,
+                "opt_state": pipe.ts.opt_state,
+                "step": pipe.ts.step,
+                "dead_acc": pipe.ts.dead_acc,
+            },
+            blocking=False,
+        )
+        last_eval = pipe.eval_modified(
+            epoch=epoch + 1, final=(epoch + 1 == cfg.sae_epochs)
+        )
+    ckpt.wait_for_saves()
+    pipe._export_sae_weights()
+    from sparse_vision_tpu.utils.paths import sae_params_no_epochs
+
+    name = f"{cfg.sae_layer}_" + "_".join(
+        str(v) for v in sae_params_no_epochs(cfg).values()
+    )
+    norms_path = save_decoder_norms(
+        jax.device_get(pipe.ts.params), layers, pipe.paths["sae_weights"], name
+    )
+    print(f"Saved crosscoder decoder-norm diffing CSV to {norms_path}")
+    return last_eval

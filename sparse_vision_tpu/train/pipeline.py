@@ -127,6 +127,32 @@ class Pipeline:
                     self.k_sae, self.sae_input_size, cfg.sae_expansion_factor,
                     self.transcoder_out_size,
                 )
+            elif cfg.sae_model_name == "crosscoder":
+                from sparse_vision_tpu.models.crosscoder import init_crosscoder
+
+                extra = cfg.crosscoder_layer_list
+                if not extra:
+                    raise ValueError(
+                        "sae_model_name='crosscoder' needs crosscoder_layers "
+                        "(additional layers beyond sae_layer)"
+                    )
+                layers = (cfg.sae_layer, *extra)
+                order = [self.net.stage_names.index(l) for l in layers]
+                if order != sorted(order) or len(set(layers)) != len(layers):
+                    raise ValueError(
+                        f"crosscoder layers must be distinct and in network "
+                        f"depth order with sae_layer shallowest (got {layers}; "
+                        f"stage order: {self.net.stage_names})"
+                    )
+                self.crosscoder_all_layers = layers
+                dims = tuple(
+                    get_sae_input_size(self.net, cfg.dataset_name, l)
+                    for l in layers
+                )
+                self.crosscoder_dims = dims
+                self.sae_params = init_crosscoder(
+                    self.k_sae, dims, cfg.sae_expansion_factor
+                )
             else:
                 self.sae_params = init_sae(
                     cfg.sae_model_name, self.k_sae, self.sae_input_size,
@@ -261,6 +287,10 @@ class Pipeline:
             from sparse_vision_tpu.train.transcoder import train_transcoder_cached
 
             return train_transcoder_cached(self)
+        if self.cfg.sae_model_name == "crosscoder":
+            from sparse_vision_tpu.train.crosscoder import train_crosscoder_cached
+
+            return train_crosscoder_cached(self)
         if self.cfg.use_activation_cache:
             return self.train_sae_cached()
         cfg = self.cfg
@@ -694,6 +724,17 @@ class Pipeline:
 
                 self._sae_eval_step_cache = make_transcoder_eval_step(
                     self.net, cfg.sae_layer, cfg.transcoder_target_layer,
+                    cfg.sae_lambda_sparse, cfg.sae_expansion_factor,
+                    self.criterion,
+                )
+                return self._sae_eval_step_cache
+            if cfg.sae_model_name == "crosscoder":
+                from sparse_vision_tpu.train.crosscoder import (
+                    make_crosscoder_eval_step,
+                )
+
+                self._sae_eval_step_cache = make_crosscoder_eval_step(
+                    self.net, self.crosscoder_all_layers,
                     cfg.sae_lambda_sparse, cfg.sae_expansion_factor,
                     self.criterion,
                 )

@@ -52,6 +52,16 @@ def to_torch_state_dict(params: dict, sae_model_name: str) -> dict:
     """Native pytree -> reference torch nn.Linear key layout (numpy values;
     callers torch.save after mapping through torch.from_numpy if needed)."""
     p = {k: np.asarray(v) for k, v in params.items()}
+    if sae_model_name == "crosscoder":
+        # per-layer nn.Linear layout (no reference counterpart — the variant is
+        # beyond-reference; keys follow the flat native scheme, transposed)
+        out = {"b_enc": p["b_enc"]}
+        n = sum(1 for k in p if k.startswith("W_enc_"))
+        for i in range(n):
+            out[f"encoder_{i}.weight"] = p[f"W_enc_{i}"].T  # [h, d_i]
+            out[f"decoder_{i}.weight"] = p[f"W_dec_{i}"].T  # [d_i, h]
+            out[f"decoder_{i}.bias"] = p[f"b_dec_{i}"]
+        return out
     if sae_model_name == "gated_sae":
         return {
             "W_gate": p["W_gate"].T,  # torch stores [h, d]
@@ -79,6 +89,14 @@ def _normalize_state_dict(sd: dict, sae_model_name: str) -> dict:
     inverse transposes into the math-convention layout."""
     sd = dict(sd)
     out: dict = {}
+    if sae_model_name == "crosscoder":
+        out["b_enc"] = np.asarray(sd["b_enc"])
+        n = sum(1 for k in sd if k.startswith("encoder_") and k.endswith(".weight"))
+        for i in range(n):
+            out[f"W_enc_{i}"] = np.asarray(sd[f"encoder_{i}.weight"]).T
+            out[f"W_dec_{i}"] = np.asarray(sd[f"decoder_{i}.weight"]).T
+            out[f"b_dec_{i}"] = np.asarray(sd[f"decoder_{i}.bias"])
+        return out
     if sae_model_name == "gated_sae":
         out["W_gate"] = np.asarray(sd["W_gate"]).T  # [h, d] -> [d, h]
         out["b_gate"] = np.asarray(sd["b_gate"])

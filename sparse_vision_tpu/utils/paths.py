@@ -80,6 +80,14 @@ def sae_params_dict(cfg: RunConfig) -> dict:
         d["sae_model_name"] = (
             f"{cfg.sae_model_name}-to-{cfg.transcoder_target_layer}"
         )
+    # crosscoders: the layer SET is part of the run identity (two crosscoders
+    # anchored at the same sae_layer but spanning different layers must not
+    # collide on checkpoints/results/exports)
+    if getattr(cfg, "crosscoder_layers", ""):
+        extra = "+".join(
+            s.strip() for s in cfg.crosscoder_layers.split(",") if s.strip()
+        )
+        d["sae_model_name"] = f"{d['sae_model_name']}-x-{extra}"
     return d
 
 
