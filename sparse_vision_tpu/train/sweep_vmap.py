@@ -349,6 +349,9 @@ def group_sweepable(
             # transcoder sweeps are single-device (train_transcoder_sweep_cached);
             # mesh transcoder entries run individually on their TP/GSPMD paths
             and not (base.sae_model_name == "transcoder" and base.mesh_shape)
+            # crosscoders have no vmapped sweep path yet (L-stream zip +
+            # free-norm weighted L1); run them individually
+            and base.sae_model_name != "crosscoder"
         )
         if eligible:
             groups.append(

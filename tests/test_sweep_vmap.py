@@ -273,6 +273,16 @@ def test_group_sweepable_partitions():
     g3, s3 = group_sweepable(seeds)
     assert not g3 and len(s3) == 3
 
+    # crosscoders have no vmapped sweep path — entries run individually
+    cc = [
+        dataclasses.replace(base, sae_model_name="crosscoder",
+                            crosscoder_layers="fc2,fc3", sae_optimizer_name="adam",
+                            sae_lambda_sparse=lv)
+        for lv in (0.1, 0.2)
+    ]
+    g4, s4 = group_sweepable(cc)
+    assert not g4 and len(s4) == 2
+
 
 def test_cli_vmap_sweep(tmp_path):
     """--run_pipeline --parameters --vmap_sweep trains grouped combos in one
