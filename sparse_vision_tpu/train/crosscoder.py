@@ -216,6 +216,12 @@ def train_crosscoder_cached(pipe) -> Optional[dict]:
     if cfg.overlap_dump_train:
         raise ValueError("overlap_dump_train is not supported for crosscoders "
                          "(training zips L caches)")
+    if cfg.sae_e2e_finetune_epochs > 0:
+        raise ValueError(
+            "sae_e2e_finetune_epochs is not supported for crosscoders (the KL "
+            "finetune step splices a single-layer SAE; the crosscoder splice "
+            "replaces the deepest layer from an L-layer code) — set it to 0"
+        )
     if cfg.sae_optimizer_name == "constrained_adam":
         raise ValueError(
             "crosscoders need a plain optimizer (sae_optimizer_name='adam'): "

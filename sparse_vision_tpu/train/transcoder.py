@@ -294,6 +294,12 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
     if cfg.overlap_dump_train:
         raise ValueError("overlap_dump_train is not supported for transcoders "
                          "(training zips two caches)")
+    if cfg.sae_e2e_finetune_epochs > 0:
+        raise ValueError(
+            "sae_e2e_finetune_epochs is not supported for transcoders (the KL "
+            "finetune step splices a same-layer SAE, not the segment-skip "
+            "transcoder splice) — set it to 0"
+        )
     # int8 caches work through the host-dequant default of ActivationCache.stacks
     # (the device-dequant pair plumbing would need two scales per step; the
     # paired-stack zip below reads float32 either way)

@@ -266,3 +266,42 @@ def test_crosscoder_data_mesh_matches_single_device(tmp_path):
     assert int(p8.ts.step) == int(p1.ts.step) > 0
     for k in ("sae_rec_loss", "sae_loss", "sparsity"):
         np.testing.assert_allclose(float(r8[k]), float(r1[k]), rtol=1e-4, err_msg=k)
+
+
+def test_crosscoder_mis_collect_then_score(tmp_path):
+    """MIS over crosscoder latents: the shared code's top-k collection rides
+    eval_modified unchanged (mis='1' saves the filename-index npz; mis='2'
+    scores it) — the npz contract is variant-agnostic (interp/mis.py)."""
+    Pipeline(_cfg(tmp_path, sae_epochs=1)).run()
+
+    collect = Pipeline(_cfg(tmp_path, sae_epochs=1, training=False, mis="1",
+                            sae_checkpoint_epoch=1))
+    collect.run()
+    fn_dir = os.path.join(collect.paths["evaluation_results"], "filename_indices")
+    saved = [f for f in os.listdir(fn_dir) if f.endswith("_epoch_1.npz")]
+    assert saved
+    data = np.load(os.path.join(fn_dir, saved[0]))
+    assert data["max_filename_indices"].shape[0] == 200  # n_mis*(k_mis+1)
+
+    score = Pipeline(_cfg(tmp_path, sae_epochs=1, training=False, mis="2",
+                          sae_checkpoint_epoch=1))
+    result = score.run()
+    assert 0.0 <= result["median_mis"] <= 1.0
+
+
+def test_crosscoder_and_transcoder_reject_e2e_finetune(tmp_path):
+    """sae_e2e_finetune_epochs must fail loudly for variants whose splice the
+    finetune step cannot express, not be silently ignored."""
+    with pytest.raises(ValueError, match="e2e_finetune"):
+        Pipeline(_cfg(tmp_path / "cc", sae_e2e_finetune_epochs=1)).run()
+    tc = RunConfig(
+        model_name="custom_mlp_8", sae_model_name="transcoder",
+        sae_layer="fc1", transcoder_target_layer="fc2",
+        dataset_name="synthetic", directory_path=str(tmp_path / "tc"),
+        sae_epochs=1, sae_batch_size=64, batch_size=64,
+        sae_expansion_factor=2, use_activation_cache=True,
+        cache_tokens_per_step=64, log_every=1000,
+        sae_e2e_finetune_epochs=1,
+    )
+    with pytest.raises(ValueError, match="e2e_finetune"):
+        Pipeline(tc).run()
