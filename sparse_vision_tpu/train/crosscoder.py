@@ -40,15 +40,32 @@ def make_crosscoder_train_step_from_acts(
     tx: optax.GradientTransformation,
     dead_neurons_steps: int,
     expansion_factor: int,
+    fused: bool = False,
+    fused_opts: Optional[dict] = None,
 ):
     """Jitted crosscoder step over pre-extracted aligned token batches:
     ``(ts, xs: tuple of [T, d_l]) -> (ts, metrics)``. Same update skeleton as
     make_sae_train_step_from_acts; resampling uses the multi-layer surgery
-    (ops/resample.resample_dead_neurons_crosscoder)."""
+    (ops/resample.resample_dead_neurons_crosscoder).
 
-    def loss_fn(params, xs):
-        out = crosscoder_inference_and_loss(params, xs, lambda_sparse)
-        return out["loss"], out
+    ``fused=True`` routes forward+loss+stats through the cat-space Pallas
+    kernels in ops/fused_crosscoder.py — the production path at circuit shapes
+    (parity: tests/test_fused_crosscoder.py)."""
+    if fused:
+        from sparse_vision_tpu.ops.fused_crosscoder import (
+            fused_crosscoder_loss_terms,
+        )
+
+        def loss_fn(params, xs):
+            out = fused_crosscoder_loss_terms(
+                params, xs, lambda_sparse, expansion_factor,
+                **(fused_opts or {}),
+            )
+            return out["loss"], out
+    else:
+        def loss_fn(params, xs):
+            out = crosscoder_inference_and_loss(params, xs, lambda_sparse)
+            return out["loss"], out
 
     @jax.jit
     def step_fn(ts: SAETrainState, xs: tuple):
@@ -58,9 +75,12 @@ def make_crosscoder_train_step_from_acts(
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
         step = ts.step + 1
-        dead, sparsity, _ = metrics.measure_inactive_units(
-            out["encoded"], expansion_factor
-        )
+        if fused:
+            dead, sparsity = out["dead"], out["sparsity"]
+        else:
+            dead, sparsity, _ = metrics.measure_inactive_units(
+                out["encoded"], expansion_factor
+            )
         dead_acc = jnp.logical_and(ts.dead_acc, dead)
         rng, sub = jax.random.split(ts.rng)
 
@@ -283,9 +303,21 @@ def train_crosscoder_cached(pipe) -> Optional[dict]:
         def _put(xs, token_axis):
             return tuple(jnp.asarray(x) for x in xs)
 
+    from sparse_vision_tpu.ops.fused_crosscoder import can_fuse
+
+    fused = (
+        cfg.use_pallas
+        and jax.default_backend() != "cpu"
+        and (mesh is None or n_data == 1)
+        and can_fuse(tps, pipe.num_units, tile_t=2048)
+    )
+    fused_opts = {
+        "compute_dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+        else jnp.float32
+    }
     step_fn = make_crosscoder_train_step_from_acts(
         cfg.sae_lambda_sparse, pipe.tx, cfg.dead_neurons_steps,
-        cfg.sae_expansion_factor,
+        cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
     )
     multi_fn = make_crosscoder_multi_step(step_fn)
     scan_k = pipe.CACHE_SCAN_K
