@@ -163,37 +163,8 @@ def make_fused_crosscoder_op(tile_t: int = 2048, tile_h: int = 2048,
         return a.astype(compute_dtype) if lowp else a
 
     def _forward_raw(params, x):
-        t, c = x.shape
-        h = params["b_enc"].shape[0]
-        tt, th = _pick_tiles(t, h, tile_t, tile_h)
-        kernel = functools.partial(_fwd_kernel, compute_dtype=compute_dtype)
-        recon, act_part, row_active, zsum_part = pl.pallas_call(
-            kernel,
-            grid=(t // tt, h // th),
-            in_specs=[
-                pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((c, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((th, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, th), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, th), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((t, c), jnp.float32),
-                jax.ShapeDtypeStruct((8 * t // tt, h), jnp.float32),
-                jax.ShapeDtypeStruct((t, 1), jnp.float32),
-                jax.ShapeDtypeStruct((8 * t // tt, h), jnp.float32),
-            ],
-            interpret=interpret,
-            compiler_params=_compiler_params(interpret),
-        )(
-            _cast(x), _cast(params["W_enc"]), params["b_enc"].reshape(1, h),
-            _cast(params["W_dec"]), params["b_dec"].reshape(1, c),
+        recon, act_part, row_active, zsum_part = _run_fwd(
+            params, x, tile_t, tile_h, compute_dtype, interpret, _cast
         )
         act_count = jnp.sum(act_part, axis=0)  # [H]
         zsum = jnp.sum(zsum_part, axis=0)  # [H] = Σ_T z_j
@@ -224,39 +195,11 @@ def make_fused_crosscoder_op(tile_t: int = 2048, tile_h: int = 2048,
         params, x, err = res
         t, c = x.shape
         h = params["b_enc"].shape[0]
-        tt, th = _pick_tiles(t, h, tile_t, tile_h)
         coeffs = jnp.array([[ct["rec_loss"] * 2.0 / (t * c)]], jnp.float32)
         ct_zsum = ct["zsum"].astype(jnp.float32).reshape(1, h)
-        kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype)
-        dw_enc, db_enc, dw_dec, db_dec = pl.pallas_call(
-            kernel,
-            grid=(h // th, t // tt),
-            in_specs=[
-                pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((c, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((th, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((c, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((th, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((c, h), jnp.float32),
-                jax.ShapeDtypeStruct((1, h), jnp.float32),
-                jax.ShapeDtypeStruct((h, c), jnp.float32),
-                jax.ShapeDtypeStruct((1, c), jnp.float32),
-            ],
-            interpret=interpret,
-            compiler_params=_compiler_params(interpret),
-        )(
-            _cast(x), _cast(params["W_enc"]), params["b_enc"].reshape(1, h),
-            _cast(params["W_dec"]), _cast(err), coeffs, ct_zsum,
+        dw_enc, db_enc, dw_dec, db_dec = _run_bwd(
+            params, x, err, coeffs, ct_zsum, tile_t, tile_h, compute_dtype,
+            interpret, _cast,
         )
         dparams = {
             "W_enc": dw_enc,
@@ -268,6 +211,81 @@ def make_fused_crosscoder_op(tile_t: int = 2048, tile_h: int = 2048,
 
     op.defvjp(op_fwd, op_bwd)
     return op
+
+
+def _run_fwd(params, x, tile_t, tile_h, compute_dtype, interpret, cast):
+    """The forward pallas_call on explicit cat-space operands (shared by the
+    single-device op and the TP op, which runs it on local latent shards)."""
+    t, c = x.shape
+    h = params["b_enc"].shape[0]
+    tt, th = _pick_tiles(t, h, tile_t, tile_h)
+    kernel = functools.partial(_fwd_kernel, compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(t // tt, h // th),
+        in_specs=[
+            pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tt, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, th), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, th), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, c), jnp.float32),
+            jax.ShapeDtypeStruct((8 * t // tt, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((8 * t // tt, h), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(
+        cast(x), cast(params["W_enc"]), params["b_enc"].reshape(1, h),
+        cast(params["W_dec"]), params["b_dec"].reshape(1, c),
+    )
+
+
+def _run_bwd(params, x, err, coeffs, ct_zsum, tile_t, tile_h, compute_dtype,
+             interpret, cast):
+    t, c = x.shape
+    h = params["b_enc"].shape[0]
+    tt, th = _pick_tiles(t, h, tile_t, tile_h)
+    kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(h // th, t // tt),
+        in_specs=[
+            pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(
+        cast(x), cast(params["W_enc"]), params["b_enc"].reshape(1, h),
+        cast(params["W_dec"]), cast(err), coeffs, ct_zsum,
+    )
 
 
 def fused_crosscoder_loss_terms(
@@ -336,4 +354,177 @@ def fused_crosscoder_loss_terms(
         "dead": out["dead"],
         "activity_freq": out["activity_freq"],
         "sparsity": jnp.mean(out["row_active"] / (h / expansion_factor)),
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_crosscoder_tp_op(n_data: int, n_model: int, tile_t: int = 2048,
+                                tile_h: int = 2048, compute_dtype=jnp.bfloat16,
+                                interpret: bool = False, data_axis: str = "data",
+                                model_axis: str = "model"):
+    """Tensor-parallel fused cat-space crosscoder op — MUST be called from
+    inside a shard_map over a (data, model) mesh.
+
+    ``op(cat_params_local, x_local, y_local, n_local)`` with the latent dim
+    sharded over 'model' (W_enc [ΣC, h_l], b_enc [h_l], W_dec [h_l, ΣC];
+    b_dec and the token shard's x/y replicated over 'model'). Per chip the
+    unchanged kernels produce a PARTIAL reconstruction; the full one is
+    ``psum_model(part) - (m-1)*b_dec``. ``n_local [h_l]`` is the per-latent
+    decoder-norm weight as a DIFFERENTIABLE argument: all collectives the
+    weighted L1 needs live inside this op's custom VJP (shard_map runs with
+    check_vma=False, where a differentiable psum outside a custom_vjp would
+    transpose to another psum and over-count replicated cotangents — the
+    reason every TP op here hand-writes its backward collectives). The n_j
+    -> W_dec gradient route continues OUTSIDE through the caller's local jnp
+    norm graph (collective-free). Loss scalars and gradients come out GLOBAL:
+    do not pmean again."""
+    lowp = compute_dtype != jnp.float32
+
+    def cast(a):
+        return a.astype(compute_dtype) if lowp else a
+
+    axes_both = (data_axis, model_axis)
+
+    def _forward_raw(params, x):
+        recon_part, act_part, row_active, zsum_part = _run_fwd(
+            params, x, tile_t, tile_h, compute_dtype, interpret, cast
+        )
+        recon = jax.lax.psum(recon_part, model_axis) - (n_model - 1) * params[
+            "b_dec"
+        ].reshape(1, -1)
+        act_count = jnp.sum(act_part, axis=0)  # [H_local], local batch
+        zsum = jnp.sum(zsum_part, axis=0)  # [H_local], local tokens
+        return recon, act_count, row_active, zsum
+
+    def _assemble(params, x, y, n_local, recon, act_count, row_active, zsum):
+        t_l = x.shape[0]
+        h_l = params["b_enc"].shape[0]
+        t_g = t_l * n_data
+        h_g = h_l * n_model
+        err = recon - y
+        return {
+            "rec_loss": jax.lax.pmean(jnp.mean(jnp.square(err)), data_axis),
+            # decoder-norm-weighted L1: global over tokens AND latent shards
+            "l1_loss": jax.lax.psum(jnp.dot(zsum, n_local), axes_both)
+            / (t_g * h_g),
+            "recon": recon,
+            "dead": jax.lax.psum(act_count, data_axis) == 0,
+            "activity_freq": jax.lax.psum(act_count, data_axis) / t_g,
+            "row_active": jax.lax.psum(row_active[:, 0], model_axis),
+        }
+
+    @jax.custom_vjp
+    def op(params, x, y, n_local):
+        return _assemble(params, x, y, n_local, *_forward_raw(params, x))
+
+    def op_fwd(params, x, y, n_local):
+        recon, act_count, row_active, zsum = _forward_raw(params, x)
+        out = _assemble(params, x, y, n_local, recon, act_count, row_active,
+                        zsum)
+        return out, (params, x, recon - y, n_local, zsum)
+
+    def op_bwd(res, ct):
+        params, x, err, n_local, zsum = res
+        t_l = x.shape[0]
+        h_l = params["b_enc"].shape[0]
+        c = x.shape[1]
+        t_g = t_l * n_data
+        h_g = h_l * n_model
+        coeffs = jnp.array(
+            [[ct["rec_loss"] * 2.0 / (t_g * c)]], jnp.float32
+        )
+        # d l1 / d z[t, j] = n_j / (t_g * h_g): per-latent vector, local
+        ct_zsum = (
+            ct["l1_loss"] * n_local / (t_g * h_g)
+        ).astype(jnp.float32).reshape(1, h_l)
+        dw_enc, db_enc, dw_dec, db_dec = _run_bwd(
+            params, x, err, coeffs, ct_zsum, tile_t, tile_h, compute_dtype,
+            interpret, cast,
+        )
+        dparams = {
+            "W_enc": jax.lax.psum(dw_enc, data_axis),
+            "b_enc": jax.lax.psum(db_enc[0], data_axis),
+            "W_dec": jax.lax.psum(dw_dec, data_axis),
+            # identical on every model chip (err is): 'data' psum only
+            "b_dec": jax.lax.psum(db_dec[0], data_axis),
+        }
+        # d l1 / d n_j = psum_data(zsum_j) / (t_g * h_g): each data chip's
+        # token sum multiplies the same (h-local) weight
+        dn = ct["l1_loss"] * jax.lax.psum(zsum, data_axis) / (t_g * h_g)
+        return dparams, jnp.zeros_like(x), jnp.zeros_like(err), dn
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def fused_crosscoder_tp_loss_terms(
+    params: dict, xs: tuple, lambda_sparse: float, expansion_factor: int,
+    n_data: int, n_model: int, *, tile_t: int = 2048, tile_h: int = 2048,
+    compute_dtype=jnp.bfloat16, interpret: bool = False,
+) -> dict:
+    """TP twin of fused_crosscoder_loss_terms (call inside shard_map over a
+    (data, model) mesh; ``params`` are the flat per-layer LOCAL latent shards,
+    ``xs`` the per-layer local token shards replicated over 'model'). The
+    concat/scale reduction and the n_j weight graph are local jnp; the
+    collectives live inside make_fused_crosscoder_tp_op. NRMSE/RMSE report the
+    ANCHOR layer with 'data'-axis collectives (global per-dim max/min), so the
+    values match the single-device op exactly."""
+    from sparse_vision_tpu.models.crosscoder import crosscoder_num_layers
+
+    n_layers = crosscoder_num_layers(params)
+    assert len(xs) == n_layers, (len(xs), n_layers)
+    dims = tuple(int(x.shape[1]) for x in xs)
+    csum = sum(dims)
+    h_l = params["b_enc"].shape[0]
+    h_g = h_l * n_model
+    s = jnp.concatenate(
+        [jnp.full((d,), (csum / d) ** 0.5, jnp.float32) for d in dims]
+    )
+    w_dec_cat = jnp.concatenate(
+        [params[f"W_dec_{i}"] for i in range(n_layers)], axis=1
+    )
+    cat_params = {
+        "W_enc": jnp.concatenate(
+            [params[f"W_enc_{i}"] for i in range(n_layers)], axis=0
+        ),
+        "b_enc": params["b_enc"],
+        "W_dec": w_dec_cat * s[None, :],
+        "b_dec": jnp.concatenate(
+            [params[f"b_dec_{i}"] for i in range(n_layers)]
+        ) * s,
+    }
+    x_cat = jnp.concatenate(xs, axis=1)
+    n_local = sum(
+        jnp.linalg.norm(params[f"W_dec_{i}"], axis=1) for i in range(n_layers)
+    )
+    op = make_fused_crosscoder_tp_op(
+        n_data, n_model, tile_t, tile_h, compute_dtype, interpret
+    )
+    out = op(cat_params, x_cat, x_cat * s[None, :], n_local)
+    # anchor-layer RMSE/NRMSE (global over 'data'; stop-grad metrics)
+    s0 = (csum / dims[0]) ** 0.5
+    recon0 = jax.lax.stop_gradient(out["recon"][:, : dims[0]]) / s0
+    y0 = xs[0]
+    sq = jnp.square(recon0 - jax.lax.stop_gradient(y0))
+    sample_mse = jax.lax.pmean(jnp.mean(sq, axis=0), "data")
+    sample_range = jax.lax.pmax(jnp.max(y0, axis=0), "data") - jax.lax.pmin(
+        jnp.min(y0, axis=0), "data"
+    )
+    sample_rmse = jnp.sqrt(sample_mse)
+    _valid = sample_range > 0
+    _nrmse = jnp.sum(
+        jnp.where(_valid, sample_rmse / jnp.where(_valid, sample_range, 1.0), 0.0)
+    ) / jnp.maximum(jnp.sum(_valid), 1)
+    return {
+        "loss": out["rec_loss"] + lambda_sparse * out["l1_loss"],
+        "rec_loss": out["rec_loss"],
+        "l1_loss": out["l1_loss"],
+        "nrmse_loss": _nrmse,
+        "rmse_loss": jnp.mean(sample_rmse),
+        "aux_loss": jnp.zeros((), jnp.float32),
+        "dead": out["dead"],
+        "activity_freq": out["activity_freq"],
+        "sparsity": jax.lax.pmean(
+            jnp.mean(out["row_active"] / (h_g / expansion_factor)), "data"
+        ),
     }

@@ -293,3 +293,100 @@ def resample_dead_neurons_crosscoder(
         fix_state, opt_state, is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState)
     )
     return new_params, new_opt_state
+
+
+def resample_dead_neurons_crosscoder_tp(
+    params: dict,
+    opt_state,
+    dead_mask: jax.Array,  # bool [h_local], True = dead — the chip's latent shard
+    key: jax.Array,  # REPLICATED across the mesh
+    n_model: int,
+    model_axis: str = "model",
+) -> tuple[dict, object]:
+    """resample_dead_neurons_crosscoder under a 'model'-sharded latent axis
+    (shard_map body) — the resample_dead_neurons_tp construction: every chip
+    draws the FULL global per-layer Kaiming matrices from the replicated key
+    and slices its own latent rows (the per-latent normalizations slice
+    cleanly), while live-latent statistics psum over ``model_axis``. With the
+    same key and dead mask this reproduces the single-device crosscoder
+    surgery bit-for-bit per shard. Decoder norms stay free (no unit renorm) —
+    the crosscoder's diffing signal."""
+    from sparse_vision_tpu.models.crosscoder import crosscoder_num_layers
+
+    n_layers = crosscoder_num_layers(params)
+    h_l = dead_mask.shape[0]
+    h_g = h_l * n_model
+    live = ~dead_mask
+    n_live_g = jnp.maximum(jax.lax.psum(jnp.sum(live), model_axis), 1)
+    any_live = jax.lax.psum(jnp.sum(live.astype(jnp.int32)), model_axis) > 0
+    keys = jax.random.split(key, 2 * n_layers)
+    k_idx = jax.lax.axis_index(model_axis)
+
+    new_params = dict(params)
+    b_enc = params["b_enc"]  # [h_l]
+    avg_abs_b = jnp.where(
+        any_live,
+        jax.lax.psum(jnp.sum(jnp.where(live, jnp.abs(b_enc), 0.0)), model_axis)
+        / n_live_g,
+        0.0,
+    )
+    new_params["b_enc"] = jnp.where(dead_mask, avg_abs_b, b_enc)
+
+    for i in range(n_layers):
+        w_enc = params[f"W_enc_{i}"]  # [d_i, h_l]
+        w_dec = params[f"W_dec_{i}"]  # [h_l, d_i]
+        d = w_enc.shape[0]
+        enc_norms = jnp.linalg.norm(w_enc, axis=0)  # [h_l]
+        avg_enc = jnp.where(
+            any_live,
+            jax.lax.psum(jnp.sum(jnp.where(live, enc_norms, 0.0)), model_axis)
+            / n_live_g,
+            1.0,
+        )
+        new_enc_t = kaiming_uniform(keys[2 * i], (h_g, d), fan_in=d,
+                                    dtype=w_enc.dtype)
+        new_enc_t = (new_enc_t / jnp.linalg.norm(new_enc_t, axis=1,
+                                                 keepdims=True) * avg_enc)
+        new_enc_t = jax.lax.dynamic_slice_in_dim(new_enc_t, k_idx * h_l, h_l, 0)
+        new_params[f"W_enc_{i}"] = jnp.where(dead_mask[None, :], new_enc_t.T,
+                                             w_enc)
+
+        dec_norms = jnp.linalg.norm(w_dec, axis=1)  # [h_l]
+        avg_dec = jnp.where(
+            any_live,
+            jax.lax.psum(jnp.sum(jnp.where(live, dec_norms, 0.0)), model_axis)
+            / n_live_g,
+            1.0,
+        )
+        new_dec_t = kaiming_uniform(keys[2 * i + 1], (d, h_g), fan_in=h_g,
+                                    dtype=w_dec.dtype)
+        new_dec_t = (new_dec_t / jnp.linalg.norm(new_dec_t, axis=0,
+                                                 keepdims=True) * avg_dec)
+        new_dec_t = jax.lax.dynamic_slice_in_dim(new_dec_t, k_idx * h_l, h_l, 1)
+        new_params[f"W_dec_{i}"] = jnp.where(dead_mask[:, None], new_dec_t.T,
+                                             w_dec)
+
+    def zero_dead_moments(moments: dict) -> dict:
+        out = dict(moments)
+        if "b_enc" in out:
+            out["b_enc"] = jnp.where(dead_mask, 0.0, out["b_enc"])
+        for i in range(n_layers):
+            ke, kd = f"W_enc_{i}", f"W_dec_{i}"
+            if ke in out:
+                out[ke] = jnp.where(dead_mask[None, :], 0.0, out[ke])
+            if kd in out:
+                out[kd] = jnp.where(dead_mask[:, None], 0.0, out[kd])
+        return out
+
+    def fix_state(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=s.count, mu=zero_dead_moments(s.mu),
+                nu=zero_dead_moments(s.nu),
+            )
+        return s
+
+    new_opt_state = jax.tree.map(
+        fix_state, opt_state, is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState)
+    )
+    return new_params, new_opt_state

@@ -57,6 +57,16 @@ def sae_param_sharding(mesh: Mesh, params: dict) -> dict:
         "log_threshold": P("model"),  # jumprelu per-latent thresholds [h]
         "b_dec": P(),
     }
-    return {
-        k: NamedSharding(mesh, spec_by_name.get(k, P())) for k in params
-    }
+
+    def spec(k):
+        if k in spec_by_name:
+            return spec_by_name[k]
+        # crosscoder flat per-layer keys (models/crosscoder.py): W_enc_i [d_i, h]
+        # shards h (axis 1), W_dec_i [h, d_i] shards h (axis 0), b_dec_i replicated
+        if k.startswith("W_enc_"):
+            return P(None, "model")
+        if k.startswith("W_dec_"):
+            return P("model", None)
+        return P()
+
+    return {k: NamedSharding(mesh, spec(k)) for k in params}

@@ -111,6 +111,97 @@ def make_crosscoder_train_step_from_acts(
     return step_fn
 
 
+def make_tp_crosscoder_train_step(
+    mesh,
+    ts_placed: SAETrainState,
+    lambda_sparse: float,
+    tx: optax.GradientTransformation,
+    dead_neurons_steps: int,
+    expansion_factor: int,
+    fused_opts: Optional[dict] = None,
+):
+    """Tensor-parallel fused crosscoder step: ``step(ts, xs)`` with the latent
+    dim sharded over 'model', tokens over 'data', the fused cat-space kernels
+    per chip (ops/fused_crosscoder.make_fused_crosscoder_tp_op), and the
+    TP-aware multi-layer resample (resample_dead_neurons_crosscoder_tp).
+    Mirrors train/transcoder.make_tp_transcoder_train_step."""
+    from jax.sharding import PartitionSpec as P
+
+    from sparse_vision_tpu.ops.fused_crosscoder import (
+        fused_crosscoder_tp_loss_terms,
+    )
+    from sparse_vision_tpu.ops.resample import (
+        resample_dead_neurons_crosscoder_tp,
+    )
+    from sparse_vision_tpu.parallel.sharded_steps import shard_map
+
+    n_data = int(mesh.shape["data"])
+    n_model = int(mesh.shape["model"])
+    opts = dict(fused_opts or {})
+
+    def local_loss(params, xs):
+        out = fused_crosscoder_tp_loss_terms(
+            params, xs, lambda_sparse, expansion_factor, n_data, n_model,
+            **opts,
+        )
+        return out["loss"], out
+
+    def shard_body(ts: SAETrainState, *xs_local):
+        (loss, out), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            ts.params, tuple(xs_local)
+        )
+        # grads are already GLOBAL (psums live inside the op's custom_vjp)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        step = ts.step + 1
+        dead_acc = jnp.logical_and(ts.dead_acc, out["dead"])
+        rng, sub = jax.random.split(ts.rng)
+
+        def do_resample(p, o, acc):
+            p2, o2 = resample_dead_neurons_crosscoder_tp(p, o, acc, sub, n_model)
+            return p2, o2, jnp.ones_like(acc)
+
+        def no_resample(p, o, acc):
+            acc = jnp.where(
+                should_reset_measurement(step, dead_neurons_steps),
+                jnp.ones_like(acc), acc,
+            )
+            return p, o, acc
+
+        new_params, opt_state, dead_acc = jax.lax.cond(
+            should_resample(step, dead_neurons_steps),
+            do_resample, no_resample, new_params, opt_state, dead_acc,
+        )
+        h_g = dead_acc.shape[0] * n_model
+        m = {
+            "sae_loss": loss,
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sparsity": out["sparsity"],
+            "perc_dead": jax.lax.psum(jnp.sum(dead_acc), "model") / h_g,
+        }
+        return SAETrainState(new_params, opt_state, step, dead_acc, rng), m
+
+    state_specs = jax.tree.map(lambda x: x.sharding.spec, ts_placed)
+    n_streams = sum(1 for k in ts_placed.params if k.startswith("W_enc_"))
+    sharded = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(state_specs,) + (P("data", None),) * n_streams,
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step_fn(ts: SAETrainState, xs: tuple):
+        if xs[0].shape[0] % n_data:
+            raise ValueError(
+                f"token count {xs[0].shape[0]} not divisible by data={n_data}"
+            )
+        return sharded(ts, *xs)
+
+    return step_fn
+
+
 def make_crosscoder_multi_step(step_fn):
     """One jitted dispatch over a tuple of [K, T, d_l] stacks (lax.scan; the
     train state is DONATED, as in make_sae_train_multi_step)."""
@@ -273,52 +364,83 @@ def train_crosscoder_cached(pipe) -> Optional[dict]:
                 "dump geometry (delete stale ones to re-dump)"
             )
 
+    from sparse_vision_tpu.ops.fused_crosscoder import can_fuse
+
     mesh = pipe.mesh
     n_data = int(mesh.shape["data"]) if mesh is not None else 1
-    if (mesh is not None and "model" in mesh.axis_names
-            and int(mesh.shape["model"]) > 1):
-        raise ValueError(
-            "tensor-parallel crosscoder training is not supported yet — use a "
-            "data-only mesh (the L-layer GSPMD data path shards tokens)"
-        )
+    tensor_parallel = (
+        mesh is not None and "model" in mesh.axis_names
+        and int(mesh.shape["model"]) > 1
+    )
     tps = cfg.cache_tokens_per_step
     if mesh is not None and tps % n_data:
         raise ValueError(
             f"cache_tokens_per_step={tps} not divisible by data mesh axis {n_data}"
         )
-    if mesh is not None and n_data > 1:
-        from sparse_vision_tpu.parallel.sharded_steps import (
-            put_replicated_state,
-            put_tokens_sharded,
-        )
-
-        pipe.ts = put_replicated_state(mesh, pipe.ts)
-
-        def _put(xs, token_axis):
-            return tuple(
-                put_tokens_sharded(mesh, np.ascontiguousarray(x), token_axis)
-                for x in xs
-            )
-    else:
-        def _put(xs, token_axis):
-            return tuple(jnp.asarray(x) for x in xs)
-
-    from sparse_vision_tpu.ops.fused_crosscoder import can_fuse
-
-    fused = (
-        cfg.use_pallas
-        and jax.default_backend() != "cpu"
-        and (mesh is None or n_data == 1)
-        and can_fuse(tps, pipe.num_units, tile_t=2048)
-    )
     fused_opts = {
         "compute_dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32
     }
-    step_fn = make_crosscoder_train_step_from_acts(
-        cfg.sae_lambda_sparse, pipe.tx, cfg.dead_neurons_steps,
-        cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
-    )
+    if tensor_parallel:
+        # latent dim shards over 'model': fused TP cat-space kernels on local
+        # shards when they tile, else a clear error (stock GSPMD cannot place
+        # the weighted-L1 norm graph + L-layer decode correctly)
+        from sparse_vision_tpu.parallel.tensor_parallel import (
+            put_tokens_tp,
+            put_tp_state,
+        )
+
+        n_model = int(mesh.shape["model"])
+        if pipe.num_units % n_model or not can_fuse(
+            tps // n_data, pipe.num_units // n_model, tile_t=2048
+        ):
+            raise ValueError(
+                f"TP crosscoder needs latents ({pipe.num_units}) divisible by "
+                f"the model axis ({n_model}) and tile-compatible local shards"
+            )
+        interp = jax.devices()[0].platform == "cpu"
+        if interp:
+            fused_opts.update(interpret=True, compute_dtype=jnp.float32)
+        pipe.ts = put_tp_state(mesh, pipe.ts)
+        step_fn = make_tp_crosscoder_train_step(
+            mesh, pipe.ts, cfg.sae_lambda_sparse, pipe.tx,
+            cfg.dead_neurons_steps, cfg.sae_expansion_factor,
+            fused_opts=fused_opts,
+        )
+
+        def _put(xs, token_axis):
+            return tuple(
+                put_tokens_tp(mesh, np.ascontiguousarray(x), token_axis)
+                for x in xs
+            )
+    else:
+        if mesh is not None and n_data > 1:
+            from sparse_vision_tpu.parallel.sharded_steps import (
+                put_replicated_state,
+                put_tokens_sharded,
+            )
+
+            pipe.ts = put_replicated_state(mesh, pipe.ts)
+
+            def _put(xs, token_axis):
+                return tuple(
+                    put_tokens_sharded(mesh, np.ascontiguousarray(x), token_axis)
+                    for x in xs
+                )
+        else:
+            def _put(xs, token_axis):
+                return tuple(jnp.asarray(x) for x in xs)
+
+        fused = (
+            cfg.use_pallas
+            and jax.default_backend() != "cpu"
+            and (mesh is None or n_data == 1)
+            and can_fuse(tps, pipe.num_units, tile_t=2048)
+        )
+        step_fn = make_crosscoder_train_step_from_acts(
+            cfg.sae_lambda_sparse, pipe.tx, cfg.dead_neurons_steps,
+            cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
+        )
     multi_fn = make_crosscoder_multi_step(step_fn)
     scan_k = pipe.CACHE_SCAN_K
     start = cfg.sae_checkpoint_epoch

@@ -238,9 +238,6 @@ def test_crosscoder_validation(tmp_path):
     # ConstrainedAdam would erase the decoder-norm diffing signal
     with pytest.raises(ValueError, match="plain optimizer"):
         Pipeline(_cfg(tmp_path, sae_optimizer_name="constrained_adam")).run()
-    # TP meshes are not supported for crosscoders
-    with pytest.raises(ValueError, match="tensor-parallel"):
-        Pipeline(_cfg(tmp_path, mesh_shape=(2, 4))).run()
 
 
 def test_crosscoder_layers_in_run_identity():
@@ -253,6 +250,26 @@ def test_crosscoder_layers_in_run_identity():
             != tuple(sae_params_no_epochs(b).values()))
     plain = dataclasses.replace(a, sae_model_name="sae_mlp", crosscoder_layers="")
     assert "-x-" not in run_id(plain)
+
+
+def test_crosscoder_tensor_parallel_matches_single_device(tmp_path):
+    """(2, 4)-mesh TP crosscoder (fused interpret cat-space kernels, latent dim
+    sharded over 'model', TP multi-layer resample) matches the single-device
+    stock run across a resample boundary."""
+    p1 = Pipeline(_cfg(tmp_path / "single", sae_epochs=1, dead_neurons_steps=3))
+    r1 = p1.run()
+    ptp = Pipeline(_cfg(tmp_path / "tp", sae_epochs=1, dead_neurons_steps=3,
+                        mesh_shape=(2, 4)))
+    ptp.frozen_params, ptp.net_state = p1.frozen_params, p1.net_state
+    rtp = ptp.run()
+    assert int(ptp.ts.step) == int(p1.ts.step) > 0
+    for k in ("sae_rec_loss", "sae_loss", "perc_dead_units", "sparsity"):
+        np.testing.assert_allclose(float(rtp[k]), float(r1[k]), rtol=1e-4, err_msg=k)
+    # the latent axis is genuinely sharded over 'model' in every layer's params
+    for key in ("W_dec_0", "W_dec_2"):
+        shard_rows = {s.data.shape[0]
+                      for s in ptp.ts.params[key].addressable_shards}
+        assert shard_rows == {ptp.num_units // 4}, (key, shard_rows)
 
 
 def test_crosscoder_data_mesh_matches_single_device(tmp_path):
