@@ -322,3 +322,15 @@ def test_crosscoder_and_transcoder_reject_e2e_finetune(tmp_path):
     )
     with pytest.raises(ValueError, match="e2e_finetune"):
         Pipeline(tc).run()
+
+
+def test_crosscoder_int8_cache(tmp_path):
+    """Crosscoder training from int8 aligned caches (host-dequant read path)
+    stays close to the float32-cache run."""
+    p32 = Pipeline(_cfg(tmp_path / "f32", sae_epochs=1))
+    r32 = p32.run()
+    p8 = Pipeline(_cfg(tmp_path / "i8", sae_epochs=1, cache_dtype="int8"))
+    p8.frozen_params, p8.net_state = p32.frozen_params, p32.net_state
+    r8 = p8.run()
+    assert int(p8.ts.step) == int(p32.ts.step) > 0
+    assert r8["sae_rec_loss"] == pytest.approx(r32["sae_rec_loss"], rel=0.05)
