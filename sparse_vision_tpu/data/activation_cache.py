@@ -361,6 +361,57 @@ def stream_stacks(
         )
 
 
+def overlapped_multi_dump(
+    net, params, state, dataset, layers: list[str], out_dirs: dict[str, str],
+    **dump_kwargs,
+) -> tuple[dict[str, queue.Queue], "threading.Thread"]:
+    """Start ``dump_activations_multi`` on a background thread with one overlap
+    queue per layer: each layer's shard paths arrive in dump order, ``None`` =
+    dump finished, a BaseException (put on EVERY queue so any blocked consumer
+    wakes) = dump failed. The zip consumer is :func:`stream_stacks_zip`; the
+    on-disk caches stay byte-identical to the sequential mode's."""
+    import threading
+
+    qs = {l: queue.Queue() for l in layers}
+
+    def _producer():
+        try:
+            dump_activations_multi(
+                net, params, state, dataset, layers, out_dirs,
+                shard_queues=qs, **dump_kwargs,
+            )
+            for q in qs.values():
+                q.put(None)
+        except BaseException as e:  # forwarded to every stream consumer
+            for q in qs.values():
+                q.put(e)
+
+    t = threading.Thread(target=_producer, daemon=True)
+    t.start()
+    return qs, t
+
+
+def stream_stacks_zip(
+    shard_queues: list,
+    tokens_per_step: int,
+    k: int,
+    logical_dtype: str = "float32",
+) -> Iterator[tuple]:
+    """Zip :func:`stream_stacks` over L ALIGNED overlap queues: yields tuples of
+    [k', tokens_per_step, C_l] stacks, one per layer, while the multi-layer dump
+    is still writing — the transcoder/crosscoder dump-train overlap consumer.
+
+    Alignment is structural: dump_activations_multi writes every layer's shard i
+    from the same batch window before any layer's shard i+1, and all layers
+    share (shard_tokens, token order), so the L stream_stacks generators yield
+    identical block counts and the blocking zip can never deadlock."""
+    its = [
+        stream_stacks(q, tokens_per_step, k, logical_dtype=logical_dtype)
+        for q in shard_queues
+    ]
+    yield from zip(*its)
+
+
 class ActivationCache:
     """Memory-mapped shard reader with one-shard-ahead background prefetch."""
 

@@ -312,11 +312,8 @@ def train_crosscoder_cached(pipe) -> Optional[dict]:
     checkpoints, evals, results rows, and weight exports ride the Pipeline's
     standard machinery; the decoder-norm diffing CSV is written next to the
     exported weights."""
-    from sparse_vision_tpu.data.activation_cache import (
-        ActivationCache,
-        dump_activations_multi,
-    )
     from sparse_vision_tpu.train import checkpoint as ckpt
+    from sparse_vision_tpu.train.paired_caches import epoch_stacks, prepare_caches
     from sparse_vision_tpu.utils.profiling import maybe_profile
 
     cfg = pipe.cfg
@@ -324,9 +321,6 @@ def train_crosscoder_cached(pipe) -> Optional[dict]:
     if not cfg.use_activation_cache:
         raise ValueError("crosscoder training requires use_activation_cache=True "
                          "(aligned multi-layer caches from one backbone pass)")
-    if cfg.overlap_dump_train:
-        raise ValueError("overlap_dump_train is not supported for crosscoders "
-                         "(training zips L caches)")
     if cfg.sae_e2e_finetune_epochs > 0:
         raise ValueError(
             "sae_e2e_finetune_epochs is not supported for crosscoders (the KL "
@@ -343,26 +337,7 @@ def train_crosscoder_cached(pipe) -> Optional[dict]:
     # int8 caches work through the host-dequant default of ActivationCache.stacks
 
     dirs = {layer: pipe._cache_dir(layer) for layer in layers}
-    missing = [l for l, d in dirs.items()
-               if not os.path.exists(os.path.join(d, "meta.json"))]
-    if missing:
-        print(f"Building aligned activation caches for {missing} in one pass ...")
-        dump_activations_multi(
-            pipe.net, pipe.frozen_params, pipe.net_state, pipe.train_ds,
-            missing, dirs, **pipe._cache_dump_kwargs(),
-        )
-    caches = [ActivationCache(dirs[layer]) for layer in layers]
-    # token pairing depends on identical shard geometry, not just counts (the
-    # shuffled iteration order is a function of shard count/size) — same
-    # contract as train/transcoder.py
-    for field in ("total_tokens", "shard_tokens", "num_shards"):
-        vals = [c.meta[field] for c in caches]
-        if len(set(vals)) != 1:
-            raise ValueError(
-                f"Cache {field} differs across {layers}: {vals} — all layers "
-                "must share spatial dims and all caches must come from the same "
-                "dump geometry (delete stale ones to re-dump)"
-            )
+    stream_qs, dump_thread, caches = prepare_caches(pipe, layers, dirs)
 
     from sparse_vision_tpu.ops.fused_crosscoder import can_fuse
 
@@ -447,12 +422,13 @@ def train_crosscoder_cached(pipe) -> Optional[dict]:
     last_eval = None
     pipe.eval_modified(epoch=start, store=False)
     for epoch in range(start, cfg.sae_epochs):
-        # identical (tokens_per_step, k, shuffle seed, shard geometry) => all L
-        # iterators visit the same token rows in the same order
-        its = [c.stacks(tps, scan_k, shuffle=True, seed=cfg.seed + epoch)
-               for c in caches]
+        # aligned L-tuple iterator: streamed from the overlapped dump on the
+        # first epoch, zipped shuffled readers afterwards (train/paired_caches.py)
+        stacks_it, caches = epoch_stacks(
+            pipe, layers, dirs, epoch, start, stream_qs, dump_thread, caches
+        )
         with maybe_profile(cfg.profile_dir or None):
-            for stacks in zip(*its):
+            for stacks in stacks_it:
                 k0 = stacks[0].shape[0]
                 assert all(s.shape[0] == k0 for s in stacks)
                 if k0 == scan_k:

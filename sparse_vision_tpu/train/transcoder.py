@@ -277,11 +277,8 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
     from one backbone pass, then train on zipped token stacks. Per-epoch
     checkpoints, evals, results rows, and weight exports are produced by the
     Pipeline's standard machinery."""
-    from sparse_vision_tpu.data.activation_cache import (
-        ActivationCache,
-        dump_activations_multi,
-    )
     from sparse_vision_tpu.train import checkpoint as ckpt
+    from sparse_vision_tpu.train.paired_caches import epoch_stacks, prepare_caches
     from sparse_vision_tpu.utils.profiling import maybe_profile
 
     cfg = pipe.cfg
@@ -291,9 +288,6 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
     if not cfg.use_activation_cache:
         raise ValueError("transcoder training requires use_activation_cache=True "
                          "(paired-layer caches from one backbone pass)")
-    if cfg.overlap_dump_train:
-        raise ValueError("overlap_dump_train is not supported for transcoders "
-                         "(training zips two caches)")
     if cfg.sae_e2e_finetune_epochs > 0:
         raise ValueError(
             "sae_e2e_finetune_epochs is not supported for transcoders (the KL "
@@ -304,29 +298,9 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
     # (the device-dequant pair plumbing would need two scales per step; the
     # paired-stack zip below reads float32 either way)
 
-    dirs = {layer: pipe._cache_dir(layer) for layer in (cfg.sae_layer, tgt)}
-    missing = [l for l, d in dirs.items()
-               if not os.path.exists(os.path.join(d, "meta.json"))]
-    if missing:
-        print(f"Building paired activation caches for {missing} in one pass ...")
-        dump_activations_multi(
-            pipe.net, pipe.frozen_params, pipe.net_state, pipe.train_ds,
-            missing, dirs, **pipe._cache_dump_kwargs(),
-        )
-    cache_in = ActivationCache(dirs[cfg.sae_layer])
-    cache_tgt = ActivationCache(dirs[tgt])
-    # token pairing depends on identical shard geometry, not just counts: the
-    # shuffled iteration order is a function of shard count/size, so a cache
-    # inherited from a run with a different cache_tokens_per_step would zip x
-    # tokens against the WRONG y tokens silently
-    for field in ("total_tokens", "shard_tokens", "num_shards"):
-        a, b = cache_in.meta[field], cache_tgt.meta[field]
-        if a != b:
-            raise ValueError(
-                f"Cache {field} differs: {cfg.sae_layer}={a} vs {tgt}={b} — "
-                "layers must share spatial dims and both caches must come from "
-                "the same dump geometry (delete the stale one to re-dump)"
-            )
+    layers = (cfg.sae_layer, tgt)
+    dirs = {layer: pipe._cache_dir(layer) for layer in layers}
+    stream_qs, dump_thread, caches = prepare_caches(pipe, layers, dirs)
 
     from sparse_vision_tpu.ops.fused_sae import can_fuse
 
@@ -409,12 +383,13 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
     last_eval = None
     pipe.eval_modified(epoch=start, store=False)
     for epoch in range(start, cfg.sae_epochs):
-        # identical (tokens_per_step, k, shuffle seed, shard geometry) => the two
-        # iterators visit the same token rows in the same order
-        it_in = cache_in.stacks(tps, scan_k, shuffle=True, seed=cfg.seed + epoch)
-        it_tgt = cache_tgt.stacks(tps, scan_k, shuffle=True, seed=cfg.seed + epoch)
+        # aligned pair iterator: streamed from the overlapped dump on the first
+        # epoch, zipped shuffled cache readers afterwards (train/paired_caches.py)
+        paired_it, caches = epoch_stacks(
+            pipe, layers, dirs, epoch, start, stream_qs, dump_thread, caches
+        )
         with maybe_profile(cfg.profile_dir or None):
-            for x_stack, y_stack in zip(it_in, it_tgt):
+            for x_stack, y_stack in paired_it:
                 assert x_stack.shape[0] == y_stack.shape[0]
                 if x_stack.shape[0] == scan_k:
                     xs, ys = _put_pair(

@@ -334,3 +334,25 @@ def test_crosscoder_int8_cache(tmp_path):
     r8 = p8.run()
     assert int(p8.ts.step) == int(p32.ts.step) > 0
     assert r8["sae_rec_loss"] == pytest.approx(r32["sae_rec_loss"], rel=0.05)
+
+
+def test_crosscoder_overlap_dump_train(tmp_path):
+    """overlap_dump_train=True streams the first epoch from the overlapped
+    3-layer dump (zipped aligned shard queues) and leaves byte-identical
+    caches on disk."""
+    p_seq = Pipeline(_cfg(tmp_path / "seq"))
+    p_seq.run()
+    p_ovl = Pipeline(_cfg(tmp_path / "ovl", overlap_dump_train=True))
+    p_ovl.run()
+    assert int(p_ovl.ts.step) == int(p_seq.ts.step) > 0
+    for layer in ("fc1", "fc2", "fc3"):
+        seq_dir = p_seq._cache_dir(layer)
+        ovl_dir = p_ovl._cache_dir(layer)
+        shards = sorted(f for f in os.listdir(seq_dir) if f.endswith(".npy"))
+        assert shards == sorted(
+            f for f in os.listdir(ovl_dir) if f.endswith(".npy")
+        )
+        for f in shards:
+            a = open(os.path.join(seq_dir, f), "rb").read()
+            b = open(os.path.join(ovl_dir, f), "rb").read()
+            assert a == b, f"{layer}/{f} differs between sequential and overlapped"

@@ -222,3 +222,40 @@ def test_transcoder_validation(tmp_path):
         Pipeline(_cfg(tmp_path, transcoder_target_layer=""))
     with pytest.raises(ValueError, match="use_activation_cache"):
         Pipeline(_cfg(tmp_path / "b", use_activation_cache=False)).train_sae()
+
+
+def test_transcoder_overlap_dump_train(tmp_path):
+    """overlap_dump_train=True streams the first epoch from the overlapped
+    paired dump (zipped aligned shard queues), leaves byte-identical caches on
+    disk, and later epochs read the completed caches."""
+    p_seq = Pipeline(_cfg(tmp_path / "seq"))
+    p_seq.run()
+    p_ovl = Pipeline(_cfg(tmp_path / "ovl", overlap_dump_train=True))
+    p_ovl.run()
+    assert int(p_ovl.ts.step) == int(p_seq.ts.step) > 0
+    for layer in ("fc1", "fc2"):
+        seq_dir = p_seq._cache_dir(layer)
+        ovl_dir = p_ovl._cache_dir(layer)
+        shards = sorted(f for f in os.listdir(seq_dir) if f.endswith(".npy"))
+        assert shards == sorted(
+            f for f in os.listdir(ovl_dir) if f.endswith(".npy")
+        )
+        for f in shards:
+            a = open(os.path.join(seq_dir, f), "rb").read()
+            b = open(os.path.join(ovl_dir, f), "rb").read()
+            assert a == b, f"{layer}/{f} differs between sequential and overlapped"
+
+
+def test_transcoder_overlap_partial_cache_falls_back(tmp_path):
+    """When only SOME caches exist, overlap mode dumps the missing ones
+    sequentially (a fresh stream cannot zip against an existing cache) and the
+    run still completes."""
+    import shutil
+
+    p1 = Pipeline(_cfg(tmp_path, sae_epochs=1))
+    p1.run()
+    shutil.rmtree(p1._cache_dir("fc2"))
+    p2 = Pipeline(_cfg(tmp_path, sae_epochs=1, overlap_dump_train=True,
+                       sae_learning_rate=2e-3))
+    p2.run()
+    assert int(p2.ts.step) > 0
