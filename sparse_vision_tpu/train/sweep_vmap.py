@@ -346,12 +346,11 @@ def group_sweepable(
             and not base.overlap_dump_train
             and base.mis == "0"
             and base.compute_ie == "0"
-            # transcoder sweeps are single-device (train_transcoder_sweep_cached);
-            # mesh transcoder entries run individually on their TP/GSPMD paths
-            and not (base.sae_model_name == "transcoder" and base.mesh_shape)
-            # crosscoders have no vmapped sweep path yet (L-stream zip +
-            # free-norm weighted L1); run them individually
-            and base.sae_model_name != "crosscoder"
+            # transcoder/crosscoder sweeps are single-device (their
+            # train_*_sweep_cached versions); mesh entries run individually on
+            # their TP/GSPMD paths
+            and not (base.sae_model_name in ("transcoder", "crosscoder")
+                     and base.mesh_shape)
         )
         if eligible:
             groups.append(
@@ -405,6 +404,8 @@ def train_sae_sweep_cached(
 
     if base_cfg.sae_model_name == "transcoder":
         return train_transcoder_sweep_cached(base_cfg, overrides, datasets=datasets)
+    if base_cfg.sae_model_name == "crosscoder":
+        return train_crosscoder_sweep_cached(base_cfg, overrides, datasets=datasets)
     _validate_overrides(base_cfg, overrides)
     cfgs = [
         dataclasses.replace(
@@ -717,4 +718,214 @@ def train_transcoder_sweep_cached(
     ckpt.wait_for_saves()
     for p in pipes:
         p._export_sae_weights()
+    return last_evals
+
+
+def make_crosscoder_sweep_step(
+    lambdas: Sequence[float],
+    learning_rates: Sequence[float],
+    optimizer_name: str,
+    dead_neurons_steps: int,
+    expansion_factor: int,
+):
+    """Crosscoder twin of make_sae_sweep_step: ``(SweepState, xs: tuple of
+    [T, d_l]) -> (SweepState, metrics)`` — N combos share ONE tuple of aligned
+    activation streams (train/crosscoder.py). Resampling is the multi-layer
+    surgery (resample_dead_neurons_crosscoder), vmapped per combo outside the
+    per-step cond like every sweep step here."""
+    from sparse_vision_tpu.models.crosscoder import crosscoder_inference_and_loss
+    from sparse_vision_tpu.ops.resample import resample_dead_neurons_crosscoder
+
+    lambdas = jnp.asarray(list(lambdas), jnp.float32)
+    lrs = jnp.asarray(list(learning_rates), jnp.float32)
+    if lambdas.shape != lrs.shape:
+        raise ValueError("lambdas and learning_rates must have equal length")
+    if optimizer_name == "constrained_adam":
+        raise ValueError(
+            "crosscoders need a plain optimizer (train/crosscoder.py): "
+            "ConstrainedAdam would erase the decoder-norm diffing signal"
+        )
+
+    def combo_update(params, opt_state, dead_acc, rng, lam, lr, xs):
+        tx = optim.get_optimizer(optimizer_name, lr)
+
+        def loss_fn(p):
+            out = crosscoder_inference_and_loss(p, xs, lam)
+            return out["loss"], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        dead, sparsity, _ = metrics.measure_inactive_units(
+            out["encoded"], expansion_factor
+        )
+        dead_acc = jnp.logical_and(dead_acc, dead)
+        rng, sub = jax.random.split(rng)
+        m = {
+            "sae_loss": loss,
+            "sae_rec_loss": out["rec_loss"],
+            "sae_l1_loss": out["l1_loss"],
+            "sparsity": sparsity,
+            "perc_dead": jnp.sum(dead_acc) / dead_acc.shape[0],
+        }
+        return params, opt_state, dead_acc, rng, sub, m
+
+    @jax.jit
+    def step_fn(ss: SweepState, xs: tuple):
+        step = ss.step + 1
+        params, opt_state, dead_acc, rngs, subs, m = jax.vmap(
+            combo_update, in_axes=(0, 0, 0, 0, 0, 0, None)
+        )(ss.params, ss.opt_state, ss.dead_acc, ss.rngs, lambdas, lrs, xs)
+
+        def do_resample(p, o, acc):
+            p2, o2 = jax.vmap(resample_dead_neurons_crosscoder)(p, o, acc, subs)
+            return p2, o2, jnp.ones_like(acc)
+
+        def no_resample(p, o, acc):
+            acc = jnp.where(
+                should_reset_measurement(step, dead_neurons_steps),
+                jnp.ones_like(acc), acc,
+            )
+            return p, o, acc
+
+        params, opt_state, dead_acc = jax.lax.cond(
+            should_resample(step, dead_neurons_steps),
+            do_resample, no_resample, params, opt_state, dead_acc,
+        )
+        return SweepState(params, opt_state, step, dead_acc, rngs), m
+
+    return step_fn
+
+
+def train_crosscoder_sweep_cached(
+    base_cfg: RunConfig,
+    overrides: Sequence[dict],
+    datasets=None,
+) -> list[dict]:
+    """Vmapped crosscoder sweep: N (lambda, lr, seed) combos of one L-layer
+    crosscoder train in ONE step off the shared ALIGNED caches
+    (train/crosscoder.py dumps all layers in one backbone pass). Artifacts per
+    combo match individual runs, including the per-combo decoder-norm diffing
+    CSV; single-device in this version (mesh crosscoder runs execute
+    individually)."""
+    import os as _os
+
+    from sparse_vision_tpu.train import checkpoint as ckpt
+    from sparse_vision_tpu.train.crosscoder import (
+        make_crosscoder_multi_step,
+        save_decoder_norms,
+    )
+    from sparse_vision_tpu.train.paired_caches import open_validated, prepare_caches
+    from sparse_vision_tpu.train.pipeline import Pipeline
+    from sparse_vision_tpu.utils.paths import sae_params_no_epochs
+
+    _validate_overrides(base_cfg, overrides)
+    if base_cfg.mesh_shape:
+        raise ValueError(
+            "crosscoder sweeps are single-device; drop mesh_shape (mesh "
+            "crosscoder runs execute individually)"
+        )
+    cfgs = [
+        dataclasses.replace(
+            base_cfg, **{**ov, "use_activation_cache": True, "training": True}
+        )
+        for ov in overrides
+    ]
+
+    pipes: list = []
+    for cfg in cfgs:
+        p = Pipeline(cfg, datasets=datasets)
+        if datasets is None:
+            datasets = (p.train_ds, p.val_ds, p.category_names, p.img_size)
+        if pipes:
+            p.frozen_params = pipes[0].frozen_params
+            p.net_state = pipes[0].net_state
+            p._model_ckpt_epoch = pipes[0]._model_ckpt_epoch
+        pipes.append(p)
+
+    ckpt_dirs = [p._sae_ckpt_dir() for p in pipes]
+    if len(set(ckpt_dirs)) != len(ckpt_dirs):
+        raise ValueError("Duplicate sweep combos (identical run identities)")
+    starts = {p.cfg.sae_checkpoint_epoch for p in pipes}
+    if len(starts) != 1:
+        raise ValueError(f"Combos disagree on sae_checkpoint_epoch: {sorted(starts)}")
+    start = starts.pop()
+
+    p0 = pipes[0]
+    layers = p0.crosscoder_all_layers
+    dirs = {layer: p0._cache_dir(layer) for layer in layers}
+    missing = [l for l, d in dirs.items()
+               if not _os.path.exists(_os.path.join(d, "meta.json"))]
+    if missing:
+        from sparse_vision_tpu.data.activation_cache import dump_activations_multi
+
+        print(f"Building aligned activation caches for {missing} in one pass ...")
+        dump_activations_multi(
+            p0.net, p0.frozen_params, p0.net_state, p0.train_ds,
+            missing, dirs, **p0._cache_dump_kwargs(),
+        )
+    caches = open_validated(dirs, layers)
+
+    step_fn = make_crosscoder_sweep_step(
+        [p.cfg.sae_lambda_sparse for p in pipes],
+        [p.cfg.sae_learning_rate for p in pipes],
+        base_cfg.sae_optimizer_name,
+        base_cfg.dead_neurons_steps,
+        base_cfg.sae_expansion_factor,
+    )
+    multi_fn = make_crosscoder_multi_step(step_fn)
+    ss = stack_sae_states([p.ts for p in pipes])
+
+    def scatter_states():
+        for i, p in enumerate(pipes):
+            p.ts = unstack_sae_state(ss, i)
+
+    def log_all(step: int, metrics_, last: bool):
+        host = {k: np.asarray(v[-1] if last else v) for k, v in metrics_.items()}
+        for i, p in enumerate(pipes):
+            p.logger.log_train(step, {k: float(host[k][i]) for k in host})
+
+    scan_k = p0.CACHE_SCAN_K
+    tps = base_cfg.cache_tokens_per_step
+    last_evals: list = [None] * len(pipes)
+    scatter_states()
+    for p in pipes:
+        p.eval_modified(epoch=start, store=False)
+    for epoch in range(start, base_cfg.sae_epochs):
+        its = [c.stacks(tps, scan_k, shuffle=True, seed=base_cfg.seed + epoch)
+               for c in caches]
+        for stacks in zip(*its):
+            if stacks[0].shape[0] == scan_k:
+                ss, ms = multi_fn(
+                    ss, tuple(jnp.asarray(np.asarray(s)) for s in stacks)
+                )
+                log_all(int(ss.step), ms, last=True)
+            else:
+                for toks in zip(*stacks):
+                    ss, m = step_fn(ss, tuple(jnp.asarray(t) for t in toks))
+                    log_all(int(ss.step), m, last=False)
+        scatter_states()
+        for i, p in enumerate(pipes):
+            ckpt.save_checkpoint(
+                ckpt_dirs[i], epoch + 1,
+                {
+                    "params": p.ts.params,
+                    "opt_state": p.ts.opt_state,
+                    "step": p.ts.step,
+                    "dead_acc": p.ts.dead_acc,
+                },
+                blocking=False,
+            )
+            last_evals[i] = p.eval_modified(
+                epoch=epoch + 1, final=(epoch + 1 == base_cfg.sae_epochs)
+            )
+    ckpt.wait_for_saves()
+    for p in pipes:
+        p._export_sae_weights()
+        name = f"{p.cfg.sae_layer}_" + "_".join(
+            str(v) for v in sae_params_no_epochs(p.cfg).values()
+        )
+        save_decoder_norms(
+            jax.device_get(p.ts.params), layers, p.paths["sae_weights"], name
+        )
     return last_evals

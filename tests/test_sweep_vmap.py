@@ -273,7 +273,8 @@ def test_group_sweepable_partitions():
     g3, s3 = group_sweepable(seeds)
     assert not g3 and len(s3) == 3
 
-    # crosscoders have no vmapped sweep path — entries run individually
+    # crosscoder entries group (train_crosscoder_sweep_cached) — except under a
+    # mesh, where they run individually on their TP/GSPMD paths
     cc = [
         dataclasses.replace(base, sae_model_name="crosscoder",
                             crosscoder_layers="fc2,fc3", sae_optimizer_name="adam",
@@ -281,7 +282,10 @@ def test_group_sweepable_partitions():
         for lv in (0.1, 0.2)
     ]
     g4, s4 = group_sweepable(cc)
-    assert not g4 and len(s4) == 2
+    assert len(g4) == 1 and not s4
+    cc_mesh = [dataclasses.replace(c, mesh_shape=(8,)) for c in cc]
+    g5, s5 = group_sweepable(cc_mesh)
+    assert not g5 and len(s5) == 2
 
 
 def test_cli_vmap_sweep(tmp_path):
@@ -387,3 +391,38 @@ def test_sweep_validation():
         train_sae_sweep_cached(
             dataclasses.replace(cfg, training=False), [{"sae_lambda_sparse": 0.1}]
         )
+
+
+def test_crosscoder_sweep_matches_individual_runs(tmp_path):
+    """Vmapped crosscoder sweep (L aligned caches shared across combos) matches
+    two individual crosscoder Pipelines, incl. per-combo diffing CSVs."""
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    def cc_cfg(d, **kw):
+        return _base_cfg(
+            d, model_name="custom_mlp_3", sae_model_name="crosscoder",
+            sae_layer="fc1", crosscoder_layers="fc2,fc3",
+            sae_optimizer_name="adam", **kw,
+        )
+
+    overrides = [{"sae_lambda_sparse": 0.05}, {"sae_lambda_sparse": 0.3}]
+    sweep_results = train_sae_sweep_cached(cc_cfg(tmp_path / "sweep"), overrides)
+    assert len(sweep_results) == 2
+
+    ind = []
+    for ov in overrides:
+        p = Pipeline(dataclasses.replace(cc_cfg(tmp_path / "indiv"), **ov))
+        ind.append(p.train_sae())
+    for r_sweep, r_ind in zip(sweep_results, ind):
+        for k in ("sae_rec_loss", "sae_loss", "sparsity", "kld"):
+            np.testing.assert_allclose(
+                float(r_sweep[k]), float(r_ind[k]), rtol=1e-5, atol=1e-7,
+                err_msg=k,
+            )
+    # each combo exported its own decoder-norm diffing CSV
+    folder = os.path.join(
+        str(tmp_path / "sweep"), "custom_mlp_3", "synthetic",
+        "sae_weights_crosscoder",
+    )
+    csvs = [f for f in os.listdir(folder) if f.endswith("_decoder_norms.csv")]
+    assert len(csvs) == 2, csvs
