@@ -108,14 +108,13 @@ def e2e_finetune(pipe, epochs: Optional[int] = None) -> Optional[dict]:
     epochs = cfg.sae_e2e_finetune_epochs if epochs is None else epochs
     if epochs <= 0:
         return None
-    if (pipe.mesh is not None and "model" in pipe.mesh.axis_names
-            and int(pipe.mesh.shape["model"]) > 1):
-        raise ValueError(
-            "e2e finetune does not support tensor-parallel meshes yet; run it "
-            "as a standalone single-device pass on the exported weights"
-        )
-    # data-only meshes work via GSPMD: pipe._batches places images sharded over
-    # 'data' and the replicated state flows through the jitted step unchanged
+    # meshes work via GSPMD: pipe._batches places images sharded over 'data'
+    # and the SAE state flows through the jitted step with whatever sharding
+    # training left it in — replicated (data-only meshes) or latent-sharded
+    # over 'model' (tensor-parallel training leaves pipe.ts TP-placed; the
+    # stock step partitions exactly like parallel/tensor_parallel.py's GSPMD
+    # training path, incl. ConstrainedAdam's row-local renorm).
+    # Parity: tests/test_e2e_finetune.py data-mesh + TP tests.
     step_fn = make_sae_e2e_finetune_step(
         pipe.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
         pipe.tx, alpha_mse=cfg.sae_e2e_alpha_mse,

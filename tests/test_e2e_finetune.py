@@ -110,3 +110,23 @@ def test_e2e_finetune_alpha_mse_anchor(tmp_path):
                          sae_e2e_alpha_mse=1.0))
     r = pipe.run()
     assert np.isfinite(r["sae_rec_loss"]) and np.isfinite(r["kld"])
+
+
+def test_e2e_finetune_tensor_parallel_mesh(tmp_path):
+    """The finetune runs under the (2, 4) tensor-parallel mesh via GSPMD (the
+    SAE state stays latent-sharded over 'model' from training) and matches the
+    single-device result."""
+    p1 = Pipeline(_cfg(tmp_path / "single", sae_epochs=1,
+                       sae_e2e_finetune_epochs=1,
+                       use_activation_cache=True, cache_tokens_per_step=64))
+    r1 = p1.run()
+    ptp = Pipeline(_cfg(tmp_path / "tp", sae_epochs=1,
+                        sae_e2e_finetune_epochs=1, mesh_shape=(2, 4),
+                        use_activation_cache=True, cache_tokens_per_step=64))
+    ptp.frozen_params, ptp.net_state = p1.frozen_params, p1.net_state
+    rtp = ptp.run()
+    for k in ("kld", "sae_rec_loss"):
+        np.testing.assert_allclose(float(rtp[k]), float(r1[k]), rtol=1e-4, err_msg=k)
+    # the finetuned SAE is still genuinely latent-sharded over 'model'
+    shard_rows = {s.data.shape[0] for s in ptp.ts.params["W_dec"].addressable_shards}
+    assert shard_rows == {ptp.num_units // 4}, shard_rows
