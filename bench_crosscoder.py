@@ -1,9 +1,9 @@
 """Crosscoder kernel throughput: fused Pallas vs stock XLA on one chip.
 
 Shape = a production 14x14 GoogLeNet block crosscoder (mixed4a..mixed4e:
-C = 512/512/528/532/832, ΣC = 2916) anchored at mixed4a with expansion 16 ->
-8,192 shared latents, 16k tokens/step — the crosscoder twin of
-bench_transcoder.py. Prints one JSON line.
+C = 512/512/512/528/832, ΣC = 2896 — models/googlenet.py INCEPTION_SPECS)
+anchored at mixed4a with expansion 16 -> 8,192 shared latents, 16k tokens/step
+— the crosscoder twin of bench_transcoder.py. Prints one JSON line.
 
 Run on the chip:
   PYTHONPATH=/root/repo:$PYTHONPATH python bench_crosscoder.py
@@ -27,7 +27,7 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-DIMS = (512, 512, 528, 532, 832)  # mixed4a..mixed4e channels
+DIMS = (512, 512, 512, 528, 832)  # mixed4a..mixed4e output channels
 EF = 16  # anchored at mixed4a: h = 8,192 shared latents
 
 

@@ -333,23 +333,18 @@ def fused_crosscoder_loss_terms(
     )
     l1 = jnp.dot(out["zsum"], n_j) / (t * h)
     # anchor-layer RMSE/NRMSE: unscale the first C_0 columns (s is constant
-    # per layer) and compare against the anchor input
+    # per layer) and compare against the anchor input — the shared metric
+    # (ops/losses.rmse_nrmse), gradients stopped like every fused op's metrics
+    from sparse_vision_tpu.ops.losses import rmse_nrmse
+
     recon0 = jax.lax.stop_gradient(out["recon"][:, : dims[0]]) / s[0]
-    y0 = xs[0]
-    sq = jnp.square(recon0 - jax.lax.stop_gradient(y0))
-    sample_mse = jnp.mean(sq, axis=0)
-    sample_range = jnp.max(y0, axis=0) - jnp.min(y0, axis=0)
-    sample_rmse = jnp.sqrt(sample_mse)
-    _valid = sample_range > 0
-    _nrmse = jnp.sum(
-        jnp.where(_valid, sample_rmse / jnp.where(_valid, sample_range, 1.0), 0.0)
-    ) / jnp.maximum(jnp.sum(_valid), 1)
+    rmse, nrmse = rmse_nrmse(recon0, jax.lax.stop_gradient(xs[0]))
     return {
         "loss": out["rec_loss"] + lambda_sparse * l1,
         "rec_loss": out["rec_loss"],
         "l1_loss": l1,
-        "nrmse_loss": _nrmse,
-        "rmse_loss": jnp.mean(sample_rmse),
+        "nrmse_loss": nrmse,
+        "rmse_loss": rmse,
         "aux_loss": jnp.zeros((), jnp.float32),
         "dead": out["dead"],
         "activity_freq": out["activity_freq"],

@@ -808,14 +808,12 @@ def train_crosscoder_sweep_cached(
     combo match individual runs, including the per-combo decoder-norm diffing
     CSV; single-device in this version (mesh crosscoder runs execute
     individually)."""
-    import os as _os
-
     from sparse_vision_tpu.train import checkpoint as ckpt
     from sparse_vision_tpu.train.crosscoder import (
         make_crosscoder_multi_step,
         save_decoder_norms,
     )
-    from sparse_vision_tpu.train.paired_caches import open_validated, prepare_caches
+    from sparse_vision_tpu.train.paired_caches import prepare_caches
     from sparse_vision_tpu.train.pipeline import Pipeline
     from sparse_vision_tpu.utils.paths import sae_params_no_epochs
 
@@ -854,17 +852,8 @@ def train_crosscoder_sweep_cached(
     p0 = pipes[0]
     layers = p0.crosscoder_all_layers
     dirs = {layer: p0._cache_dir(layer) for layer in layers}
-    missing = [l for l, d in dirs.items()
-               if not _os.path.exists(_os.path.join(d, "meta.json"))]
-    if missing:
-        from sparse_vision_tpu.data.activation_cache import dump_activations_multi
-
-        print(f"Building aligned activation caches for {missing} in one pass ...")
-        dump_activations_multi(
-            p0.net, p0.frozen_params, p0.net_state, p0.train_ds,
-            missing, dirs, **p0._cache_dump_kwargs(),
-        )
-    caches = open_validated(dirs, layers)
+    # always the sequential branch: _validate_overrides rejects overlap_dump_train
+    _, _, caches = prepare_caches(p0, layers, dirs)
 
     step_fn = make_crosscoder_sweep_step(
         [p.cfg.sae_lambda_sparse for p in pipes],

@@ -18,7 +18,6 @@ framework's production path (data/activation_cache.py).
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
@@ -298,12 +297,12 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
     # (the device-dequant pair plumbing would need two scales per step; the
     # paired-stack zip below reads float32 either way)
 
-    layers = (cfg.sae_layer, tgt)
-    dirs = {layer: pipe._cache_dir(layer) for layer in layers}
-    stream_qs, dump_thread, caches = prepare_caches(pipe, layers, dirs)
-
     from sparse_vision_tpu.ops.fused_sae import can_fuse
 
+    # ALL pure-config validation runs BEFORE prepare_caches: in overlap mode
+    # prepare_caches launches the dump on a background thread, and raising with
+    # a device-active daemon thread risks the documented tunnel wedge (CLAUDE.md)
+    # plus a meta-less partial cache directory
     mesh = pipe.mesh
     n_data = int(mesh.shape["data"]) if mesh is not None else 1
     tensor_parallel = (
@@ -315,19 +314,7 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
         raise ValueError(
             f"cache_tokens_per_step={tps} not divisible by data mesh axis {n_data}"
         )
-    fused_opts = {
-        "compute_dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32
-    }
     if tensor_parallel:
-        # latent dim shards over 'model': fused TP kernels on local shards when
-        # they tile, else a clear error (the stock GSPMD fallback cannot place
-        # the rectangular decoder correctly through the generic sae path)
-        from sparse_vision_tpu.parallel.tensor_parallel import (
-            put_tokens_tp,
-            put_tp_state,
-        )
-
         n_model = int(mesh.shape["model"])
         if pipe.num_units % n_model or not can_fuse(
             tps // n_data, pipe.num_units // n_model, tile_t=2048
@@ -336,6 +323,25 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
                 f"TP transcoder needs latents ({pipe.num_units}) divisible by the "
                 f"model axis ({n_model}) and tile-compatible local shards"
             )
+
+    layers = (cfg.sae_layer, tgt)
+    dirs = {layer: pipe._cache_dir(layer) for layer in layers}
+    stream_qs, dump_thread, caches = prepare_caches(pipe, layers, dirs)
+
+    fused_opts = {
+        "compute_dtype": jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+        else jnp.float32
+    }
+    if tensor_parallel:
+        # latent dim shards over 'model': fused TP kernels on local shards
+        # (tiling validated above; the stock GSPMD fallback cannot place the
+        # rectangular decoder correctly through the generic sae path)
+        from sparse_vision_tpu.parallel.tensor_parallel import (
+            put_tokens_tp,
+            put_tp_state,
+        )
+
+        n_model = int(mesh.shape["model"])
         interp = jax.devices()[0].platform == "cpu"
         if interp:
             fused_opts.update(interpret=True, compute_dtype=jnp.float32)
