@@ -60,9 +60,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "(train/sweep_vmap.py); other entries run individually")
     p.add_argument("--multilayer", type=str, default=None, metavar="LAYERS",
                    help="with --run_pipeline --config: train SAEs for a comma list "
-                        "of layers (or 'circuit' = the registry's circuit layers) "
-                        "off ONE shared backbone pass (train/multilayer.py); "
-                        "registry hyperparameters apply per layer")
+                        "of layers (or 'circuit' = the registry's circuit layers; "
+                        "or 'transcoders' = one transcoder per same-geometry "
+                        "consecutive circuit pair) off ONE shared backbone pass "
+                        "(train/multilayer.py); registry hyperparameters apply "
+                        "per layer")
     return p.parse_args(argv)
 
 
@@ -105,7 +107,25 @@ def main(argv=None) -> int:
         else:
             print("--run_pipeline needs --parameters or --config", file=sys.stderr)
             return 2
-        if args.multilayer is not None:
+        if args.multilayer is not None and args.multilayer.startswith("transcoders"):
+            from sparse_vision_tpu.models.backbone import make_backbone
+            from sparse_vision_tpu.train.multilayer import (
+                train_transcoders_multilayer,
+                transcoder_pairs,
+            )
+
+            _, _, layer_list = args.multilayer.partition(":")
+            for cfg in cfgs:
+                print(f"=== multilayer transcoder run: {cfg.to_json()}")
+                pairs = None
+                if layer_list:  # 'transcoders:l1,l2,l3' pairs up that chain
+                    pairs = transcoder_pairs(
+                        make_backbone(cfg.model_name, cfg.dataset_name),
+                        cfg.dataset_name,
+                        [l for l in layer_list.split(",") if l],
+                    )
+                train_transcoders_multilayer(cfg, pairs=pairs)
+        elif args.multilayer is not None:
             from sparse_vision_tpu.train.multilayer import train_saes_multilayer
 
             layers = (None if args.multilayer == "circuit"

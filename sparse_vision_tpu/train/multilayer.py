@@ -102,3 +102,85 @@ def train_saes_multilayer(
         print(f"Training SAE on layer {layer} from cache ...")
         results[layer] = pipe.run()
     return results
+
+
+def transcoder_pairs(net, dataset_name: str,
+                     layers: Optional[Sequence[str]] = None) -> list[tuple[str, str]]:
+    """Consecutive layer pairs eligible for transcoder training: adjacent
+    entries of ``layers`` (default: the backbone's circuit layers) whose
+    SPATIAL dims match. A transcoder is a per-token map between channel
+    spaces (models/sae.transcoder_inference_and_loss), so pairs crossing a
+    pooling boundary (e.g. GoogLeNet mixed3b -> mixed4a, 28x28 -> 14x14) are
+    excluded — their token streams cannot pair 1:1."""
+    from sparse_vision_tpu.models.backbone import layer_dimensions
+
+    if layers is None:
+        layers = [l for l in CIRCUIT_LAYERS if l in net.stage_names]
+    dims = layer_dimensions(net, dataset_name)
+    pairs = []
+    for a, b in zip(layers, layers[1:]):
+        if dims[a][:-1] == dims[b][:-1]:
+            pairs.append((a, b))
+    return pairs
+
+
+def train_transcoders_multilayer(
+    base_cfg: RunConfig,
+    pairs: Optional[Sequence[tuple[str, str]]] = None,
+    use_registry: bool = True,
+) -> dict[tuple[str, str], dict]:
+    """Train a transcoder for every eligible consecutive circuit pair — all
+    paired caches from ONE backbone pass (the reference has no transcoders;
+    Dunefsky et al. 2024 train one per MLP block, each with its own data pass).
+
+    ``pairs`` defaults to :func:`transcoder_pairs` over the backbone's circuit
+    layers (GoogLeNet: 3a->3b, 4b->4c->4d->4e, 5a->5b — 5 pairs from the
+    registry's 8-layer list; the pool-crossing adjacencies are not per-token
+    mappable).
+    With ``use_registry`` each pair trains at its INPUT layer's known-good
+    hyperparameters. Returns {(in_layer, out_layer): final eval results}."""
+    from sparse_vision_tpu.data.activation_cache import dump_activations_multi
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    def pair_config(a: str, b: str) -> RunConfig:
+        cfg = layer_config(base_cfg, a, use_registry)
+        return dataclasses.replace(
+            cfg, sae_model_name="transcoder", transcoder_target_layer=b,
+        )
+
+    if pairs is None:
+        # a bare backbone (no Pipeline) is enough to enumerate eligible pairs
+        from sparse_vision_tpu.models.backbone import make_backbone
+
+        net = make_backbone(base_cfg.model_name, base_cfg.dataset_name)
+        pairs = transcoder_pairs(net, base_cfg.dataset_name)
+        if not pairs:
+            raise ValueError(
+                f"No same-geometry consecutive circuit pairs in "
+                f"{base_cfg.model_name!r}; pass pairs= explicitly."
+            )
+    pairs = [tuple(p) for p in pairs]
+    p0 = Pipeline(pair_config(*pairs[0]))
+
+    all_layers = list(dict.fromkeys([l for pair in pairs for l in pair]))
+    unknown = [l for l in all_layers if l.split(".")[0] not in p0.net.stage_names]
+    if unknown:
+        raise ValueError(f"Layers {unknown} not in backbone stages {p0.net.stage_names}")
+    missing = [
+        l for l in all_layers
+        if not os.path.exists(os.path.join(p0._cache_dir(l), "meta.json"))
+    ]
+    if missing:
+        print(f"Building activation caches for {missing} in one backbone pass ...")
+        dump_activations_multi(
+            p0.net, p0.frozen_params, p0.net_state, p0.train_ds,
+            missing, {l: p0._cache_dir(l) for l in missing},
+            **p0._cache_dump_kwargs(),
+        )
+
+    results: dict[tuple[str, str], dict] = {}
+    for pair in pairs:
+        pipe = p0 if pair == pairs[0] else Pipeline(pair_config(*pair))
+        print(f"Training transcoder {pair[0]} -> {pair[1]} from caches ...")
+        results[pair] = pipe.run()
+    return results

@@ -2,6 +2,7 @@
 dictionary mapping layer A's activations to layer B's, trained from the
 framework's paired one-pass activation caches (train/transcoder.py)."""
 
+import dataclasses
 import os
 
 import jax
@@ -259,3 +260,64 @@ def test_transcoder_overlap_partial_cache_falls_back(tmp_path):
                        sae_learning_rate=2e-3))
     p2.run()
     assert int(p2.ts.step) > 0
+
+
+def test_transcoder_pairs_googlenet_geometry():
+    """Eligible circuit pairs = adjacent layers with matching SPATIAL dims:
+    the registry's 8 circuit layers (which skip mixed4a, interp/registry.py)
+    give 5 pairs — the two pool-crossing adjacencies (mixed3b->mixed4b at
+    28->14 and mixed4e->mixed5a at 14->7) are excluded; a transcoder is a
+    per-token map (models/sae.transcoder_inference_and_loss)."""
+    from sparse_vision_tpu.models.backbone import make_backbone
+    from sparse_vision_tpu.train.multilayer import transcoder_pairs
+
+    net = make_backbone("inceptionv1", "imagenet")
+    pairs = transcoder_pairs(net, "imagenet")
+    assert pairs == [
+        ("mixed3a", "mixed3b"),
+        ("mixed4b", "mixed4c"), ("mixed4c", "mixed4d"),
+        ("mixed4d", "mixed4e"),
+        ("mixed5a", "mixed5b"),
+    ]
+
+
+def test_train_transcoders_multilayer(tmp_path):
+    """One backbone pass dumps all three layer caches; two transcoders
+    (fc1->fc2, fc2->fc3) train from the shared caches with per-pair run
+    identities and results."""
+    from sparse_vision_tpu.models.backbone import make_backbone
+    from sparse_vision_tpu.train.multilayer import (
+        train_transcoders_multilayer,
+        transcoder_pairs,
+    )
+
+    base = RunConfig(
+        model_name="custom_mlp_3", dataset_name="synthetic",
+        directory_path=str(tmp_path), sae_epochs=1, sae_batch_size=64,
+        batch_size=64, sae_expansion_factor=2, dead_neurons_steps=10_000,
+        use_activation_cache=True, cache_tokens_per_step=64, log_every=1000,
+        sae_optimizer_name="constrained_adam",
+    )
+    net = make_backbone("custom_mlp_3", "synthetic")
+    pairs = transcoder_pairs(net, "synthetic", ["fc1", "fc2", "fc3"])
+    assert pairs == [("fc1", "fc2"), ("fc2", "fc3")]  # MLP taps share geometry
+    results = train_transcoders_multilayer(
+        base, pairs=pairs, use_registry=False
+    )
+    assert set(results) == {("fc1", "fc2"), ("fc2", "fc3")}
+    for pair, r in results.items():
+        assert np.isfinite(r["sae_rec_loss"]), pair
+    # one dump: all three caches exist and share geometry
+    p = Pipeline(dataclasses.replace(
+        base, sae_model_name="transcoder", sae_layer="fc1",
+        transcoder_target_layer="fc2",
+    ))
+    import json as _json
+
+    metas = []
+    for layer in ("fc1", "fc2", "fc3"):
+        mp = os.path.join(p._cache_dir(layer), "meta.json")
+        assert os.path.exists(mp), layer
+        with open(mp) as f:
+            metas.append(_json.load(f))
+    assert len({m["total_tokens"] for m in metas}) == 1
