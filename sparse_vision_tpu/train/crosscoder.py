@@ -321,12 +321,6 @@ def train_crosscoder_cached(pipe) -> Optional[dict]:
     if not cfg.use_activation_cache:
         raise ValueError("crosscoder training requires use_activation_cache=True "
                          "(aligned multi-layer caches from one backbone pass)")
-    if cfg.sae_e2e_finetune_epochs > 0:
-        raise ValueError(
-            "sae_e2e_finetune_epochs is not supported for crosscoders (the KL "
-            "finetune step splices a single-layer SAE; the crosscoder splice "
-            "replaces the deepest layer from an L-layer code) — set it to 0"
-        )
     if cfg.sae_optimizer_name == "constrained_adam":
         raise ValueError(
             "crosscoders need a plain optimizer (sae_optimizer_name='adam'): "
@@ -464,6 +458,12 @@ def train_crosscoder_cached(pipe) -> Optional[dict]:
         )
     ckpt.wait_for_saves()
     pipe._export_sae_weights()
+    if cfg.sae_e2e_finetune_epochs > 0:
+        from sparse_vision_tpu.train.e2e_finetune import e2e_finetune
+
+        # runs BEFORE the decoder-norm save so the diffing CSV reads the
+        # finetuned params (the finetune re-exports the weights itself)
+        last_eval = e2e_finetune(pipe) or last_eval
     from sparse_vision_tpu.utils.paths import sae_params_no_epochs
 
     name = f"{cfg.sae_layer}_" + "_".join(

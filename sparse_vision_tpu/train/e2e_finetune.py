@@ -19,7 +19,22 @@ and dead-unit bookkeeping continue unchanged, so a finetuned SAE remains a
 drop-in for every downstream consumer (circuits, MIS, export).
 
 Config: ``sae_e2e_finetune_epochs > 0`` runs this pass automatically after
-train_sae / train_sae_cached; ``sae_e2e_alpha_mse`` sets the anchor weight.
+every trainer (train_sae / train_sae_cached / train_transcoder_cached /
+train_crosscoder_cached); ``sae_e2e_alpha_mse`` sets the anchor weight.
+
+Variant splices (each matches its eval step's, so the finetune optimizes
+exactly the KLD the results row reports):
+- SAE: replace ``sae_layer``'s activation with the reconstruction.
+- Transcoder: SKIP the (in_layer, target_layer] segment — logits_mod =
+  backbone-to-in_layer -> transcoder -> apply_segment(after=target_layer)
+  (train/transcoder.make_transcoder_eval_step).
+- Crosscoder: acausal splice — code from ALL L original taps, the DEEPEST
+  layer's activation replaced by its reconstruction
+  (train/crosscoder.make_crosscoder_eval_step). Only the deepest decoder
+  receives KL gradient (the others are off the spliced path); the L1 keeps
+  every decoder's norm in the objective, and ``alpha_mse > 0`` anchors all
+  L reconstructions. The decoder-norm diffing CSV is re-written after the
+  finetune by train_crosscoder_cached.
 """
 
 from __future__ import annotations
@@ -75,6 +90,16 @@ def make_sae_e2e_finetune_step(
         loss = kld + alpha_mse * out["rec_loss"] + lambda_sparse * out["l1_loss"]
         return loss, (out, kld, logits_orig, logits_mod)
 
+    return _finetune_step_from_loss(loss_fn, tx)
+
+
+def _finetune_step_from_loss(loss_fn, tx: optax.GradientTransformation):
+    """Shared finetune-step skeleton: grad of ``loss_fn(sae_params,
+    frozen_params, frozen_state, images) -> (loss, (out, kld, logits_orig,
+    logits_mod))`` w.r.t. the SAE/transcoder/crosscoder params, optimizer
+    update, dead-unit observability (no resampling — see
+    make_sae_e2e_finetune_step's docstring), fidelity metrics."""
+
     @jax.jit
     def step_fn(ts: SAETrainState, frozen_params: dict, frozen_state: dict,
                 images: jax.Array, labels: jax.Array):
@@ -98,6 +123,75 @@ def make_sae_e2e_finetune_step(
     return step_fn
 
 
+def make_transcoder_e2e_finetune_step(
+    net,
+    in_layer: str,
+    tgt_layer: str,
+    lambda_sparse: float,
+    tx: optax.GradientTransformation,
+    alpha_mse: float = 0.0,
+    last_stage: Optional[str] = None,
+):
+    """Transcoder e2e finetune step: KL(spliced || original) through the
+    segment-skip splice (backbone -> in_layer -> transcoder -> after
+    tgt_layer), + alpha_mse * MSE(y_hat, y_tgt) + lambda * L1."""
+    from sparse_vision_tpu.models.sae import transcoder_inference_and_loss
+
+    last = last_stage or net.stage_names[-1]
+
+    def loss_fn(params, frozen_params, frozen_state, images):
+        logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
+        act_in = jax.lax.stop_gradient(taps[in_layer])
+        act_tgt = jax.lax.stop_gradient(taps[tgt_layer])
+        out = transcoder_inference_and_loss(params, act_in, act_tgt, lambda_sparse)
+        logits_mod = net.apply_segment(
+            frozen_params, out["decoded"], after=tgt_layer, upto=last,
+            state=frozen_state,
+        )
+        kld = metrics.kld_original_vs_modified(
+            jax.lax.stop_gradient(logits_orig), logits_mod
+        )
+        loss = kld + alpha_mse * out["rec_loss"] + lambda_sparse * out["l1_loss"]
+        return loss, (out, kld, logits_orig, logits_mod)
+
+    return _finetune_step_from_loss(loss_fn, tx)
+
+
+def make_crosscoder_e2e_finetune_step(
+    net,
+    layers: tuple,
+    lambda_sparse: float,
+    tx: optax.GradientTransformation,
+    alpha_mse: float = 0.0,
+    last_stage: Optional[str] = None,
+):
+    """Crosscoder e2e finetune step: KL(spliced || original) through the
+    acausal splice (code from ALL L original taps; the DEEPEST layer's
+    activation replaced by its reconstruction), + alpha_mse * the summed
+    per-layer MSE + lambda * the decoder-norm-weighted L1 (the training
+    sparsity objective, models/crosscoder.crosscoder_loss_terms)."""
+    from sparse_vision_tpu.models.crosscoder import crosscoder_inference_and_loss
+
+    last = last_stage or net.stage_names[-1]
+    deepest = layers[-1]
+
+    def loss_fn(params, frozen_params, frozen_state, images):
+        logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
+        acts = tuple(jax.lax.stop_gradient(taps[l]) for l in layers)
+        out = crosscoder_inference_and_loss(params, acts, lambda_sparse)
+        logits_mod = net.apply_segment(
+            frozen_params, out["decoded"][-1], after=deepest, upto=last,
+            state=frozen_state,
+        )
+        kld = metrics.kld_original_vs_modified(
+            jax.lax.stop_gradient(logits_orig), logits_mod
+        )
+        loss = kld + alpha_mse * out["rec_loss"] + lambda_sparse * out["l1_loss"]
+        return loss, (out, kld, logits_orig, logits_mod)
+
+    return _finetune_step_from_loss(loss_fn, tx)
+
+
 def e2e_finetune(pipe, epochs: Optional[int] = None) -> Optional[dict]:
     """Run the short e2e finetune on a Pipeline whose SAE is already trained
     (called automatically by Pipeline.train_sae when
@@ -115,13 +209,24 @@ def e2e_finetune(pipe, epochs: Optional[int] = None) -> Optional[dict]:
     # stock step partitions exactly like parallel/tensor_parallel.py's GSPMD
     # training path, incl. ConstrainedAdam's row-local renorm).
     # Parity: tests/test_e2e_finetune.py data-mesh + TP tests.
-    step_fn = make_sae_e2e_finetune_step(
-        pipe.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
-        pipe.tx, alpha_mse=cfg.sae_e2e_alpha_mse,
-        topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
-        jumprelu_bandwidth=cfg.jumprelu_bandwidth,
-        matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
-    )
+    if cfg.sae_model_name == "transcoder":
+        step_fn = make_transcoder_e2e_finetune_step(
+            pipe.net, cfg.sae_layer, cfg.transcoder_target_layer,
+            cfg.sae_lambda_sparse, pipe.tx, alpha_mse=cfg.sae_e2e_alpha_mse,
+        )
+    elif cfg.sae_model_name == "crosscoder":
+        step_fn = make_crosscoder_e2e_finetune_step(
+            pipe.net, pipe.crosscoder_all_layers, cfg.sae_lambda_sparse,
+            pipe.tx, alpha_mse=cfg.sae_e2e_alpha_mse,
+        )
+    else:
+        step_fn = make_sae_e2e_finetune_step(
+            pipe.net, cfg.sae_layer, cfg.sae_model_name, cfg.sae_lambda_sparse,
+            pipe.tx, alpha_mse=cfg.sae_e2e_alpha_mse,
+            topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
+            jumprelu_bandwidth=cfg.jumprelu_bandwidth,
+            matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
+        )
     from sparse_vision_tpu.train import checkpoint as ckpt
 
     last_eval = None

@@ -287,12 +287,6 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
     if not cfg.use_activation_cache:
         raise ValueError("transcoder training requires use_activation_cache=True "
                          "(paired-layer caches from one backbone pass)")
-    if cfg.sae_e2e_finetune_epochs > 0:
-        raise ValueError(
-            "sae_e2e_finetune_epochs is not supported for transcoders (the KL "
-            "finetune step splices a same-layer SAE, not the segment-skip "
-            "transcoder splice) — set it to 0"
-        )
     # int8 caches work through the host-dequant default of ActivationCache.stacks
     # (the device-dequant pair plumbing would need two scales per step; the
     # paired-stack zip below reads float32 either way)
@@ -425,4 +419,8 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
         )
     ckpt.wait_for_saves()
     pipe._export_sae_weights()
+    if cfg.sae_e2e_finetune_epochs > 0:
+        from sparse_vision_tpu.train.e2e_finetune import e2e_finetune
+
+        last_eval = e2e_finetune(pipe) or last_eval
     return last_eval

@@ -306,24 +306,6 @@ def test_crosscoder_mis_collect_then_score(tmp_path):
     assert 0.0 <= result["median_mis"] <= 1.0
 
 
-def test_crosscoder_and_transcoder_reject_e2e_finetune(tmp_path):
-    """sae_e2e_finetune_epochs must fail loudly for variants whose splice the
-    finetune step cannot express, not be silently ignored."""
-    with pytest.raises(ValueError, match="e2e_finetune"):
-        Pipeline(_cfg(tmp_path / "cc", sae_e2e_finetune_epochs=1)).run()
-    tc = RunConfig(
-        model_name="custom_mlp_8", sae_model_name="transcoder",
-        sae_layer="fc1", transcoder_target_layer="fc2",
-        dataset_name="synthetic", directory_path=str(tmp_path / "tc"),
-        sae_epochs=1, sae_batch_size=64, batch_size=64,
-        sae_expansion_factor=2, use_activation_cache=True,
-        cache_tokens_per_step=64, log_every=1000,
-        sae_e2e_finetune_epochs=1,
-    )
-    with pytest.raises(ValueError, match="e2e_finetune"):
-        Pipeline(tc).run()
-
-
 def test_crosscoder_int8_cache(tmp_path):
     """Crosscoder training from int8 aligned caches (host-dequant read path)
     stays close to the float32-cache run."""

@@ -112,6 +112,86 @@ def test_e2e_finetune_alpha_mse_anchor(tmp_path):
     assert np.isfinite(r["sae_rec_loss"]) and np.isfinite(r["kld"])
 
 
+def _transcoder_cfg(d, **kw):
+    defaults = dict(
+        model_name="custom_mlp_8", sae_model_name="transcoder",
+        sae_layer="fc1", transcoder_target_layer="fc2",
+        dataset_name="synthetic", directory_path=str(d),
+        sae_epochs=1, sae_batch_size=64, batch_size=64,
+        sae_learning_rate=1e-3, sae_optimizer_name="constrained_adam",
+        sae_lambda_sparse=0.05, sae_expansion_factor=2,
+        dead_neurons_steps=10_000, use_activation_cache=True,
+        cache_tokens_per_step=64, log_every=1000,
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_e2e_finetune_transcoder(tmp_path):
+    """The KL finetune works through the transcoder's segment-skip splice:
+    KLD drops below the MSE-trained transcoder's, the rectangular decoder rows
+    stay unit-norm (ConstrainedAdam), and the finetune epochs checkpoint after
+    the training epochs."""
+    from sparse_vision_tpu.train import checkpoint as ckpt
+
+    p_mse = Pipeline(_transcoder_cfg(tmp_path / "mse"))
+    r_mse = p_mse.run()
+    p_ft = Pipeline(_transcoder_cfg(tmp_path / "ft", sae_e2e_finetune_epochs=2))
+    p_ft.frozen_params, p_ft.net_state = p_mse.frozen_params, p_mse.net_state
+    r_ft = p_ft.run()
+    assert r_ft["kld"] < r_mse["kld"], (r_mse["kld"], r_ft["kld"])
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(p_ft.ts.params["W_dec"]), axis=1), 1.0,
+        atol=1e-4,
+    )
+    assert ckpt.latest_epoch(p_ft._sae_ckpt_dir()) == 1 + 2
+
+
+def _crosscoder_cfg(d, **kw):
+    defaults = dict(
+        model_name="custom_mlp_3", sae_model_name="crosscoder",
+        sae_layer="fc1", crosscoder_layers="fc2,fc3",
+        dataset_name="synthetic", directory_path=str(d),
+        sae_epochs=1, sae_batch_size=64, batch_size=64,
+        sae_learning_rate=1e-3, sae_optimizer_name="adam",
+        sae_lambda_sparse=0.05, sae_expansion_factor=2,
+        dead_neurons_steps=10_000, use_activation_cache=True,
+        cache_tokens_per_step=64, log_every=1000,
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_e2e_finetune_crosscoder(tmp_path):
+    """The KL finetune works through the crosscoder's acausal splice: KLD
+    drops below the MSE-trained crosscoder's, and the decoder-norm diffing CSV
+    is re-written from the FINETUNED params."""
+    import os
+
+    import pandas as pd
+
+    from sparse_vision_tpu.models.crosscoder import crosscoder_decoder_norms
+
+    p_mse = Pipeline(_crosscoder_cfg(tmp_path / "mse"))
+    r_mse = p_mse.run()
+    p_ft = Pipeline(_crosscoder_cfg(tmp_path / "ft", sae_e2e_finetune_epochs=2))
+    p_ft.frozen_params, p_ft.net_state = p_mse.frozen_params, p_mse.net_state
+    r_ft = p_ft.run()
+    assert r_ft["kld"] < r_mse["kld"], (r_mse["kld"], r_ft["kld"])
+    csvs = [f for f in os.listdir(p_ft.paths["sae_weights"])
+            if f.endswith("_decoder_norms.csv")]
+    assert len(csvs) == 1
+    df = pd.read_csv(os.path.join(p_ft.paths["sae_weights"], csvs[0]))
+    norms = np.asarray(crosscoder_decoder_norms(
+        {k: np.asarray(v) for k, v in p_ft.ts.params.items()}
+    ))
+    for i, layer in enumerate(("fc1", "fc2", "fc3")):
+        np.testing.assert_allclose(
+            df[f"norm_{layer}"].to_numpy(), norms[i], rtol=1e-5,
+            err_msg=f"diffing CSV stale for {layer} (must be post-finetune)",
+        )
+
+
 def test_e2e_finetune_tensor_parallel_mesh(tmp_path):
     """The finetune runs under the (2, 4) tensor-parallel mesh via GSPMD (the
     SAE state stays latent-sharded over 'model' from training) and matches the
