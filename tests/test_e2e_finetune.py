@@ -192,6 +192,35 @@ def test_e2e_finetune_crosscoder(tmp_path):
         )
 
 
+def test_e2e_finetune_transcoder_data_mesh(tmp_path):
+    """The transcoder finetune runs under the 8-device data mesh via GSPMD and
+    matches the single-device result."""
+    p1 = Pipeline(_transcoder_cfg(tmp_path / "single", sae_e2e_finetune_epochs=1))
+    r1 = p1.run()
+    p8 = Pipeline(_transcoder_cfg(tmp_path / "mesh", sae_e2e_finetune_epochs=1,
+                                  mesh_shape=(8,)))
+    p8.frozen_params, p8.net_state = p1.frozen_params, p1.net_state
+    r8 = p8.run()
+    for k in ("kld", "sae_rec_loss"):
+        np.testing.assert_allclose(float(r8[k]), float(r1[k]), rtol=1e-4,
+                                   err_msg=k)
+
+
+def test_e2e_finetune_crosscoder_tp_mesh(tmp_path):
+    """The crosscoder finetune runs under the (2, 4) tensor-parallel mesh via
+    GSPMD (the state keeps the latent sharding TP training left it in) and
+    matches the single-device result."""
+    p1 = Pipeline(_crosscoder_cfg(tmp_path / "single", sae_e2e_finetune_epochs=1))
+    r1 = p1.run()
+    ptp = Pipeline(_crosscoder_cfg(tmp_path / "tp", sae_e2e_finetune_epochs=1,
+                                   mesh_shape=(2, 4)))
+    ptp.frozen_params, ptp.net_state = p1.frozen_params, p1.net_state
+    rtp = ptp.run()
+    for k in ("kld", "sae_rec_loss"):
+        np.testing.assert_allclose(float(rtp[k]), float(r1[k]), rtol=1e-4,
+                                   err_msg=k)
+
+
 def test_e2e_finetune_tensor_parallel_mesh(tmp_path):
     """The finetune runs under the (2, 4) tensor-parallel mesh via GSPMD (the
     SAE state stays latent-sharded over 'model' from training) and matches the
