@@ -30,6 +30,9 @@ STEPS = [
     ("bench_sweep", [sys.executable, "bench_sweep.py"], 3600),
     ("bench_transcoder", [sys.executable, "bench_transcoder.py"], 2400),
     ("bench_crosscoder", [sys.executable, "bench_crosscoder.py"], 2400),
+    ("parity_transcoder", [sys.executable, "chip_parity.py", "transcoder"], 2400),
+    ("parity_crosscoder", [sys.executable, "chip_parity.py", "crosscoder"], 2400),
+    ("parity_vmap_sweep", [sys.executable, "chip_parity.py", "vmap_sweep"], 2400),
     ("bench_ie", [sys.executable, "bench_ie.py"], 3600),
     ("bench_northstar", [sys.executable, "bench_northstar.py"], 5400),
     ("northstar_int8", [sys.executable, "bench_northstar.py"], 5400,
