@@ -342,7 +342,8 @@ def test_new_examples_run(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
-    for script in ("vmap_sweep.py", "train_transcoder.py", "crosscoder_diffing.py"):
+    for script in ("vmap_sweep.py", "train_transcoder.py",
+                    "crosscoder_diffing.py", "transcoder_circuit.py"):
         r = subprocess.run(
             [sys.executable, os.path.join(root, "examples", script),
              str(tmp_path / script[:-3])],
