@@ -66,4 +66,30 @@ print("strongest latent-to-latent edges (up, down, attribution):")
 for i, j, v in top_edges(edge, k=5):
     print(f"  z[{i:3d}] -> z[{j:3d}]  {v:+.5f}")
 assert (edge != 0).any()
+
+# 4) loss-node edges for the terminal transcoder (one backward per batch)
+import numpy as np
+
+from sparse_vision_tpu.interp.transcoder_circuit import (
+    chain_faithfulness,
+    loss_node_edges,
+)
+from sparse_vision_tpu.ops.losses import cross_entropy
+
+loss_edge = loss_node_edges(
+    pipe.net, pipe.frozen_params, pipe.net_state, chain[-1], params_list[-1],
+    batches, cross_entropy,
+)
+print("strongest latent -> loss attributions:",
+      np.argsort(-np.abs(loss_edge))[:5].tolist())
+
+# 5) faithfulness of the full-latent chain circuit vs the empty circuit
+faith = chain_faithfulness(
+    pipe.net, pipe.frozen_params, pipe.net_state, chain, params_list,
+    [np.ones(p["b_enc"].shape[0]) for p in params_list], batches,
+    cross_entropy,
+)
+print(f"chain faithfulness (all latents kept): {faith['faithfulness']:.3f} "
+      f"(m_M={faith['m_M']:.4f}, m_C={faith['m_C']:.4f}, "
+      f"m_empty={faith['m_empty']:.4f})")
 print("transcoder circuit example OK")

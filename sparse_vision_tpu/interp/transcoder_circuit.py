@@ -140,6 +140,126 @@ def compute_transcoder_edges(
     return [np.asarray(jax.device_get(s)) / tokens for s in sums]
 
 
+def loss_node_edges(
+    net,
+    frozen_params: dict,
+    frozen_state: dict,
+    pair: tuple[str, str],
+    params: dict,
+    batches,
+    criterion: Callable,
+) -> np.ndarray:
+    """Loss-node attribution per latent of the chain's TERMINAL transcoder
+    (the reference's loss-node edge, compute_ie.py:631-706, without the
+    per-feature loop): edge_j = sum_t z_j(t) * (dL/da_out(t) . W_dec_j) — the
+    exact first-order effect on the batch loss of scaling latent j's
+    contribution to the predicted target activation. One backward for the tap
+    gradient (interp/patching.loss_and_tap_grads), then one matmul. Returned
+    as the mean over batches of the per-batch attribution [h]."""
+    from sparse_vision_tpu.interp.patching import loss_and_tap_grads
+
+    in_layer, out_layer = pair
+
+    @jax.jit
+    def batch_fn(fp, fs, images, labels):
+        _, taps, grads = loss_and_tap_grads(
+            net, fp, fs, images, labels, criterion, [out_layer]
+        )
+        g, _ = tokens_from_act(grads[out_layer])
+        tok, _ = tokens_from_act(taps[in_layer])
+        z = jax.nn.relu(tok @ params["W_enc"] + params["b_enc"])
+        return jnp.sum(z * (g @ params["W_dec"].T), axis=0)
+
+    total = None
+    n = 0
+    for b in batches:
+        images, labels = b.images, b.labels
+        e = batch_fn(frozen_params, frozen_state, images, labels)
+        total = e if total is None else total + e
+        n += 1
+    if total is None:
+        raise ValueError("loss_node_edges got an empty batch iterator")
+    return np.asarray(jax.device_get(total)) / n
+
+
+def make_chain_splice_fn(
+    net,
+    chain: Sequence[tuple[str, str]],
+    params_list: Sequence[dict],
+    criterion: Callable,
+    last_stage: Optional[str] = None,
+) -> Callable:
+    """Jitted chain-splice evaluation: ``fn(frozen_params, frozen_state,
+    images, labels, masks) -> (m_orig, m_spliced)`` where the FULL segment
+    (chain[0].in, chain[-1].out] is replaced by the transcoder chain — the
+    first transcoder reads the real tap, every later one reads the previous
+    one's PREDICTION, and each transcoder's latents are multiplied by its
+    ``masks`` entry ([h_k], 0/1) — the circuit-ablation forward of Dunefsky
+    et al. 2024 (the reference's faithfulness variants for SAE circuits:
+    compute_ie.py:715-944)."""
+    from sparse_vision_tpu.models.sae import act_from_tokens
+
+    in0 = chain[0][0]
+    out_k = chain[-1][1]
+    last = last_stage or net.stage_names[-1]
+
+    @jax.jit
+    def fn(frozen_params, frozen_state, images, labels, masks):
+        logits_orig, taps, _ = net.apply(
+            frozen_params, images, state=frozen_state
+        )
+        y, _ = tokens_from_act(taps[in0])
+        for params, mask in zip(params_list, masks):
+            z = jax.nn.relu(y @ params["W_enc"] + params["b_enc"])
+            y = (z * mask) @ params["W_dec"] + params["b_dec"]
+        tgt = taps[out_k]
+        act = act_from_tokens(y, tgt.shape) if tgt.ndim > 2 else y
+        logits_mod = net.apply_segment(
+            frozen_params, act, after=out_k, upto=last, state=frozen_state
+        )
+        return criterion(logits_orig, labels), criterion(logits_mod, labels)
+
+    return fn
+
+
+def chain_faithfulness(
+    net,
+    frozen_params: dict,
+    frozen_state: dict,
+    chain: Sequence[tuple[str, str]],
+    params_list: Sequence[dict],
+    masks: Sequence,
+    batches,
+    criterion: Callable,
+) -> dict:
+    """Faithfulness of a transcoder-latent circuit: (m(C) - m(empty)) /
+    (m(M) - m(empty)) with m = the criterion through the chain splice — the
+    reference's faithfulness ratio (compute_ie.py:715-944) for transcoder
+    circuits. m(C) keeps only the ``masks`` latents, m(empty) zeroes every
+    latent (the chain's bias cascade), m(M) is the unmodified model. Batch
+    losses averaged with equal weight (compute_ie.py:889-902)."""
+    fn = make_chain_splice_fn(net, chain, params_list, criterion)
+    masks = tuple(jnp.asarray(m, jnp.float32) for m in masks)
+    zeros = tuple(jnp.zeros_like(m) for m in masks)
+    acc = {"m_M": 0.0, "m_C": 0.0, "m_empty": 0.0}
+    n = 0
+    for b in batches:
+        images, labels = b.images, b.labels
+        m_orig, m_c = fn(frozen_params, frozen_state, images, labels, masks)
+        _, m_empty = fn(frozen_params, frozen_state, images, labels, zeros)
+        acc["m_M"] += float(m_orig)
+        acc["m_C"] += float(m_c)
+        acc["m_empty"] += float(m_empty)
+        n += 1
+    if n == 0:
+        raise ValueError("chain_faithfulness got an empty batch iterator")
+    m = {k: v / n for k, v in acc.items()}
+    denom = m["m_M"] - m["m_empty"]
+    m["faithfulness"] = (m["m_C"] - m["m_empty"]) / denom if denom else float("nan")
+    m["kept_latents"] = [int(np.sum(np.asarray(mk) > 0)) for mk in masks]
+    return m
+
+
 def top_edges(
     edge: np.ndarray, k: int = 20, threshold: float = 0.0
 ) -> list[tuple[int, int, float]]:

@@ -125,6 +125,75 @@ def test_planted_connection_is_top_edge():
     np.testing.assert_array_equal(edges[0][mask], 0.0)
 
 
+def test_loss_node_edges_match_autodiff_scales():
+    """The one-backward-plus-one-matmul loss attribution equals jax.grad of
+    the explicit per-latent scale injection at s=1 — the exact first-order
+    effect of scaling each latent's contribution to the target activation."""
+    from types import SimpleNamespace
+
+    from sparse_vision_tpu.interp.transcoder_circuit import loss_node_edges
+    from sparse_vision_tpu.ops.losses import cross_entropy
+
+    net, params, state = _net_and_params(seed=5)
+    tc = init_transcoder(jax.random.key(30), 8, 2, 6)  # fc2 -> fc3, h=16
+    images = jax.random.normal(jax.random.key(31), (16, 12), jnp.float32)
+    labels = jax.random.randint(jax.random.key(32), (16,), 0, 4)
+    batch = SimpleNamespace(images=images, labels=labels)
+
+    edges = loss_node_edges(
+        net, params, state, ("fc2", "fc3"), tc, [batch], cross_entropy,
+    )
+    assert edges.shape == (16,)
+
+    _, taps, _ = net.apply(params, images, state=state)
+    z = jax.nn.relu(taps["fc2"] @ tc["W_enc"] + tc["b_enc"])
+
+    def f(s):
+        spliced = taps["fc3"] + (z * (s - 1.0)) @ tc["W_dec"]
+        logits = net.apply_segment(params, spliced, after="fc3", upto="fc4",
+                                   state=state)
+        return cross_entropy(logits, labels)
+
+    want = jax.grad(f)(jnp.ones((16,), jnp.float32))
+    np.testing.assert_allclose(edges, np.asarray(want), rtol=1e-4, atol=1e-7)
+
+
+def test_chain_faithfulness_anchors():
+    """Hand-built EXACT transcoders (W_enc=I captures the ReLU, W_dec=the
+    segment's own linear weights) give faithfulness == 1 with full masks;
+    all-zero masks give exactly 0 (m_C == m_empty)."""
+    from types import SimpleNamespace
+
+    from sparse_vision_tpu.interp.transcoder_circuit import chain_faithfulness
+    from sparse_vision_tpu.ops.losses import cross_entropy
+
+    net, params, state = _net_and_params(seed=7)
+    # segment fc1 -> fc2 is a2 = relu(a1) @ w2 + b2: exactly a transcoder
+    tc1 = {"W_enc": jnp.eye(10), "b_enc": jnp.zeros((10,)),
+           "W_dec": params["fc2"]["w"], "b_dec": params["fc2"]["b"]}
+    tc2 = {"W_enc": jnp.eye(8), "b_enc": jnp.zeros((8,)),
+           "W_dec": params["fc3"]["w"], "b_dec": params["fc3"]["b"]}
+    chain = [("fc1", "fc2"), ("fc2", "fc3")]
+    batches = [SimpleNamespace(
+        images=jax.random.normal(jax.random.key(40 + i), (8, 12), jnp.float32),
+        labels=jax.random.randint(jax.random.key(50 + i), (8,), 0, 4),
+    ) for i in range(2)]
+
+    full = chain_faithfulness(
+        net, params, state, chain, [tc1, tc2],
+        [np.ones(10), np.ones(8)], batches, cross_entropy,
+    )
+    np.testing.assert_allclose(full["faithfulness"], 1.0, atol=1e-5)
+    np.testing.assert_allclose(full["m_C"], full["m_M"], rtol=1e-6)
+    assert full["kept_latents"] == [10, 8]
+
+    empty = chain_faithfulness(
+        net, params, state, chain, [tc1, tc2],
+        [np.zeros(10), np.zeros(8)], batches, cross_entropy,
+    )
+    np.testing.assert_allclose(empty["faithfulness"], 0.0, atol=1e-7)
+
+
 def test_chain_edge_fn_validation():
     tc1 = init_transcoder(jax.random.key(0), 10, 2, 8)
     net, _, _ = _net_and_params()
