@@ -34,6 +34,7 @@ STEPS = [
     ("parity_crosscoder", [sys.executable, "chip_parity.py", "crosscoder"], 2400),
     ("parity_vmap_sweep", [sys.executable, "chip_parity.py", "vmap_sweep"], 2400),
     ("bench_ie", [sys.executable, "bench_ie.py"], 3600),
+    ("bench_tc_circuit", [sys.executable, "bench_tc_circuit.py"], 2400),
     ("bench_northstar", [sys.executable, "bench_northstar.py"], 5400),
     ("northstar_int8", [sys.executable, "bench_northstar.py"], 5400,
      {"NORTHSTAR_INT8": "1"}),
