@@ -35,6 +35,7 @@ STEPS = [
     ("parity_vmap_sweep", [sys.executable, "chip_parity.py", "vmap_sweep"], 2400),
     ("bench_ie", [sys.executable, "bench_ie.py"], 3600),
     ("bench_tc_circuit", [sys.executable, "bench_tc_circuit.py"], 2400),
+    ("bench_serve", [sys.executable, "bench_serve.py"], 2400),
     ("bench_northstar", [sys.executable, "bench_northstar.py"], 5400),
     ("northstar_int8", [sys.executable, "bench_northstar.py"], 5400,
      {"NORTHSTAR_INT8": "1"}),

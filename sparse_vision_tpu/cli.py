@@ -65,6 +65,16 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "consecutive circuit pair) off ONE shared backbone pass "
                         "(train/multilayer.py); registry hyperparameters apply "
                         "per layer")
+    p.add_argument("--export_serving", type=str, default=None, metavar="DIR",
+                   help="with --config: export the run's weights as a versioned "
+                        "AOT serving artifact (serve/exporter.py). To export a "
+                        "trained run, set sae_checkpoint_epoch (or "
+                        "sae_weights_path) in the config; composes with "
+                        "--run_pipeline in one invocation (train, then export "
+                        "the final epoch)")
+    p.add_argument("--export_kind", type=str, default="feature_service",
+                   choices=["feature_service", "backbone", "sae_encoder"],
+                   help="artifact kind for --export_serving")
     return p.parse_args(argv)
 
 
@@ -93,8 +103,9 @@ def main(argv=None) -> int:
 
         if jax.config.jax_platforms is None:
             jax.config.update("jax_platforms", plat)
-    if not (args.run_pipeline or args.run_evaluation):
-        print("Nothing to do: pass --run_pipeline and/or --run_evaluation", file=sys.stderr)
+    if not (args.run_pipeline or args.run_evaluation or args.export_serving):
+        print("Nothing to do: pass --run_pipeline, --run_evaluation and/or "
+              "--export_serving", file=sys.stderr)
         return 2
 
     if args.run_pipeline:
@@ -150,6 +161,23 @@ def main(argv=None) -> int:
         else:
             for cfg in cfgs:
                 _run_one(cfg)
+
+    if args.export_serving:
+        if not args.config:
+            print("--export_serving needs --config", file=sys.stderr)
+            return 2
+        import dataclasses
+
+        from sparse_vision_tpu.train.pipeline import Pipeline
+        from sparse_vision_tpu.serve.exporter import export_from_pipeline
+
+        cfg = RunConfig(**json.loads(args.config))
+        if args.run_pipeline and cfg.use_sae and cfg.sae_checkpoint_epoch == 0:
+            # train-then-export in one invocation: pick up the run just trained
+            cfg = dataclasses.replace(cfg, sae_checkpoint_epoch=cfg.sae_epochs)
+        out = export_from_pipeline(Pipeline(cfg), args.export_serving,
+                                   kind=args.export_kind)
+        print(f"Exported {args.export_kind} serving artifact -> {out}")
 
     if args.run_evaluation:
         from sparse_vision_tpu.eval_tools.ranking import (

@@ -1,0 +1,240 @@
+"""Export trained runs into serving artifacts (see serve/artifact.py).
+
+Three artifact kinds, each a single jitted function with the weights closed
+over (baked into the StableHLO module as constants):
+
+- ``feature_service``: images -> spliced + original logits, channel-averaged
+  SAE latent activations, and the per-sample top-k (value, index) features —
+  the interpretability-serving payload (the reference computes the same
+  quantities only inside its eval epoch, model_pipeline.py:661-714 + 335-360;
+  here they ship as one deployable forward).
+- ``backbone``: images -> logits of the (possibly trained) original model.
+- ``sae_encoder``: tokens [T, d] -> latent activations [T, h] — the hot path
+  for downstream feature pipelines that already hold activations.
+
+The batch axis is exported shape-polymorphic by default
+(``jax.export.symbolic_args_specs``): one artifact serves every batch size,
+and the serving engine bounds XLA compile count with bucket padding
+(serve/engine.py). Pass ``platforms=('tpu','cpu')`` to cross-lower one
+artifact for both backends.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from sparse_vision_tpu.models.sae import (
+    sae_encode,
+    sae_inference_and_loss,
+    topk_sae_apply,
+)
+from sparse_vision_tpu.ops import metrics
+from sparse_vision_tpu.serve.artifact import save_artifact
+
+
+def make_feature_service_fn(
+    net,
+    frozen_params: dict,
+    frozen_state: dict,
+    sae_model_name: str,
+    sae_params: dict,
+    sae_layer: str,
+    *,
+    top_k: int = 16,
+    topk: int = 32,
+    topk_approx: bool = False,
+    jumprelu_bandwidth: float = 1e-3,
+    matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
+    last_stage: Optional[str] = None,
+):
+    """images [B, ...] -> dict(logits, logits_original, latents_mean,
+    top_values, top_indices). Pure function of the images only — all weights
+    are closed over, which is what makes the export self-contained."""
+    last = last_stage or net.stage_names[-1]
+
+    def service(images: jax.Array) -> dict:
+        logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
+        act = taps[sae_layer]
+        out = sae_inference_and_loss(
+            sae_model_name, sae_params, act, 0.0, topk=topk,
+            topk_approx=topk_approx, jumprelu_bandwidth=jumprelu_bandwidth,
+            matryoshka_prefixes=matryoshka_prefixes,
+        )
+        logits_mod = net.apply_segment(
+            frozen_params, out["decoded"], after=sae_layer, upto=last,
+            state=frozen_state,
+        )
+        # channel-averaged, pre-activation when the variant has one — the same
+        # per-unit signal the top-k sample collector ranks by
+        # (model_pipeline.py:335-360)
+        enc = out["encoded_pre"] if out["encoded_pre"] is not None else out["encoded"]
+        latents = metrics.spatial_mean(enc)
+        k = min(top_k, latents.shape[-1])
+        vals, idx = jax.lax.top_k(latents, k)
+        return {
+            "logits": logits_mod,
+            "logits_original": logits_orig,
+            "latents_mean": latents,
+            "top_values": vals,
+            "top_indices": idx,
+        }
+
+    return service
+
+
+def make_backbone_fn(net, params: dict, state: dict):
+    def forward(images: jax.Array) -> dict:
+        logits, _, _ = net.apply(params, images, state=state)
+        return {"logits": logits}
+
+    return forward
+
+
+def make_sae_encoder_fn(sae_model_name: str, sae_params: dict, *,
+                        topk: int = 32, topk_approx: bool = False):
+    if sae_model_name == "topk_sae":
+        def encode(tok: jax.Array) -> dict:
+            return {"encoded": topk_sae_apply(sae_params, tok, topk, topk_approx)[0]}
+    else:
+        def encode(tok: jax.Array) -> dict:
+            return {"encoded": sae_encode(sae_model_name, sae_params, tok)}
+    return encode
+
+
+def export_fn(fn, example_shape: tuple, dtype, *, poly_batch: bool = True,
+              platforms: Optional[Sequence[str]] = None):
+    """Export ``fn`` taking one array whose leading axis is the batch.
+
+    ``example_shape`` includes a concrete example batch (used verbatim for a
+    static-batch export; only its rank/trailing dims matter when
+    ``poly_batch``)."""
+    from jax import export as jexport
+
+    jf = jax.jit(fn)
+    if poly_batch:
+        spec = "b, " + ", ".join("_" * (len(example_shape) - 1))
+        args = jexport.symbolic_args_specs(
+            (jax.ShapeDtypeStruct(example_shape, dtype),), spec
+        )
+    else:
+        args = (jax.ShapeDtypeStruct(example_shape, dtype),)
+    return jexport.export(jf, platforms=tuple(platforms) if platforms else None)(*args)
+
+
+def _write(out_dir: str, exported, *, kind: str, example_shape: tuple, dtype,
+           poly_batch: bool, outputs: Sequence[str], extras: dict) -> str:
+    return save_artifact(out_dir, exported, {
+        "kind": kind,
+        "input_shape": list(example_shape[1:]),
+        "input_dtype": jnp.dtype(dtype).name,
+        "batch": "poly" if poly_batch else int(example_shape[0]),
+        "outputs": list(outputs),
+        **extras,
+    })
+
+
+def export_feature_service(
+    net, frozen_params, frozen_state, sae_model_name, sae_params, sae_layer,
+    out_dir: str, *, img_shape: tuple, example_batch: int = 8,
+    poly_batch: bool = True, platforms: Optional[Sequence[str]] = None,
+    dtype=jnp.float32, extras: Optional[dict] = None, **service_kw,
+) -> str:
+    fn = make_feature_service_fn(
+        net, frozen_params, frozen_state, sae_model_name, sae_params,
+        sae_layer, **service_kw,
+    )
+    shape = (example_batch, *img_shape)
+    exported = export_fn(fn, shape, dtype, poly_batch=poly_batch,
+                         platforms=platforms)
+    return _write(
+        out_dir, exported, kind="feature_service", example_shape=shape,
+        dtype=dtype, poly_batch=poly_batch,
+        outputs=("logits", "logits_original", "latents_mean", "top_values",
+                 "top_indices"),
+        extras={"sae_model_name": sae_model_name, "sae_layer": sae_layer,
+                **(extras or {})},
+    )
+
+
+def export_backbone(
+    net, params, state, out_dir: str, *, img_shape: tuple,
+    example_batch: int = 8, poly_batch: bool = True,
+    platforms: Optional[Sequence[str]] = None, dtype=jnp.float32,
+    extras: Optional[dict] = None,
+) -> str:
+    shape = (example_batch, *img_shape)
+    exported = export_fn(make_backbone_fn(net, params, state), shape, dtype,
+                         poly_batch=poly_batch, platforms=platforms)
+    return _write(out_dir, exported, kind="backbone", example_shape=shape,
+                  dtype=dtype, poly_batch=poly_batch, outputs=("logits",),
+                  extras=extras or {})
+
+
+def export_sae_encoder(
+    sae_model_name, sae_params, out_dir: str, *, d: int,
+    example_batch: int = 1024, poly_batch: bool = True,
+    platforms: Optional[Sequence[str]] = None, dtype=jnp.float32,
+    extras: Optional[dict] = None, topk: int = 32, topk_approx: bool = False,
+) -> str:
+    shape = (example_batch, d)
+    fn = make_sae_encoder_fn(sae_model_name, sae_params, topk=topk,
+                             topk_approx=topk_approx)
+    exported = export_fn(fn, shape, dtype, poly_batch=poly_batch,
+                         platforms=platforms)
+    return _write(out_dir, exported, kind="sae_encoder", example_shape=shape,
+                  dtype=dtype, poly_batch=poly_batch, outputs=("encoded",),
+                  extras={"sae_model_name": sae_model_name, **(extras or {})})
+
+
+def export_from_pipeline(pipe, out_dir: str, *, kind: str = "feature_service",
+                         poly_batch: bool = True,
+                         platforms: Optional[Sequence[str]] = None,
+                         **kw) -> str:
+    """Export a constructed ``train.pipeline.Pipeline``'s current weights.
+
+    The Pipeline has already applied the run's weight-loading contract
+    (original-model checkpoint, ``sae_weights_path`` import,
+    ``sae_checkpoint_epoch`` restore), so "what you would evaluate is what you
+    export". To export a finished training run, construct the Pipeline with
+    ``sae_checkpoint_epoch`` pointing at the trained epoch.
+    """
+    cfg = pipe.cfg
+    img_shape = tuple(pipe.img_size)
+    if kind == "backbone":
+        return export_backbone(
+            pipe.net, pipe.frozen_params, pipe.net_state, out_dir,
+            img_shape=img_shape, poly_batch=poly_batch, platforms=platforms,
+            extras={"model_name": cfg.model_name,
+                    "dataset_name": cfg.dataset_name}, **kw,
+        )
+    if not cfg.use_sae:
+        raise ValueError(f"kind={kind!r} needs an SAE run config (use_sae)")
+    if cfg.sae_model_name in ("transcoder", "crosscoder"):
+        raise ValueError(
+            "serving export covers single-layer SAE variants; transcoder/"
+            "crosscoder serving is a circuit-tier concern "
+            "(interp/transcoder_circuit.py)"
+        )
+    sae_params = pipe.ts.params
+    extras = {"model_name": cfg.model_name, "dataset_name": cfg.dataset_name,
+              "sae_expansion_factor": cfg.sae_expansion_factor,
+              "run_id": pipe.run_id}
+    if kind == "feature_service":
+        return export_feature_service(
+            pipe.net, pipe.frozen_params, pipe.net_state, cfg.sae_model_name,
+            sae_params, cfg.sae_layer, out_dir, img_shape=img_shape,
+            poly_batch=poly_batch, platforms=platforms, extras=extras,
+            topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
+            jumprelu_bandwidth=cfg.jumprelu_bandwidth,
+            matryoshka_prefixes=cfg.matryoshka_prefix_fractions, **kw,
+        )
+    if kind == "sae_encoder":
+        return export_sae_encoder(
+            cfg.sae_model_name, sae_params, out_dir, d=pipe.sae_input_size,
+            poly_batch=poly_batch, platforms=platforms, extras=extras,
+            topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx, **kw,
+        )
+    raise ValueError(f"unknown artifact kind {kind!r}")

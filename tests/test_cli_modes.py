@@ -343,7 +343,8 @@ def test_new_examples_run(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
     for script in ("vmap_sweep.py", "train_transcoder.py",
-                    "crosscoder_diffing.py", "transcoder_circuit.py"):
+                    "crosscoder_diffing.py", "transcoder_circuit.py",
+                    "serving.py"):
         r = subprocess.run(
             [sys.executable, os.path.join(root, "examples", script),
              str(tmp_path / script[:-3])],
