@@ -61,6 +61,34 @@ def main(out_root: str) -> None:
     )
     print(f"artifact meta: kind={eng.meta['kind']}, batch={eng.meta['batch']}, "
           f"platforms={eng.meta['platforms']}")
+
+    # 4. feature steering: export a steering_service artifact from the SAME
+    #    trained run (sae_checkpoint_epoch restores the trained weights), then
+    #    clamp the strongest latent to zero and boost it 3x — all from one
+    #    artifact, no re-export per intervention
+    import dataclasses
+
+    steer_dir = os.path.join(out_root, "steering_artifact")
+    cfg_restore = dataclasses.replace(cfg, sae_checkpoint_epoch=1)
+    rc = cli_main(["--export_serving", steer_dir,
+                   "--export_kind", "steering_service",
+                   "--config", cfg_restore.to_json()])
+    assert rc == 0
+    steer = ServingEngine(steer_dir, max_batch=8)
+    base = steer.predict(imgs)  # default extras = identity (no-op steering)
+    assert np.allclose(base["logits_steered"], base["logits_original"],
+                       rtol=1e-5, atol=1e-5)
+    h = steer.meta["extra_inputs"][0]["shape"][0]
+    top_unit = int(np.argmax(base["latents_mean"].mean(0)))
+    scale = np.ones((h,), np.float32)
+    scale[top_unit] = 3.0  # boost
+    steer.set_extras(scale, np.zeros((h,), np.float32))
+    boosted = steer.predict(imgs)
+    drift = float(np.abs(boosted["logits_steered"]
+                         - base["logits_original"]).max())
+    print(f"steering: boosting latent {top_unit} 3x moves logits by "
+          f"max {drift:.4f}")
+    assert drift > 0
     print("serving example OK")
 
 

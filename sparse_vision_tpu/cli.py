@@ -73,7 +73,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "--run_pipeline in one invocation (train, then export "
                         "the final epoch)")
     p.add_argument("--export_kind", type=str, default="feature_service",
-                   choices=["feature_service", "backbone", "sae_encoder"],
+                   choices=["feature_service", "backbone", "sae_encoder",
+                            "steering_service"],
                    help="artifact kind for --export_serving")
     return p.parse_args(argv)
 

@@ -515,7 +515,8 @@ def sae_decode(sae_model_name: str, params: dict, encoded: jax.Array) -> jax.Arr
     """Decoder applied to an (possibly ablated) encoder output — the reference calls
     sae.decoder(new_encoder_output) directly when ablating circuit nodes
     (utils.py:2798-2809)."""
-    if sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae", "matryoshka_sae"):
+    if sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae",
+                          "matryoshka_sae", "topk_sae"):
         return encoded @ params["W_dec"] + params["b_dec"]
     raise ValueError(f"SAE {sae_model_name!r} has no token decoder.")
 

@@ -53,6 +53,15 @@ class ServingEngine:
             # static-batch artifact: the exported size is the only legal shape
             self.buckets = (int(self.meta["batch"]),)
         self.max_batch = self.buckets[-1]
+        # extra static-shaped inputs (e.g. steering vectors): initialized to
+        # the artifact's declared identity fills, replaceable per session via
+        # set_extras(). They ride every dispatch unpadded — only the batch
+        # axis buckets.
+        self._extra_specs = tuple(self.meta.get("extra_inputs", ()))
+        self._extras = tuple(
+            np.full(tuple(s["shape"]), s.get("fill", 0.0), np.dtype(s["dtype"]))
+            for s in self._extra_specs
+        )
         self._linger_s = linger_ms / 1e3
         self._queue: queue.Queue = queue.Queue()
         self._worker: Optional[threading.Thread] = None
@@ -64,6 +73,26 @@ class ServingEngine:
         taking traffic; on TPU each first-compile is seconds-to-minutes)."""
         for b in self.buckets:
             self.predict(np.zeros((b, *self.input_shape), self.input_dtype))
+
+    def set_extras(self, *arrays) -> None:
+        """Replace the artifact's extra inputs (e.g. a steering vector pair)
+        for every subsequent predict/submit — a steering session. Shapes must
+        match the artifact's declared extra_inputs."""
+        if len(arrays) != len(self._extra_specs):
+            raise ValueError(
+                f"artifact declares {len(self._extra_specs)} extra inputs, "
+                f"got {len(arrays)}"
+            )
+        out = []
+        for a, s in zip(arrays, self._extra_specs):
+            a = np.asarray(a, np.dtype(s["dtype"]))
+            if a.shape != tuple(s["shape"]):
+                raise ValueError(
+                    f"extra input {s['name']!r} shape {a.shape} != declared "
+                    f"{tuple(s['shape'])}"
+                )
+            out.append(a)
+        self._extras = tuple(out)
 
     def predict(self, images: np.ndarray) -> dict:
         """Run a request batch of any size; returns host numpy outputs with
@@ -91,7 +120,7 @@ class ServingEngine:
         if bucket != n:
             pad = np.zeros((bucket - n, *self.input_shape), self.input_dtype)
             chunk = np.concatenate([chunk, pad])
-        out = self._call(chunk)
+        out = self._call(chunk, *self._extras)
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     # ---- micro-batching service ----------------------------------------

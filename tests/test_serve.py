@@ -33,7 +33,9 @@ from sparse_vision_tpu.serve.engine import ServingEngine, _bucket_ladder
 from sparse_vision_tpu.serve.exporter import (
     export_feature_service,
     export_from_pipeline,
+    export_steering_service,
     make_feature_service_fn,
+    make_steering_service_fn,
 )
 
 IMG = (28, 28, 1)
@@ -161,6 +163,146 @@ def test_microbatching_worker(tmp_path):
         eng.stop()
 
 
+# ---- steering service ------------------------------------------------------
+
+
+def _export_steering(tmp_path, sae_model_name="sae_mlp", **kw):
+    net, params, state, sae_params = _small_setup(sae_model_name)
+    out = export_steering_service(
+        net, params, state, sae_model_name, sae_params, "fc1",
+        str(tmp_path / "steer"), img_shape=IMG, topk=4, **kw,
+    )
+    return out, (net, params, state, sae_params)
+
+
+@pytest.mark.parametrize("sae_model_name",
+                         ["sae_mlp", "gated_sae", "topk_sae"])
+def test_steering_identity_reproduces_original(tmp_path, sae_model_name):
+    """Delta-mode identity steering (scale=1, bias=0 — the engine's default
+    extras from the artifact's declared fills) is a no-op: the steered logits
+    equal the ORIGINAL model's, SAE error preserved."""
+    out_dir, _ = _export_steering(tmp_path, sae_model_name)
+    eng = ServingEngine(out_dir, max_batch=8)
+    assert eng.meta["steering_mode"] == "delta"
+    assert [e["name"] for e in eng.meta["extra_inputs"]] == [
+        "steer_scale", "steer_bias"]
+    imgs = np.asarray(
+        jax.random.normal(jax.random.key(7), (5, *IMG)), np.float32
+    )
+    out = eng.predict(imgs)
+    np.testing.assert_allclose(out["logits_steered"], out["logits_original"],
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("sae_model_name",
+                         ["sae_mlp", "gated_sae", "topk_sae"])
+def test_steering_export_parity_random_vectors(tmp_path, sae_model_name):
+    """Exported steering artifact == the live steering fn under an arbitrary
+    per-latent affine edit, through bucket padding."""
+    out_dir, (net, params, state, sae_params) = _export_steering(
+        tmp_path, sae_model_name)
+    h = sae_params["W_dec"].shape[0]
+    scale = np.asarray(jax.random.uniform(jax.random.key(8), (h,)), np.float32)
+    bias = np.asarray(
+        0.1 * jax.random.normal(jax.random.key(9), (h,)), np.float32
+    )
+    eng = ServingEngine(out_dir, buckets=(4, 8))
+    eng.set_extras(scale, bias)
+    imgs = np.asarray(
+        jax.random.normal(jax.random.key(10), (3, *IMG)), np.float32
+    )
+    served = eng.predict(imgs)  # pads 3 -> bucket 4
+    live_fn = make_steering_service_fn(
+        net, params, state, sae_model_name, sae_params, "fc1", topk=4)
+    live = jax.tree.map(
+        np.asarray,
+        live_fn(jnp.asarray(imgs), jnp.asarray(scale), jnp.asarray(bias)),
+    )
+    for k in served:
+        assert served[k].shape[0] == 3
+        np.testing.assert_allclose(served[k], live[k], rtol=1e-5, atol=1e-5)
+    # steering with a non-identity edit must actually move the logits
+    assert not np.allclose(served["logits_steered"], served["logits_original"],
+                           atol=1e-4)
+
+
+def test_steering_splice_identity_matches_feature_service(tmp_path):
+    """Splice-mode identity steering reproduces the SPLICED model — the same
+    logits the feature_service artifact serves (eval-modified semantics)."""
+    net, params, state, sae_params = _small_setup()
+    out_dir = export_steering_service(
+        net, params, state, "sae_mlp", sae_params, "fc1",
+        str(tmp_path / "steer"), img_shape=IMG, mode="splice",
+    )
+    eng = ServingEngine(out_dir, max_batch=8)
+    imgs = np.asarray(
+        jax.random.normal(jax.random.key(11), (4, *IMG)), np.float32
+    )
+    out = eng.predict(imgs)
+    feat_fn = make_feature_service_fn(
+        net, params, state, "sae_mlp", sae_params, "fc1", top_k=4)
+    want = np.asarray(feat_fn(jnp.asarray(imgs))["logits"])
+    np.testing.assert_allclose(out["logits_steered"], want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_steering_clamp_semantics(tmp_path):
+    """Clamping one latent (scale_j=0, bias_j=v) pins its decoded contribution
+    to exactly v * W_dec[j] in delta mode, independent of the image — pinned
+    against a hand-built expectation through the decoder."""
+    from sparse_vision_tpu.models.sae import (
+        sae_inference_and_loss as live_splice,
+    )
+
+    net, params, state, sae_params = _small_setup()
+    fn = make_steering_service_fn(
+        net, params, state, "sae_mlp", sae_params, "fc1", topk=4)
+    h = sae_params["W_dec"].shape[0]
+    j, v = 3, 2.5
+    scale = jnp.ones((h,)).at[j].set(0.0)
+    bias = jnp.zeros((h,)).at[j].set(v)
+    imgs = jax.random.normal(jax.random.key(12), (2, *IMG))
+    out = fn(imgs, scale, bias)
+    # expected: original stream + (v - z_j) * W_dec[j] delta at the tap,
+    # propagated through the tail segment
+    logits_orig, taps, _ = net.apply(params, imgs, state=state)
+    act = taps["fc1"]
+    res = live_splice("sae_mlp", sae_params, act, 0.0)
+    z = res["encoded"]
+    delta = (v - z[..., j])[..., None] * sae_params["W_dec"][j]
+    spliced = act + delta
+    want = net.apply_segment(params, spliced, after="fc1",
+                             upto=net.stage_names[-1], state=state)
+    np.testing.assert_allclose(np.asarray(out["logits_steered"]),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_steering_engine_extras_validation(tmp_path):
+    out_dir, (_, _, _, sae_params) = _export_steering(tmp_path)
+    h = sae_params["W_dec"].shape[0]
+    eng = ServingEngine(out_dir, max_batch=4)
+    with pytest.raises(ValueError, match="extra input"):
+        eng.set_extras(np.ones((h + 1,), np.float32), np.zeros((h,), np.float32))
+    with pytest.raises(ValueError, match="declares 2 extra"):
+        eng.set_extras(np.ones((h,), np.float32))
+    # plain artifacts declare no extras: set_extras(()) is the only legal call
+    feat_dir, _ = _export(tmp_path)
+    feat_eng = ServingEngine(feat_dir, max_batch=4)
+    with pytest.raises(ValueError, match="declares 0 extra"):
+        feat_eng.set_extras(np.ones((h,), np.float32))
+
+
+def test_steering_rejects_conv_and_bad_mode(tmp_path):
+    net, params, state, _ = _small_setup()
+    conv_params = {"W_dec": np.zeros((4, 2, 3, 3), np.float32)}
+    with pytest.raises(ValueError, match="token-decoder"):
+        make_steering_service_fn(net, params, state, "sae_conv", conv_params,
+                                 "fc1")
+    with pytest.raises(ValueError, match="steering mode"):
+        make_steering_service_fn(net, params, state, "sae_mlp", conv_params,
+                                 "fc1", mode="nope")
+
+
 def _cfg(tmp_path, **kw):
     defaults = dict(
         model_name="custom_mlp_9", sae_layer="fc1", dataset_name="synthetic",
@@ -194,6 +336,14 @@ def test_export_from_pipeline_kinds(tmp_path):
     eng = ServingEngine(bb_dir, max_batch=4)
     out = eng.predict(np.zeros((2, *IMG), np.float32))
     assert out["logits"].shape == (2, 10)
+
+    steer_dir = export_from_pipeline(pipe, str(tmp_path / "steer"),
+                                     kind="steering_service")
+    steer_eng = ServingEngine(steer_dir, max_batch=4)
+    s_out = steer_eng.predict(np.zeros((2, *IMG), np.float32))
+    np.testing.assert_allclose(s_out["logits_steered"],
+                               s_out["logits_original"],
+                               rtol=1e-5, atol=1e-5)
 
     with pytest.raises(ValueError, match="unknown artifact kind"):
         export_from_pipeline(pipe, str(tmp_path / "x"), kind="nope")
