@@ -41,6 +41,13 @@ jax.config.update(
     os.environ.get("SVT_JAX_CACHE", os.path.expanduser("~/.cache/svt_jax")),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+# Parity needs BOTH sides computing real f32: the TPU's DEFAULT matmul
+# precision rounds f32 operands to bf16 on the MXU, so the stock-XLA side
+# would carry ~4e-3 relative rounding per step that the f32 Pallas side does
+# not — 30 adam steps amplify that into percent-level param drift that is
+# pure MXU rounding, not kernel error (measured round 3: 0.8%/1.0%/14% at
+# DEFAULT vs the kernel-bug-free diffs below at HIGHEST).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 REL_TOL = 3e-3  # grid-accumulation corruption is orders of magnitude worse
 

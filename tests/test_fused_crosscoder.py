@@ -100,3 +100,28 @@ def test_fused_crosscoder_training_trajectory_matches_stock():
             np.asarray(ts_f.params[k]), np.asarray(ts_s.params[k]),
             rtol=2e-4, atol=1e-6, err_msg=k,
         )
+
+
+def test_pick_tiles_c_vmem_shrink():
+    """The cat-space column count must shape the tile pick: 5-layer GoogLeNet
+    crosscoders concatenate to 2,896 columns, where the default 2048x2048
+    tiles overflow v5e VMEM in the backward (measured scoped-allocation
+    failure, chip_queue round 3). Small cat spaces keep the requested tiles."""
+    from sparse_vision_tpu.ops.fused_crosscoder import (
+        _VMEM_BUDGET,
+        _bwd_vmem_bytes,
+        _pick_tiles_c,
+    )
+
+    # the failing bench shape: T=16384, h=8192, sum_c=2896, bf16 compute
+    tt, th = _pick_tiles_c(16384, 8192, 2896, 2048, 2048, jnp.bfloat16)
+    assert _bwd_vmem_bytes(tt, th, 2896, 2) <= _VMEM_BUDGET, (tt, th)
+    assert 16384 % tt == 0 and 8192 % th == 0
+    assert tt % 8 == 0 and th % 128 == 0
+    assert (tt, th) != (2048, 2048)
+    # a small cat space (single-layer-SAE scale) keeps the requested tiles
+    assert _pick_tiles_c(16384, 16384, 256, 2048, 2048, jnp.bfloat16) == (
+        2048, 2048)
+    # f32 compute doubles the block bytes -> at least as small a pick
+    tt32, th32 = _pick_tiles_c(16384, 8192, 2896, 2048, 2048, jnp.float32)
+    assert _bwd_vmem_bytes(tt32, th32, 2896, 4) <= _VMEM_BUDGET
