@@ -115,24 +115,30 @@ def main():
     # calls with different batch counts cancel it exactly:
     # rate = (N-1)*B / (t_warm(N) - t_warm(1)). A cold call1 would NOT cancel a
     # warm call2's prefix and inflate the rate (round-3 review finding).
-    _ = eng.compute_edge_ie(e_batches, avgs, feats, custom_layers=pair_layers,
-                            cotangent_chunk=16)  # cold: compile (discarded)
-    t0 = time.perf_counter()
-    _ = eng.compute_edge_ie(e_batches, avgs, feats, custom_layers=pair_layers,
-                            cotangent_chunk=16)
-    t1 = time.perf_counter() - t0  # warm: trace + 1 batch
-    N_EDGE = 6
-    t0 = time.perf_counter()
-    edges = eng.compute_edge_ie(e_batches * N_EDGE, avgs, feats,
-                                custom_layers=pair_layers, cotangent_chunk=16)
-    tN = time.perf_counter() - t0  # warm: trace + N batches
-    edge_rate = (N_EDGE - 1) * E_BATCH / max(tN - t1, 1e-9)
+    def _edge_call(n):
+        t0 = time.perf_counter()
+        eng.compute_edge_ie(e_batches * n, avgs, feats,
+                            custom_layers=pair_layers, cotangent_chunk=16)
+        return time.perf_counter() - t0
+
+    _edge_call(1)  # cold: compile (discarded)
+    N_EDGE = 12
+    t1 = min(_edge_call(1) for _ in range(2))  # warm: trace + 1 batch
+    tN = min(_edge_call(N_EDGE) for _ in range(2))  # warm: trace + N batches
+    marginal = tN - t1
+    # at 64 feats/side the marginal device time can sit BELOW the per-call
+    # trace-overhead noise through the tunnel (round-3 queue printed 4e10
+    # img/s from a negative subtraction); report null rather than noise
+    noisy = marginal <= 0.05 * t1
     print(json.dumps({
         "metric": "edge_ie_images_per_sec",
-        "value": round(edge_rate, 2),
+        "value": None if noisy else round((N_EDGE - 1) * E_BATCH / marginal, 2),
         "unit": "images/s",
         "pair": "->".join(pair_layers),
         "features_per_side": 64,
+        "note": ("marginal time below per-call trace noise; "
+                 "edge_ie_full_circuit is the controlled measurement")
+                if noisy else None,
     }))
 
     # ---- edge IE: FULL-CIRCUIT production scale (IE_SCALE=full) ---------------
