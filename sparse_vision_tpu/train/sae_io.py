@@ -17,6 +17,14 @@ migrates the older ``W_enc/W_dec`` key convention into ``encoder.weight``/
      stored W_dec is [h, d] — coincident with the native layout)
 - export back to torch: ``to_torch_state_dict`` produces the reference's nn.Linear
   key layout so weights trained here load straight into the reference's models.
+- SAELens interop (beyond-reference — the community publishing format for
+  SAEs: a directory of ``cfg.json`` + ``sae_weights.safetensors``):
+  ``save_sae_saelens`` / ``load_sae_saelens``. SAELens stores ``W_enc``
+  [d_in, d_sae] and ``W_dec`` [d_sae, d_in] — exactly this framework's math
+  convention, so weights map key-for-key; gated maps ``W_gate <-> W_enc``
+  (SAELens shares the gate weight), jumprelu maps ``log_threshold <->
+  threshold`` (SAELens stores the linear threshold). ``load_sae_weights`` /
+  ``import_any`` accept ``.safetensors`` paths directly.
 """
 
 from __future__ import annotations
@@ -120,10 +128,122 @@ def _normalize_state_dict(sd: dict, sae_model_name: str) -> dict:
     return out
 
 
+# this framework's variant names <-> SAELens cfg.json "architecture" values
+_SAELENS_ARCH = {
+    "sae_mlp": "standard",
+    "gated_sae": "gated",
+    "jumprelu_sae": "jumprelu",
+    "topk_sae": "topk",
+    # nesting lives in the loss; published weights are a standard SAE
+    "matryoshka_sae": "standard",
+}
+_ARCH_TO_NATIVE = {"standard": "sae_mlp", "gated": "gated_sae",
+                   "jumprelu": "jumprelu_sae", "topk": "topk_sae"}
+SAELENS_WEIGHTS_FILE = "sae_weights.safetensors"
+SAELENS_CFG_FILE = "cfg.json"
+
+
+def _to_saelens_tensors(params: dict, sae_model_name: str) -> dict:
+    """Native pytree -> SAELens tensor dict. The W_enc/W_dec orientation is
+    IDENTICAL (W_enc [d_in, d_sae], W_dec [d_sae, d_in] — SAELens's
+    TrainingSAE layout matches this repo's math convention); only the gated
+    gate-weight name and the jumprelu threshold parameterization differ."""
+    p = {k: np.asarray(v) for k, v in params.items()}
+    if sae_model_name == "gated_sae":
+        return {"W_enc": p["W_gate"], "b_gate": p["b_gate"],
+                "b_mag": p["b_mag"], "r_mag": p["r_mag"],
+                "W_dec": p["W_dec"], "b_dec": p["b_dec"]}
+    out = {"W_enc": p["W_enc"], "b_enc": p["b_enc"],
+           "W_dec": p["W_dec"], "b_dec": p["b_dec"]}
+    if sae_model_name == "jumprelu_sae":
+        out["threshold"] = np.exp(p["log_threshold"])
+    return out
+
+
+def _from_saelens_tensors(tensors: dict, sae_model_name: str) -> dict:
+    t = {k: np.asarray(v) for k, v in tensors.items()}
+    if sae_model_name == "gated_sae":
+        return {"W_gate": t["W_enc"], "b_gate": t["b_gate"],
+                "b_mag": t["b_mag"], "r_mag": t["r_mag"],
+                "W_dec": t["W_dec"], "b_dec": t["b_dec"]}
+    out = {"W_enc": t["W_enc"], "b_enc": t["b_enc"],
+           "W_dec": t["W_dec"], "b_dec": t["b_dec"]}
+    if sae_model_name == "jumprelu_sae" and "threshold" in t:
+        thr = t["threshold"]
+        if np.any(thr <= 0):
+            raise ValueError("SAELens jumprelu threshold must be positive to "
+                             "map into log_threshold")
+        out["log_threshold"] = np.log(thr)
+    return out
+
+
+def save_sae_saelens(params: dict, sae_model_name: str, folder: str,
+                     extra_cfg: dict | None = None) -> str:
+    """Export to the SAELens publishing layout: ``<folder>/cfg.json`` +
+    ``<folder>/sae_weights.safetensors``. Returns the folder path."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    if sae_model_name not in _SAELENS_ARCH:
+        raise ValueError(f"no SAELens mapping for {sae_model_name!r}")
+    tensors = _to_saelens_tensors(params, sae_model_name)
+    os.makedirs(folder, exist_ok=True)
+    d_in, d_sae = (int(tensors["W_dec"].shape[1]), int(tensors["W_dec"].shape[0]))
+    cfg = {
+        "architecture": _SAELENS_ARCH[sae_model_name],
+        "d_in": d_in,
+        "d_sae": d_sae,
+        "dtype": str(tensors["W_dec"].dtype),
+        # every variant here centers the input on b_dec (models/sae.py)
+        "apply_b_dec_to_input": True,
+        **(extra_cfg or {}),
+    }
+    wpath = os.path.join(folder, SAELENS_WEIGHTS_FILE)
+    save_file(tensors, wpath + ".tmp")
+    os.replace(wpath + ".tmp", wpath)
+    cpath = os.path.join(folder, SAELENS_CFG_FILE)
+    with open(cpath + ".tmp", "w") as f:
+        json.dump(cfg, f, indent=1)
+    os.replace(cpath + ".tmp", cpath)
+    return folder
+
+
+def load_sae_saelens(path: str, sae_model_name: str | None = None) -> tuple:
+    """Load a SAELens artifact (directory with cfg.json + safetensors, or a
+    bare .safetensors file) -> ``(native params pytree, cfg dict)``. The
+    variant comes from cfg.json's "architecture" unless given explicitly."""
+    import json
+
+    from safetensors.numpy import load_file
+
+    cfg: dict = {}
+    if os.path.isdir(path):
+        cpath = os.path.join(path, SAELENS_CFG_FILE)
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                cfg = json.load(f)
+        path = os.path.join(path, SAELENS_WEIGHTS_FILE)
+    if sae_model_name is None:
+        arch = cfg.get("architecture", "standard")
+        if arch not in _ARCH_TO_NATIVE:
+            raise ValueError(f"unknown SAELens architecture {arch!r}")
+        sae_model_name = _ARCH_TO_NATIVE[arch]
+    tensors = load_file(path)
+    tree = _from_saelens_tensors(tensors, sae_model_name)
+    return {k: jnp.asarray(v) for k, v in tree.items()}, cfg
+
+
 def load_sae_weights(path: str, sae_model_name: str = "sae_mlp") -> dict:
-    """Load SAE weights from a native ``.npz`` OR a reference-format torch
-    ``.pth``/``.pt`` file, returning the native jnp parameter pytree
+    """Load SAE weights from a native ``.npz``, a reference-format torch
+    ``.pth``/``.pt`` file, OR a SAELens ``.safetensors`` file / artifact
+    directory, returning the native jnp parameter pytree
     (reference: load_pretrained_model, utils.py:197-225)."""
+    if path.endswith(".safetensors") or (
+        os.path.isdir(path)
+        and os.path.exists(os.path.join(path, SAELENS_WEIGHTS_FILE))
+    ):
+        return load_sae_saelens(path, sae_model_name)[0]
     if path.endswith(".npz"):
         with np.load(path) as z:
             raw = {k: z[k] for k in z.files}

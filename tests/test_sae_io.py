@@ -12,6 +12,7 @@ import torch
 from sparse_vision_tpu.models.sae import (
     gated_sae_apply,
     init_gated_sae,
+    init_sae,
     init_sae_mlp,
     sae_mlp_apply,
 )
@@ -149,3 +150,95 @@ def test_pipeline_trains_then_exports_and_reimports(tmp_path):
         np.testing.assert_allclose(
             np.asarray(pipe3.ts.params[k]), np.asarray(pipe.ts.params[k]), rtol=1e-6
         )
+
+
+# ---- SAELens interop (community publishing format) --------------------------
+
+
+@pytest.mark.parametrize("name", ["sae_mlp", "gated_sae", "jumprelu_sae",
+                                  "topk_sae"])
+def test_saelens_round_trip(tmp_path, name):
+    from sparse_vision_tpu.train.sae_io import (
+        load_sae_saelens,
+        save_sae_saelens,
+    )
+
+    params = init_sae(name, jax.random.key(0), 16, 4)
+    folder = save_sae_saelens(params, name, str(tmp_path / "saelens"))
+    # cfg.json carries the SAELens identity fields
+    import json
+
+    with open(f"{folder}/cfg.json") as f:
+        cfg = json.load(f)
+    assert cfg["d_in"] == 16 and cfg["d_sae"] == 64
+    assert cfg["apply_b_dec_to_input"] is True
+    # architecture inferred from cfg.json — no explicit variant needed
+    loaded, cfg2 = load_sae_saelens(folder)
+    assert cfg2 == cfg
+    assert set(loaded) == set(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(loaded[k]),
+                                   np.asarray(params[k]), rtol=1e-6, atol=0)
+
+
+def test_saelens_published_layout_loads_with_native_math(tmp_path):
+    """A file in the layout SAELens itself publishes (W_enc [d_in, d_sae],
+    W_dec [d_sae, d_in], linear jumprelu threshold) must load into params that
+    reproduce the standard SAE math — pins the no-transpose mapping."""
+    from safetensors.numpy import save_file
+
+    from sparse_vision_tpu.models.sae import sae_mlp_apply
+    from sparse_vision_tpu.train.sae_io import load_sae_saelens
+
+    rng = np.random.RandomState(0)
+    d, h = 8, 32
+    tensors = {
+        "W_enc": rng.randn(d, h).astype(np.float32),
+        "b_enc": rng.randn(h).astype(np.float32),
+        "W_dec": rng.randn(h, d).astype(np.float32),
+        "b_dec": rng.randn(d).astype(np.float32),
+    }
+    path = str(tmp_path / "w.safetensors")
+    save_file(tensors, path)
+    params, cfg = load_sae_saelens(path, "sae_mlp")
+    assert cfg == {}  # bare file: no cfg.json
+    x = jnp.asarray(rng.randn(5, d).astype(np.float32))
+    encoded, decoded, _ = sae_mlp_apply(params, x)
+    xc = np.asarray(x) - tensors["b_dec"]
+    want_enc = np.maximum(xc @ tensors["W_enc"] + tensors["b_enc"], 0.0)
+    want_dec = want_enc @ tensors["W_dec"] + tensors["b_dec"]
+    np.testing.assert_allclose(np.asarray(encoded), want_enc, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(decoded), want_dec, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_saelens_jumprelu_threshold_mapping(tmp_path):
+    from sparse_vision_tpu.train.sae_io import (
+        load_sae_saelens,
+        save_sae_saelens,
+    )
+
+    params = init_sae("jumprelu_sae", jax.random.key(1), 8, 2)
+    folder = save_sae_saelens(params, "jumprelu_sae", str(tmp_path / "jr"))
+    loaded, cfg = load_sae_saelens(folder)
+    assert cfg["architecture"] == "jumprelu"
+    np.testing.assert_allclose(np.asarray(loaded["log_threshold"]),
+                               np.asarray(params["log_threshold"]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_saelens_import_any_and_pipeline_path(tmp_path):
+    """import_any (the Pipeline's sae_weights_path entry) accepts a SAELens
+    artifact directory and validates shapes."""
+    from sparse_vision_tpu.train.sae_io import import_any, save_sae_saelens
+
+    params = init_sae("sae_mlp", jax.random.key(2), 16, 4)
+    folder = save_sae_saelens(params, "sae_mlp", str(tmp_path / "art"))
+    like = init_sae("sae_mlp", jax.random.key(3), 16, 4)
+    got = import_any(folder, "sae_mlp", like)
+    np.testing.assert_allclose(np.asarray(got["W_dec"]),
+                               np.asarray(params["W_dec"]), rtol=1e-6, atol=0)
+    wrong = init_sae("sae_mlp", jax.random.key(3), 16, 8)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_any(folder, "sae_mlp", wrong)
