@@ -39,6 +39,15 @@ EXPANSION = 64  # mixed3a C=256 -> 16,384 latents (the north-star shape)
 TPS = 32_768  # tokens per train step
 EPOCHS = 2
 WORK = os.environ.get("NORTHSTAR_DIR", "/tmp/northstar")
+# each variant invocation (plain / NORTHSTAR_INT8 / NORTHSTAR_OVERLAP) measures
+# the BASE dump+train chain first, so it needs its own runs root — a cache or
+# checkpoint left by an earlier variant would make the base phase unmeasurable
+# (the queue's northstar_int8 step died on the plain run's cache, round 3).
+# Tar shards and the jax compile cache stay shared under WORK.
+_VARIANT = ("_int8pass" if os.environ.get("NORTHSTAR_INT8")
+            else "_overlappass" if os.environ.get("NORTHSTAR_OVERLAP") else "")
+RUNS = os.path.join(WORK, "runs" + _VARIANT)  # distinct from the variant
+# sub-run dirs runs_int8 / runs_overlap, which the variant phases rmtree
 
 
 def make_standin_jpegs(n: int, out_dir: str, seed: int, prefix: str) -> list[str]:
@@ -98,7 +107,7 @@ def main() -> int:
 
     cfg = RunConfig(
         model_name="inceptionv1", sae_model_name="sae_mlp", sae_layer="mixed3a",
-        directory_path=os.path.join(WORK, "runs"), dataset_name="imagenet",
+        directory_path=RUNS, dataset_name="imagenet",
         data_dir=WORK, sae_epochs=EPOCHS, sae_learning_rate=1e-3,
         sae_optimizer_name="constrained_adam", sae_batch_size=256,
         sae_lambda_sparse=5.0,  # the reference's known-good mixed3a lambda

@@ -96,6 +96,43 @@ def main():
                 "forward",
     }))
 
+    # ---- steering service: the intervention path's deployed rate ----------
+    from sparse_vision_tpu.serve.exporter import export_steering_service
+
+    steer_dir = os.path.join(
+        os.environ.get("SVT_BENCH_DIR", "/tmp"), "svt_bench_serve_steering"
+    )
+    t0 = time.perf_counter()
+    export_steering_service(
+        net, params, state, "sae_mlp", sae_params, "mixed3a", steer_dir,
+        img_shape=(229, 229, 3),
+    )
+    export_s = time.perf_counter() - t0
+    seng = ServingEngine(steer_dir, buckets=(bucket,))
+    h = int(d * ef)
+    scale = np.ones((h,), np.float32)
+    scale[:8] = 0.0  # a real intervention: clamp 8 latents
+    seng.set_extras(scale, np.zeros((h,), np.float32))
+    seng.predict(imgs)  # compile + warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            seng.predict(imgs)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    print(json.dumps({
+        "metric": "serving_steering_service_images_per_sec",
+        "backend": jax.default_backend(),
+        "bucket": bucket,
+        "latents": h,
+        "images_per_sec": round(bucket * steps / dt, 1),
+        "export_seconds": round(export_s, 1),
+        "note": "per-latent affine steering (8 latents clamped) through the "
+                "deployed artifact; same tunnel-bound request loop as the "
+                "feature service",
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -87,6 +87,33 @@ def bench_config(n_combos: int, tokens: int, scan: int, trips: int):
     dt_sweep = _median_time(run_sweep)
     sweep_rate = n_combos * tokens * scan * trips / dt_sweep
 
+    # --- fused vmapped sweep (vmap of pallas_call: combo axis = outer grid
+    # dim) — the alternative when the stock batched matmuls underfill the MXU
+    fused_rate = None
+    try:
+        fstates = []
+        for i in range(n_combos):
+            tx = optim.get_optimizer("constrained_adam", lrs[i])
+            p = init_sae("sae_mlp", jax.random.key(i), C, EF)
+            fstates.append(init_sae_train_state(p, tx, h, seed=i))
+        fss = stack_sae_states(fstates)
+        fused_step = make_sae_sweep_step(
+            "sae_mlp", lambdas, lrs, "constrained_adam", 10_000, EF, fused=True
+        )
+        fused_multi = make_sae_train_multi_step(fused_step)
+        fss, fm = fused_multi(fss, acts)  # compile + warmup
+        _ = float(fm["sae_loss"][-1, 0])
+
+        def run_fused():
+            nonlocal fss
+            for _ in range(trips):
+                fss, _m = fused_multi(fss, acts)
+            jax.block_until_ready(fss.params["b_enc"])
+
+        fused_rate = n_combos * tokens * scan * trips / _median_time(run_fused)
+    except Exception as e:  # fused path unavailable at this shape
+        print(f"fused sweep skipped: {e}")
+
     # --- sequential baseline: same combos one-after-another (ONE compiled step
     # reused across combos — the best case for the job-per-combo strategy on a
     # single chip; the reference's cluster jobs additionally re-pay startup,
@@ -114,7 +141,7 @@ def bench_config(n_combos: int, tokens: int, scan: int, trips: int):
 
     dt_seq = _median_time(run_seq)
     seq_rate = n_combos * tokens * scan * trips / dt_seq
-    return sweep_rate, seq_rate
+    return sweep_rate, fused_rate, seq_rate
 
 
 def main():
@@ -123,7 +150,8 @@ def main():
     trips = 2
     configs = [(4, 4096), (8, 4096), (16, 4096)] if on_tpu else [(4, 256)]
     for n_combos, tokens in configs:
-        sweep_rate, seq_rate = bench_config(n_combos, tokens, scan, trips)
+        sweep_rate, fused_rate, seq_rate = bench_config(
+            n_combos, tokens, scan, trips)
         print(json.dumps({
             "metric": "sweep_combo_tokens_per_sec",
             "backend": jax.default_backend(),
@@ -131,8 +159,15 @@ def main():
             "tokens_per_step": tokens,
             "latents": C * EF,
             "combo_tokens_per_s_sweep": round(sweep_rate, 0),
+            "combo_tokens_per_s_sweep_fused": (
+                round(fused_rate, 0) if fused_rate else None),
             "combo_tokens_per_s_seq": round(seq_rate, 0),
             "sweep_over_seq": round(sweep_rate / seq_rate, 2),
+            "fused_sweep_over_seq": (
+                round(fused_rate / seq_rate, 2) if fused_rate else None),
+            "note": "seq baseline excludes the per-job startup/data/backbone "
+                    "costs the sweep amortizes; it is the per-token compute "
+                    "comparison only",
         }))
 
 

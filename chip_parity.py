@@ -50,6 +50,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 REL_TOL = 3e-3  # grid-accumulation corruption is orders of magnitude worse
+# single-step param tolerance: one step has no trajectory amplification, so
+# the kernels must match stock to near-f32-rounding — this is the direct
+# kernel-correctness statement; the trajectory bound above additionally
+# absorbs 20-30 adam steps compounding benign rounding differences
+REL_TOL_STEP1 = 1e-3  # summation-order rounding alone reads ~2e-4 step-1
+# the crosscoder's stock side sums L per-layer matmuls where the fused kernel
+# contracts ONE concatenated axis — a different (still f32) summation order,
+# so its 30-step param drift runs ~3x the same-order transcoder's (measured
+# 4.5e-3 vs 5.6e-4 at HIGHEST precision, loss diff 3e-7 both)
+REL_TOL_TRAJ = {"fused_crosscoder_trajectory": 1e-2}
 
 ON_TPU = jax.default_backend() != "cpu"
 # CPU fallback = smoke test of the script itself (interpret kernels, toy
@@ -74,15 +84,22 @@ def _max_rel(a: dict, b: dict) -> float:
     return worst
 
 
-def _report(name: str, rel_params: float, rel_loss: float, steps: int) -> bool:
-    ok = rel_params < REL_TOL and rel_loss < REL_TOL
+def _report(name: str, rel_params: float, rel_loss: float, steps: int,
+            rel_step1: float = None) -> bool:
+    tol_traj = REL_TOL_TRAJ.get(name, REL_TOL)
+    ok = rel_params < tol_traj and rel_loss < REL_TOL
+    if rel_step1 is not None:
+        ok = ok and rel_step1 < REL_TOL_STEP1
     print(json.dumps({
         "metric": f"chip_parity_{name}",
         "backend": jax.default_backend(),
         "steps": steps,
         "max_rel_param_diff": float(rel_params),
+        "max_rel_param_diff_step1": (
+            None if rel_step1 is None else float(rel_step1)),
         "max_rel_loss_diff": float(rel_loss),
-        "tol": REL_TOL,
+        "tol": tol_traj,
+        "tol_step1": None if rel_step1 is None else REL_TOL_STEP1,
         "ok": ok,
     }))
     return ok
@@ -105,7 +122,7 @@ def check_transcoder() -> bool:
     xs = jnp.asarray(rng.randn(K, T, C_IN).astype(np.float32))
     ys = jnp.asarray(rng.randn(K, T, C_OUT).astype(np.float32))
 
-    def run(fused):
+    def run(fused, xs_, ys_):
         tx = optim.get_optimizer("constrained_adam", 1e-3)
         params = init_transcoder(jax.random.key(0), C_IN, EF, C_OUT)
         ts = init_sae_train_state(params, tx, C_IN * EF, seed=0)
@@ -113,15 +130,17 @@ def check_transcoder() -> bool:
             0.1, tx, 12, EF, fused=fused,
             fused_opts=FUSED_OPTS if fused else None,
         )
-        ts, ms = make_transcoder_multi_step(step)(ts, xs, ys)
-        print(f"transcoder {'fused' if fused else 'stock'} done: "
-              f"loss={float(ms['sae_loss'][-1]):.6f}")
+        ts, ms = make_transcoder_multi_step(step)(ts, xs_, ys_)
+        print(f"transcoder {'fused' if fused else 'stock'} "
+              f"({xs_.shape[0]} steps) done: loss={float(ms['sae_loss'][-1]):.6f}")
         return jax.device_get(ts.params), np.asarray(ms["sae_loss"])
 
-    p_f, l_f = run(True)
-    p_s, l_s = run(False)
+    rel1 = _max_rel(run(True, xs[:1], ys[:1])[0], run(False, xs[:1], ys[:1])[0])
+    p_f, l_f = run(True, xs, ys)
+    p_s, l_s = run(False, xs, ys)
     rel_loss = float(np.max(np.abs(l_f - l_s) / (np.abs(l_s) + 1e-6)))
-    return _report("fused_transcoder_trajectory", _max_rel(p_f, p_s), rel_loss, K)
+    return _report("fused_transcoder_trajectory", _max_rel(p_f, p_s), rel_loss,
+                   K, rel1)
 
 
 def check_crosscoder() -> bool:
@@ -142,7 +161,7 @@ def check_crosscoder() -> bool:
         jnp.asarray(rng.randn(K, T, d).astype(np.float32)) for d in DIMS
     )
 
-    def run(fused):
+    def run(fused, stacks_):
         tx = optim.get_optimizer("adam", 1e-3)
         params = init_crosscoder(jax.random.key(0), DIMS, EF)
         ts = init_sae_train_state(params, tx, DIMS[0] * EF, seed=0)
@@ -150,15 +169,19 @@ def check_crosscoder() -> bool:
             0.05, tx, 12, EF, fused=fused,
             fused_opts=FUSED_OPTS if fused else None,
         )
-        ts, ms = make_crosscoder_multi_step(step)(ts, stacks)
-        print(f"crosscoder {'fused' if fused else 'stock'} done: "
+        ts, ms = make_crosscoder_multi_step(step)(ts, stacks_)
+        print(f"crosscoder {'fused' if fused else 'stock'} "
+              f"({stacks_[0].shape[0]} steps) done: "
               f"loss={float(ms['sae_loss'][-1]):.6f}")
         return jax.device_get(ts.params), np.asarray(ms["sae_loss"])
 
-    p_f, l_f = run(True)
-    p_s, l_s = run(False)
+    one = tuple(s[:1] for s in stacks)
+    rel1 = _max_rel(run(True, one)[0], run(False, one)[0])
+    p_f, l_f = run(True, stacks)
+    p_s, l_s = run(False, stacks)
     rel_loss = float(np.max(np.abs(l_f - l_s) / (np.abs(l_s) + 1e-6)))
-    return _report("fused_crosscoder_trajectory", _max_rel(p_f, p_s), rel_loss, K)
+    return _report("fused_crosscoder_trajectory", _max_rel(p_f, p_s), rel_loss,
+                   K, rel1)
 
 
 def check_vmap_sweep() -> bool:
@@ -179,7 +202,7 @@ def check_vmap_sweep() -> bool:
     rng = np.random.RandomState(2)
     acts = rng.randn(K, T, D).astype(np.float32)
 
-    def run(fused):
+    def run(fused, acts_):
         states = []
         for i, lr in enumerate(lrs):
             tx = optim.get_optimizer("constrained_adam", lr)
@@ -190,21 +213,27 @@ def check_vmap_sweep() -> bool:
             "sae_mlp", lambdas, lrs, "constrained_adam", 8, EF, fused=fused,
             fused_opts=FUSED_OPTS if fused else None,
         )
-        for a in acts:
+        for a in acts_:
             ss, ms = step(ss, jnp.asarray(a))
-        print(f"vmap_sweep {'fused' if fused else 'stock'} done: "
+        print(f"vmap_sweep {'fused' if fused else 'stock'} "
+              f"({len(acts_)} steps) done: "
               f"loss={[round(float(v), 6) for v in ms['sae_loss']]}")
         return ss, np.asarray(ms["sae_loss"])
 
-    ss_f, l_f = run(True)
-    ss_s, l_s = run(False)
-    worst = 0.0
-    for i in range(len(lambdas)):
-        p_f = jax.device_get(unstack_sae_state(ss_f, i).params)
-        p_s = jax.device_get(unstack_sae_state(ss_s, i).params)
-        worst = max(worst, _max_rel(p_f, p_s))
+    def worst_rel(ss_f, ss_s):
+        worst = 0.0
+        for i in range(len(lambdas)):
+            p_f = jax.device_get(unstack_sae_state(ss_f, i).params)
+            p_s = jax.device_get(unstack_sae_state(ss_s, i).params)
+            worst = max(worst, _max_rel(p_f, p_s))
+        return worst
+
+    rel1 = worst_rel(run(True, acts[:1])[0], run(False, acts[:1])[0])
+    ss_f, l_f = run(True, acts)
+    ss_s, l_s = run(False, acts)
     rel_loss = float(np.max(np.abs(l_f - l_s) / (np.abs(l_s) + 1e-6)))
-    return _report("fused_vmap_sweep_trajectory", worst, rel_loss, K)
+    return _report("fused_vmap_sweep_trajectory", worst_rel(ss_f, ss_s),
+                   rel_loss, K, rel1)
 
 
 CHECKS = {
