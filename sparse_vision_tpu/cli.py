@@ -76,6 +76,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["feature_service", "backbone", "sae_encoder",
                             "steering_service"],
                    help="artifact kind for --export_serving")
+    p.add_argument("--feature_report", type=str, default=None, metavar="OUT",
+                   help="write a self-contained HTML feature report for the "
+                        "--config run's latest evaluated epoch (composable "
+                        "with --run_pipeline: train/eval, then report)")
     return p.parse_args(argv)
 
 
@@ -104,9 +108,10 @@ def main(argv=None) -> int:
 
         if jax.config.jax_platforms is None:
             jax.config.update("jax_platforms", plat)
-    if not (args.run_pipeline or args.run_evaluation or args.export_serving):
-        print("Nothing to do: pass --run_pipeline, --run_evaluation and/or "
-              "--export_serving", file=sys.stderr)
+    if not (args.run_pipeline or args.run_evaluation or args.export_serving
+            or args.feature_report):
+        print("Nothing to do: pass --run_pipeline, --run_evaluation, "
+              "--export_serving and/or --feature_report", file=sys.stderr)
         return 2
 
     if args.run_pipeline:
@@ -179,6 +184,20 @@ def main(argv=None) -> int:
         out = export_from_pipeline(Pipeline(cfg), args.export_serving,
                                    kind=args.export_kind)
         print(f"Exported {args.export_kind} serving artifact -> {out}")
+
+    if args.feature_report:
+        if not args.config:
+            print("--feature_report needs --config", file=sys.stderr)
+            return 2
+        from sparse_vision_tpu.eval_tools.report import write_feature_report
+        from sparse_vision_tpu.utils.paths import folder_paths, run_id
+
+        cfg = RunConfig(**json.loads(args.config))
+        out = write_feature_report(
+            folder_paths(cfg)["evaluation_results"], run_id(cfg),
+            args.feature_report,
+        )
+        print(f"Wrote feature report -> {out}")
 
     if args.run_evaluation:
         from sparse_vision_tpu.eval_tools.ranking import (

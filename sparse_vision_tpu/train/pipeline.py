@@ -808,6 +808,10 @@ class Pipeline:
             max_filename_indices=np.asarray(top_state.filename_indices),
             min_filename_indices=np.asarray(small_state.filename_indices),
             dead_units=np.asarray(dead_acc),
+            # per-unit activation frequency (batch-mean), persisted for the
+            # HTML feature report (eval_tools/report.py) — the reference only
+            # renders it into the histogram figure
+            activity_freq=freq.astype(np.float32),
         )
 
         if store:
@@ -1126,5 +1130,6 @@ class Pipeline:
                 max_filename_indices=np.asarray(top_state.filename_indices),
                 min_filename_indices=np.asarray(small_state.filename_indices),
                 dead_units=np.asarray(dead_acc),
+                activity_freq=freq.astype(np.float32),
             )
         return means

@@ -121,3 +121,40 @@ def _decode16(data: bytes) -> np.ndarray:
     from PIL import Image
 
     return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def test_feature_report_html(tmp_path):
+    """write_feature_report consolidates a finished eval's artifacts into one
+    self-contained HTML: headline metrics row, embedded base64 figures, and a
+    per-unit table with persisted activity frequencies + dead flags."""
+    from sparse_vision_tpu.eval_tools.report import write_feature_report
+
+    pipe = Pipeline(_cfg(tmp_path))
+    pipe.eval_modified(epoch=1, store=True, final=True)
+    res = pipe.paths["evaluation_results"]
+    out = write_feature_report(res, pipe.run_id, str(tmp_path / "report.html"))
+    page = open(out).read()
+    assert pipe.run_id in page
+    assert page.count("data:image/png;base64,") >= 3  # embedded figure set
+    n_units = pipe.num_units
+    assert f"Per-unit stats ({n_units} latents" in page
+    assert page.count("<tr><td>") >= n_units  # one row per latent
+    assert "activity freq" in page and "Run metrics" in page
+    # activity_freq persisted alongside the MIS indices (new npz field)
+    import numpy as np
+
+    npz = glob.glob(os.path.join(res, "filename_indices", "*_epoch_1.npz"))[0]
+    with np.load(npz) as z:
+        assert z["activity_freq"].shape == (n_units,)
+
+
+def test_feature_report_cli_composes_with_run_pipeline(tmp_path):
+    from sparse_vision_tpu.cli import main as cli_main
+
+    cfg = _cfg(tmp_path)
+    out = str(tmp_path / "r.html")
+    rc = cli_main(["--run_pipeline", "--config", cfg.to_json(),
+                   "--feature_report", out])
+    assert rc == 0
+    assert os.path.exists(out)
+    assert "Feature report" in open(out).read()
