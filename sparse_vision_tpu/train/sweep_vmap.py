@@ -22,10 +22,15 @@ Scope: combos must share every shape-/schedule-/structure-determining field
 (variant, expansion factor, layer, optimizer NAME, dead_neurons_steps, batch
 geometry); only SWEEPABLE_FIELDS vary. Data order follows ``base_cfg.seed`` (one
 shared stream) — a combo's ``seed`` override changes its SAE init and resample
-draws, not the shuffle. Small/medium SAEs sweep on the stock path (batched
-matmuls already fill the MXU); large-SAE sweeps keep the fused Pallas kernels
-via ``fused=True`` (pallas_call's vmap batching rule adds the combo axis as an
-outer grid dimension, preserving the innermost-reduction grid rule).
+draws, not the shuffle. The fused Pallas path (``fused=True``; pallas_call's
+vmap batching rule adds the combo axis as an outer grid dimension, preserving
+the innermost-reduction grid rule) is the production default whenever the
+kernels tile the shape: measured on the v5e at 2048-latent mixed3a scale
+(bench_sweep.py, round 3c), fused-vmap runs 11.1-15.9M combo-tokens/s vs
+7.4-8.3M for stock-vmap (XLA's batched matmuls underfill the MXU) and
+10.3-15.1M for the best-case one-combo-at-a-time baseline — the fused sweep
+is the only configuration that amortizes data/dispatch AND keeps per-token
+compute at parity or better.
 """
 
 from __future__ import annotations
