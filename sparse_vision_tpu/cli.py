@@ -193,9 +193,11 @@ def main(argv=None) -> int:
         from sparse_vision_tpu.utils.paths import folder_paths, run_id
 
         cfg = RunConfig(**json.loads(args.config))
+        paths = folder_paths(cfg)
         out = write_feature_report(
-            folder_paths(cfg)["evaluation_results"], run_id(cfg),
+            paths["evaluation_results"], run_id(cfg),
             args.feature_report,
+            ie_dir=paths["ie_related_quantities"],
         )
         print(f"Wrote feature report -> {out}")
 

@@ -158,3 +158,43 @@ def test_feature_report_cli_composes_with_run_pipeline(tmp_path):
     assert rc == 0
     assert os.path.exists(out)
     assert "Feature report" in open(out).read()
+
+
+def test_feature_report_circuit_section(tmp_path):
+    """Passing ie_dir renders the circuit tier: node-IE histogram + top-node
+    and top-edge tables from interp/ie.py's npz formats (save_node_ie, the
+    edge_ie.npz idx: convention) and the faithfulness figure."""
+    from sparse_vision_tpu.eval_tools.report import write_feature_report
+
+    pipe = Pipeline(_cfg(tmp_path))
+    pipe.eval_modified(epoch=1, store=True, final=True)
+    res = pipe.paths["evaluation_results"]
+
+    rng = np.random.default_rng(0)
+    ie_dir = tmp_path / "ie"
+    ie_dir.mkdir()
+    np.savez(ie_dir / "node_ie.npz",
+             **{"features:fc1": rng.normal(size=16),
+                "error:fc1": np.float64(0.1),
+                "model_neurons:fc1": rng.normal(size=8)})
+    np.savez(ie_dir / "edge_ie.npz",
+             **{"fc1->fc2": rng.normal(size=(5, 5)),
+                "idx:fc1": np.arange(4), "idx:fc2": np.arange(4)})
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig = plt.figure(figsize=(1, 1))
+    fig.savefig(ie_dir / "faithfulness.png")
+    plt.close(fig)
+
+    out = write_feature_report(res, pipe.run_id, str(tmp_path / "c.html"),
+                               ie_dir=str(ie_dir))
+    page = open(out).read()
+    assert "Top nodes by |IE|" in page
+    assert "Top edges by |IE|" in page
+    assert "err/loss[4]" in page  # +1 row/col maps past the idx list
+    assert "Faithfulness vs threshold" in page
+
+    # without ie_dir the section stays absent (old pages unchanged)
+    out2 = write_feature_report(res, pipe.run_id, str(tmp_path / "p.html"))
+    assert "Top nodes by |IE|" not in open(out2).read()
