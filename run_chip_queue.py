@@ -28,6 +28,7 @@ STEPS = [
     ("bench_headline", [sys.executable, "bench.py"], 1800),
     ("bench_tp", [sys.executable, "bench_tp.py"], 3600),
     ("bench_sweep", [sys.executable, "bench_sweep.py"], 3600),
+    ("bench_batch_topk", [sys.executable, "bench_batch_topk.py"], 2400),
     ("bench_transcoder", [sys.executable, "bench_transcoder.py"], 2400),
     ("bench_crosscoder", [sys.executable, "bench_crosscoder.py"], 2400),
     ("parity_transcoder", [sys.executable, "chip_parity.py", "transcoder"], 2400),

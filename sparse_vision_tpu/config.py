@@ -118,7 +118,11 @@ class RunConfig:
     data_dir: str = ""  # where dataset files live; "" -> synthetic data
     mesh_shape: tuple = ()  # e.g. (8,) for 1-D data-parallel; () -> all devices on 'data'
     # active latents per token for sae_model_name="topk_sae" (Gao et al. 2024;
-    # beyond-reference variant — sparsity via the activation, train with lambda=0)
+    # beyond-reference variant — sparsity via the activation, train with lambda=0).
+    # sae_model_name="batch_topk_sae" (Bussmann et al. 2024) reuses it as the
+    # PER-TOKEN AVERAGE budget: training keeps the T*k largest activations over
+    # the whole batch; inference gates with an EMA-estimated scalar threshold
+    # (models/sae.batch_topk_sae_apply)
     sae_topk: int = 32
     # JumpReLU STE kernel bandwidth ε and threshold init θ0 (Rajamanoharan et al.
     # 2024 defaults, sized for NORMALIZED activations). The STE gradient only fires

@@ -1,12 +1,18 @@
 """Sparse-autoencoder variants as pure functions over explicit parameter pytrees.
 
-Four variants — the reference's capability set plus one modern addition:
+The reference's capability set plus the modern additions:
 - ReLU-MLP SAE   (reference: models/sae_mlp.py:42-53)
 - Gated SAE      (reference: models/gated_sae.py:33-56, Rajamanoharan et al.)
 - Conv SAE       (reference: models/sae_conv.py — dead in the reference's main path,
                   implemented properly here)
 - JumpReLU SAE   (beyond-reference: Rajamanoharan et al. 2024, arXiv:2407.14435 —
                   learned per-latent thresholds trained via STE custom VJPs)
+- TopK SAE       (beyond-reference: Gao et al. 2024, arXiv:2406.04093)
+- BatchTopK SAE  (beyond-reference: Bussmann et al. 2024, arXiv:2412.06410 —
+                  batch-level top-T·k selection + estimated inference threshold)
+- Matryoshka SAE (beyond-reference: Bussmann et al. 2024, arXiv:2503.17547 —
+                  nested latent-prefix reconstruction losses)
+(+ transcoders below; crosscoders in models/crosscoder.py)
 
 Parameter layout (math convention, NOT torch's transposed nn.Linear storage):
   W_enc [d, h]   encode: pre = (x - b_dec) @ W_enc + b_enc
@@ -293,6 +299,75 @@ def matryoshka_sae_apply(params: dict, x: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# BatchTopK SAE (beyond-reference variant: Bussmann, Leask & Nanda 2024,
+# arXiv:2412.06410 "BatchTopK Sparse Autoencoders")
+# ---------------------------------------------------------------------------
+
+# EMA decay for the inference-threshold estimate (paper §2.2: the threshold is
+# the running average of the minimum positive selected activation; we use an
+# exponential average seeded by the first observation). Not a config knob: it
+# only smooths the estimate, the converged value is data-determined.
+BATCH_TOPK_THRESHOLD_EMA = 0.99
+
+
+def init_batch_topk_sae(key: jax.Array, d: int, expansion_factor: int,
+                        dtype=jnp.float32) -> dict:
+    """ReLU-SAE parameter layout plus a SCALAR inference threshold (estimated
+    during training, not gradient-trained — the train step overwrites it with
+    the EMA of each batch's minimum positive selected activation)."""
+    params = init_sae_mlp(key, d, expansion_factor, dtype)
+    params["threshold"] = jnp.zeros((), dtype)
+    return params
+
+
+def batch_topk_sae_apply(params: dict, x: jax.Array, k: int,
+                         training: bool = True) -> tuple:
+    """Returns (encoded, decoded, pre, batch_min_pos) on token input [T, d].
+
+    Training: keep the T*k largest pre-activations across the WHOLE batch
+    (flattened over tokens AND latents, through ReLU like topk_sae_apply) —
+    unlike per-token TopK the k-per-token budget is an average, so tokens with
+    more structure may use more latents (the paper's motivation).
+    ``batch_min_pos`` is the batch's minimum positive selected value, the
+    threshold-estimate observation (0 when nothing positive was selected).
+
+    Inference (training=False): JumpReLU-style gating with the estimated
+    scalar threshold, ``relu(pre) * (relu(pre) > threshold)`` — the paper's
+    deployment form (its code converts trained BatchTopK SAEs to JumpReLU);
+    ``batch_min_pos`` is None."""
+    h = params["b_enc"].shape[0]
+    x_cent = x - params["b_dec"]
+    pre = x_cent @ params["W_enc"] + params["b_enc"]
+    relu = jax.nn.relu(pre)
+    if training:
+        t = pre.shape[0]
+        n = t * k
+        if k > h:
+            raise ValueError(f"sae_topk={k} exceeds the latent count {h}")
+        flat = pre.reshape(-1)
+        vals, idx = jax.lax.top_k(flat, n)  # [T*k] largest over the batch
+        kept = jax.nn.relu(vals)
+        post = jnp.zeros_like(flat).at[idx].set(kept).reshape(t, h)
+        pos = kept > 0
+        min_pos = jnp.min(jnp.where(pos, kept, jnp.inf))
+        batch_min_pos = jnp.where(jnp.isfinite(min_pos), min_pos, 0.0)
+    else:
+        post = relu * (relu > params["threshold"])
+        batch_min_pos = None
+    recon = post @ params["W_dec"] + params["b_dec"]
+    return post, recon, pre, batch_min_pos
+
+
+def batch_topk_threshold_update(threshold: jax.Array, batch_min_pos: jax.Array,
+                                ema: float = BATCH_TOPK_THRESHOLD_EMA) -> jax.Array:
+    """One threshold-EMA step: seed from the first positive observation, then
+    exponential-average; batches with no positive selected leave it unchanged."""
+    seeded = jnp.where(threshold == 0, batch_min_pos,
+                       ema * threshold + (1.0 - ema) * batch_min_pos)
+    return jnp.where(batch_min_pos > 0, seeded, threshold).astype(threshold.dtype)
+
+
+# ---------------------------------------------------------------------------
 # factory + splice helper
 # ---------------------------------------------------------------------------
 
@@ -351,6 +426,8 @@ def init_sae(name: str, key: jax.Array, d_or_c: int, expansion_factor: int,
                                  threshold_init=jumprelu_threshold_init)
     if name == "topk_sae":
         return init_topk_sae(key, d_or_c, expansion_factor, dtype)
+    if name == "batch_topk_sae":
+        return init_batch_topk_sae(key, d_or_c, expansion_factor, dtype)
     if name == "matryoshka_sae":
         return init_matryoshka_sae(key, d_or_c, expansion_factor, dtype)
     raise ValueError(f"Unknown SAE model name {name}.")
@@ -444,6 +521,7 @@ def sae_inference_and_loss(
     topk_approx: bool = False,
     jumprelu_bandwidth: float = JUMPRELU_BANDWIDTH,
     matryoshka_prefixes: tuple[float, ...] = (0.0625, 0.25, 1.0),
+    training: bool = True,
 ) -> dict:
     """SAE splice helper: reshape conv taps to tokens, run the SAE, compute all loss
     terms, reshape outputs back (reference: utils.py:2448-2482 sae_inference_and_loss).
@@ -451,6 +529,10 @@ def sae_inference_and_loss(
     Returns a dict with loss terms plus 'encoded', 'encoded_pre' (None for gated),
     'decoded' — 'encoded*' in NHWC if the input was 4-D, matching the reference's
     rearrange of encoder outputs back to feature-map layout (utils.py:2463-2466).
+
+    ``training`` only matters for batch_topk_sae, the one variant whose train
+    and inference activations differ (batch-level selection vs the estimated
+    scalar threshold); eval/serving paths pass training=False.
     """
     from sparse_vision_tpu.ops import losses  # local import to avoid cycles
 
@@ -472,6 +554,15 @@ def sae_inference_and_loss(
         # term is force-zeroed so the RunConfig default lambda_sparse=0.1 cannot
         # silently shrink active latents; l1_loss stays reported as a metric.
         terms = losses.sae_loss_terms(encoded, decoded, tok, 0.0)
+    elif sae_model_name == "batch_topk_sae":
+        encoded, decoded, pre, min_pos = batch_topk_sae_apply(
+            params, tok, topk, training=training
+        )
+        # like TopK: no L1 in the training loss (Gao et al. recipe); reported only
+        terms = losses.sae_loss_terms(encoded, decoded, tok, 0.0)
+        if min_pos is not None:
+            # threshold-estimate observation for the train step's EMA update
+            terms["batch_topk_min_pos"] = jax.lax.stop_gradient(min_pos)
     elif sae_model_name == "jumprelu_sae":
         encoded, decoded, pre = jumprelu_sae_apply(params, tok, jumprelu_bandwidth)
         terms = losses.jumprelu_loss_terms(
@@ -508,6 +599,10 @@ def sae_encode(sae_model_name: str, params: dict, tok: jax.Array) -> jax.Array:
         return gated_sae_apply(params, tok)[0]
     if sae_model_name == "jumprelu_sae":
         return jumprelu_sae_apply(params, tok)[0]
+    if sae_model_name == "batch_topk_sae":
+        # deployment form: the estimated scalar threshold (k is a train-time
+        # batch-level budget — there is no per-example selection to replay)
+        return batch_topk_sae_apply(params, tok, k=1, training=False)[0]
     raise ValueError(f"SAE {sae_model_name!r} has no token encoder.")
 
 
@@ -516,7 +611,7 @@ def sae_decode(sae_model_name: str, params: dict, encoded: jax.Array) -> jax.Arr
     sae.decoder(new_encoder_output) directly when ablating circuit nodes
     (utils.py:2798-2809)."""
     if sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae",
-                          "matryoshka_sae", "topk_sae"):
+                          "matryoshka_sae", "topk_sae", "batch_topk_sae"):
         return encoded @ params["W_dec"] + params["b_dec"]
     raise ValueError(f"SAE {sae_model_name!r} has no token decoder.")
 

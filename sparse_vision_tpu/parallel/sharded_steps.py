@@ -68,14 +68,31 @@ def make_sharded_fused_train_step(
     n_data = mesh.shape["data"]
     can_resample = sae_model_name == "sae_mlp"
     if fused and sae_model_name not in (
-        "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae", "matryoshka_sae"
+        "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae", "batch_topk_sae",
+        "matryoshka_sae",
     ):
         raise ValueError(
             "fused path supports sae_mlp, gated_sae, jumprelu_sae, topk_sae,"
-            " matryoshka_sae only"
+            " batch_topk_sae, matryoshka_sae only"
         )
 
-    if fused and sae_model_name == "topk_sae":
+    if sae_model_name == "batch_topk_sae":
+        # EXACT global batch-level selection for free: the radix-bisection
+        # cutoff's 32 count-reductions psum over 'data', so every chip masks
+        # against the global (T_global*k)-th largest value with 32 scalar
+        # collectives and zero candidate gathering (ops/fast_batch_topk.py;
+        # stock XLA either way — the `fused` flag changes nothing here)
+        from sparse_vision_tpu.ops.fast_batch_topk import (
+            fast_batch_topk_sae_loss_terms,
+        )
+
+        def local_loss(params, act_local):
+            out = fast_batch_topk_sae_loss_terms(
+                params, act_local, lambda_sparse, expansion_factor, topk,
+                axis_name="data", n_shards=n_data,
+            )
+            return out["loss"], out
+    elif fused and sae_model_name == "topk_sae":
         # gather-based TopK fast path (ops/fast_topk_sae.py) — stock XLA per chip,
         # same pmean/psum reductions as the Pallas variants
         from sparse_vision_tpu.ops.fast_topk_sae import fast_topk_sae_loss_terms
@@ -164,6 +181,21 @@ def make_sharded_fused_train_step(
                 should_resample(step, dead_neurons_steps),
                 do_resample, no_resample, new_params, opt_state, dead_acc,
             )
+
+        if sae_model_name == "batch_topk_sae":
+            # global threshold observation = min over chips of each chip's min
+            # positive selected value (inf-masked empties); EMA as single-device
+            from sparse_vision_tpu.models.sae import batch_topk_threshold_update
+
+            mp = out["batch_topk_min_pos"]
+            mp_g = jax.lax.pmin(jnp.where(mp > 0, mp, jnp.inf), "data")
+            obs = jnp.where(jnp.isfinite(mp_g), mp_g, 0.0)
+            new_params = {
+                **new_params,
+                "threshold": batch_topk_threshold_update(
+                    ts.params["threshold"], obs
+                ),
+            }
 
         metrics = {
             "sae_loss": jax.lax.pmean(loss, "data"),

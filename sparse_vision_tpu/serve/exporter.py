@@ -67,7 +67,7 @@ def make_feature_service_fn(
         out = sae_inference_and_loss(
             sae_model_name, sae_params, act, 0.0, topk=topk,
             topk_approx=topk_approx, jumprelu_bandwidth=jumprelu_bandwidth,
-            matryoshka_prefixes=matryoshka_prefixes,
+            matryoshka_prefixes=matryoshka_prefixes, training=False,
         )
         logits_mod = net.apply_segment(
             frozen_params, out["decoded"], after=sae_layer, upto=last,
@@ -144,7 +144,7 @@ def make_steering_service_fn(
         out = sae_inference_and_loss(
             sae_model_name, sae_params, act, 0.0, topk=topk,
             topk_approx=topk_approx, jumprelu_bandwidth=jumprelu_bandwidth,
-            matryoshka_prefixes=matryoshka_prefixes,
+            matryoshka_prefixes=matryoshka_prefixes, training=False,
         )
         z_steer = out["encoded"] * steer_scale + steer_bias
         tok_z, _ = tokens_from_act(z_steer)

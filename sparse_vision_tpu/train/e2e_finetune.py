@@ -108,6 +108,17 @@ def _finetune_step_from_loss(loss_fn, tx: optax.GradientTransformation):
         )(ts.params, frozen_params, frozen_state, images)
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
+        if "batch_topk_min_pos" in out:
+            # batch_topk_sae: keep the inference-threshold EMA tracking the
+            # finetuned encoder (the key's presence is trace-static)
+            from sparse_vision_tpu.models.sae import batch_topk_threshold_update
+
+            new_params = {
+                **new_params,
+                "threshold": batch_topk_threshold_update(
+                    ts.params["threshold"], out["batch_topk_min_pos"]
+                ),
+            }
         dead, sparsity, _ = metrics.measure_inactive_units(out["encoded"], 1)
         dead_acc = jnp.logical_and(ts.dead_acc, dead)
         m = {

@@ -451,8 +451,9 @@ class Pipeline:
             and jax.default_backend() != "cpu"
             and (
                 # TopK's fast path is gather-based stock XLA (ops/fast_topk_sae.py)
-                # — no Pallas tile constraint
-                cfg.sae_model_name == "topk_sae"
+                # — no Pallas tile constraint; BatchTopK's is the radix-bisection
+                # cutoff (ops/fast_batch_topk.py), equally tile-free
+                cfg.sae_model_name in ("topk_sae", "batch_topk_sae")
                 or (
                     cfg.sae_model_name in ("sae_mlp", "gated_sae", "jumprelu_sae")
                     and can_fuse(local_t, self.num_units, tile_t=tile_t)

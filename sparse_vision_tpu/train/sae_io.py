@@ -40,6 +40,8 @@ _NATIVE_KEYS = {
     "gated_sae": ("W_gate", "b_gate", "b_mag", "r_mag", "W_dec", "b_dec"),
     "jumprelu_sae": ("W_enc", "b_enc", "W_dec", "b_dec", "log_threshold"),
     "topk_sae": ("W_enc", "b_enc", "W_dec", "b_dec"),
+    # scalar inference threshold, EMA-estimated during training (models/sae.py)
+    "batch_topk_sae": ("W_enc", "b_enc", "W_dec", "b_dec", "threshold"),
     # nesting lives in the loss only — parameter layout identical to sae_mlp
     "matryoshka_sae": ("W_enc", "b_enc", "W_dec", "b_dec"),
 }
@@ -87,6 +89,8 @@ def to_torch_state_dict(params: dict, sae_model_name: str) -> dict:
     }
     if sae_model_name == "jumprelu_sae" and "log_threshold" in p:
         out["log_threshold"] = p["log_threshold"]
+    if sae_model_name == "batch_topk_sae" and "threshold" in p:
+        out["threshold"] = p["threshold"]
     return out
 
 
@@ -119,6 +123,8 @@ def _normalize_state_dict(sd: dict, sae_model_name: str) -> dict:
             out["b_enc"] = np.asarray(sd["b_enc"])
         if sae_model_name == "jumprelu_sae" and "log_threshold" in sd:
             out["log_threshold"] = np.asarray(sd["log_threshold"])
+        if sae_model_name == "batch_topk_sae" and "threshold" in sd:
+            out["threshold"] = np.asarray(sd["threshold"])
     if "decoder.weight" in sd:
         out["W_dec"] = np.asarray(sd["decoder.weight"]).T
         out["b_dec"] = np.asarray(sd["decoder.bias"])
@@ -134,6 +140,10 @@ _SAELENS_ARCH = {
     "gated_sae": "gated",
     "jumprelu_sae": "jumprelu",
     "topk_sae": "topk",
+    # the community-standard conversion (BatchTopK paper code, SAELens): a
+    # trained BatchTopK SAE publishes as a JumpReLU with the scalar threshold
+    # broadcast per latent — its exact inference form
+    "batch_topk_sae": "jumprelu",
     # nesting lives in the loss; published weights are a standard SAE
     "matryoshka_sae": "standard",
 }
@@ -157,6 +167,9 @@ def _to_saelens_tensors(params: dict, sae_model_name: str) -> dict:
            "W_dec": p["W_dec"], "b_dec": p["b_dec"]}
     if sae_model_name == "jumprelu_sae":
         out["threshold"] = np.exp(p["log_threshold"])
+    if sae_model_name == "batch_topk_sae":
+        h = p["b_enc"].shape[0]
+        out["threshold"] = np.full((h,), p["threshold"], p["threshold"].dtype)
     return out
 
 
@@ -174,6 +187,16 @@ def _from_saelens_tensors(tensors: dict, sae_model_name: str) -> dict:
             raise ValueError("SAELens jumprelu threshold must be positive to "
                              "map into log_threshold")
         out["log_threshold"] = np.log(thr)
+    if sae_model_name == "batch_topk_sae" and "threshold" in t:
+        thr = np.asarray(t["threshold"])
+        # published jumprelu artifacts store a per-latent threshold; importing
+        # into batch_topk needs the scalar form (all equal, the export above)
+        if thr.ndim and not np.all(thr == thr.flat[0]):
+            raise ValueError(
+                "per-latent SAELens thresholds differ; load as jumprelu_sae "
+                "instead of batch_topk_sae"
+            )
+        out["threshold"] = np.asarray(thr.flat[0] if thr.ndim else thr)
     return out
 
 
@@ -248,8 +271,9 @@ def load_sae_weights(path: str, sae_model_name: str = "sae_mlp") -> dict:
         with np.load(path) as z:
             raw = {k: z[k] for k in z.files}
         missing = set(_NATIVE_KEYS.get(sae_model_name, ())) - set(raw)
-        # log_threshold optional for jumprelu imports from relu-SAE weights
-        missing -= {"log_threshold"}
+        # thresholds optional when importing relu-SAE weights into
+        # jumprelu/batch_topk (defaults filled by import_any)
+        missing -= {"log_threshold", "threshold"}
         if missing:
             raise KeyError(f"{path} missing native keys {sorted(missing)}")
         tree = raw
@@ -277,8 +301,10 @@ def validate_shapes(params: dict, like: dict, path: str = "") -> None:
 def import_any(path: str, sae_model_name: str, like: dict) -> dict:
     """Load + validate against an expected parameter tree (the Pipeline entry point)."""
     params = load_sae_weights(path, sae_model_name)
-    # tolerate missing log_threshold when importing plain-relu weights into jumprelu
+    # tolerate missing thresholds when importing plain-relu weights
     if sae_model_name == "jumprelu_sae" and "log_threshold" not in params:
         params["log_threshold"] = jnp.asarray(like["log_threshold"])
+    if sae_model_name == "batch_topk_sae" and "threshold" not in params:
+        params["threshold"] = jnp.asarray(like["threshold"])
     validate_shapes(params, like, path)
     return params

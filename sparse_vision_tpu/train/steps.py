@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import optax
 
 from sparse_vision_tpu.models.layers import SeqNet
-from sparse_vision_tpu.models.sae import sae_inference_and_loss
+from sparse_vision_tpu.models.sae import (
+    batch_topk_threshold_update,
+    sae_inference_and_loss,
+)
 from sparse_vision_tpu.ops import metrics
 from sparse_vision_tpu.ops.resample import (
     resample_dead_neurons,
@@ -143,6 +146,17 @@ def make_sae_train_step(
                 do_resample, no_resample, new_params, opt_state, dead_acc,
             )
 
+        if sae_model_name == "batch_topk_sae":
+            # the inference threshold is EMA-estimated, not gradient-trained
+            # (models/sae.batch_topk_sae_apply): overwrite whatever the
+            # optimizer left (zero-gradient params get a zero adam update)
+            new_params = {
+                **new_params,
+                "threshold": batch_topk_threshold_update(
+                    ts.params["threshold"], out["batch_topk_min_pos"]
+                ),
+            }
+
         out_metrics = {
             "sae_loss": loss,
             "sae_rec_loss": out["rec_loss"],
@@ -200,14 +214,27 @@ def make_sae_train_step_from_acts(
     tested in tests/test_fused_sae.py / tests/test_fused_gated_sae.py."""
     can_resample = sae_model_name == "sae_mlp"
     if fused and sae_model_name not in (
-        "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae", "matryoshka_sae"
+        "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae", "batch_topk_sae",
+        "matryoshka_sae",
     ):
         raise ValueError(
             "fused path supports sae_mlp, gated_sae, jumprelu_sae, topk_sae,"
-            " matryoshka_sae only"
+            " batch_topk_sae, matryoshka_sae only"
         )
 
-    if fused and sae_model_name == "topk_sae":
+    if fused and sae_model_name == "batch_topk_sae":
+        # radix-bisection cutoff instead of the [T*H] flat sort (stock XLA, not
+        # Pallas — selection has no Pallas lowering): ops/fast_batch_topk.py
+        from sparse_vision_tpu.ops.fast_batch_topk import (
+            fast_batch_topk_sae_loss_terms,
+        )
+
+        def loss_fn(sae_params, act):
+            out = fast_batch_topk_sae_loss_terms(
+                sae_params, act, lambda_sparse, expansion_factor, topk
+            )
+            return out["loss"], out
+    elif fused and sae_model_name == "topk_sae":
         # TopK "fused" path is gather-based stock XLA, not Pallas (lax.top_k has no
         # Pallas TPU lowering): ops/fast_topk_sae.py — no [T, H] materialization
         from sparse_vision_tpu.ops.fast_topk_sae import fast_topk_sae_loss_terms
@@ -294,6 +321,13 @@ def make_sae_train_step_from_acts(
                 should_resample(step, dead_neurons_steps),
                 do_resample, no_resample, new_params, opt_state, dead_acc,
             )
+        if sae_model_name == "batch_topk_sae":
+            new_params = {
+                **new_params,
+                "threshold": batch_topk_threshold_update(
+                    ts.params["threshold"], out["batch_topk_min_pos"]
+                ),
+            }
         m = {
             "sae_loss": loss,
             "sae_rec_loss": out["rec_loss"],
@@ -383,6 +417,9 @@ def make_sae_eval_step(
             sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx,
             jumprelu_bandwidth=jumprelu_bandwidth,
             matryoshka_prefixes=matryoshka_prefixes,
+            # eval uses the deployment activation (batch_topk: the estimated
+            # scalar threshold instead of batch-level selection)
+            training=False,
         )
         logits_mod = net.apply_segment(
             frozen_params, out["decoded"], after=sae_layer, upto=last, state=frozen_state

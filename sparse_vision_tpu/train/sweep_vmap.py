@@ -356,6 +356,9 @@ def group_sweepable(
             # their TP/GSPMD paths
             and not (base.sae_model_name in ("transcoder", "crosscoder")
                      and base.mesh_shape)
+            # batch_topk's inference-threshold EMA is per-run train-state the
+            # vmapped sweep step doesn't thread; run those individually
+            and base.sae_model_name != "batch_topk_sae"
         )
         if eligible:
             groups.append(
@@ -411,6 +414,11 @@ def train_sae_sweep_cached(
         return train_transcoder_sweep_cached(base_cfg, overrides, datasets=datasets)
     if base_cfg.sae_model_name == "crosscoder":
         return train_crosscoder_sweep_cached(base_cfg, overrides, datasets=datasets)
+    if base_cfg.sae_model_name == "batch_topk_sae":
+        raise ValueError(
+            "batch_topk_sae is not vmap-sweepable (the inference-threshold EMA "
+            "is per-run state); run combos individually"
+        )
     _validate_overrides(base_cfg, overrides)
     cfgs = [
         dataclasses.replace(
