@@ -76,6 +76,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["feature_service", "backbone", "sae_encoder",
                             "steering_service"],
                    help="artifact kind for --export_serving")
+    p.add_argument("--export_weights_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bake the artifact's closed-over weights in this dtype "
+                        "(bfloat16 = weight-only quantization, ~half the "
+                        "module bytes; compute stays f32 via type promotion — "
+                        "serve/exporter.py)")
     p.add_argument("--feature_report", type=str, default=None, metavar="OUT",
                    help="write a self-contained HTML feature report for the "
                         "--config run's latest evaluated epoch (composable "
@@ -181,8 +187,12 @@ def main(argv=None) -> int:
         if args.run_pipeline and cfg.use_sae and cfg.sae_checkpoint_epoch == 0:
             # train-then-export in one invocation: pick up the run just trained
             cfg = dataclasses.replace(cfg, sae_checkpoint_epoch=cfg.sae_epochs)
+        import jax.numpy as _jnp
+
+        wd = (_jnp.bfloat16 if args.export_weights_dtype == "bfloat16"
+              else None)
         out = export_from_pipeline(Pipeline(cfg), args.export_serving,
-                                   kind=args.export_kind)
+                                   kind=args.export_kind, weights_dtype=wd)
         print(f"Exported {args.export_kind} serving artifact -> {out}")
 
     if args.feature_report:

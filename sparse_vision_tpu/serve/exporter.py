@@ -20,6 +20,13 @@ The batch axis is exported shape-polymorphic by default
 and the serving engine bounds XLA compile count with bucket padding
 (serve/engine.py). Pass ``platforms=('tpu','cpu')`` to cross-lower one
 artifact for both backends.
+
+``weights_dtype="bfloat16"`` is weight-only quantization for the artifact:
+every floating leaf of the closed-over parameter trees is cast to bf16 before
+export, roughly halving the serialized module (the weights ARE the module —
+constants dominate), while jnp's type promotion keeps the compute in f32
+(f32 activations @ bf16 weights promote to f32), so outputs stay f32 and the
+logit error is bounded by the weight rounding alone.
 """
 
 from __future__ import annotations
@@ -39,6 +46,22 @@ from sparse_vision_tpu.models.sae import (
 )
 from sparse_vision_tpu.ops import metrics
 from sparse_vision_tpu.serve.artifact import save_artifact
+
+
+def cast_weights(tree, weights_dtype):
+    """Cast every floating leaf to ``weights_dtype`` (None/f32 = no-op);
+    integer leaves (label tables, indices) pass through untouched."""
+    if weights_dtype is None:
+        return tree
+    wd = jnp.dtype(weights_dtype)
+    if wd == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda a: a.astype(wd)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
 
 
 def make_feature_service_fn(
@@ -230,11 +253,13 @@ def export_feature_service(
     net, frozen_params, frozen_state, sae_model_name, sae_params, sae_layer,
     out_dir: str, *, img_shape: tuple, example_batch: int = 8,
     poly_batch: bool = True, platforms: Optional[Sequence[str]] = None,
-    dtype=jnp.float32, extras: Optional[dict] = None, **service_kw,
+    dtype=jnp.float32, weights_dtype=None, extras: Optional[dict] = None,
+    **service_kw,
 ) -> str:
     fn = make_feature_service_fn(
-        net, frozen_params, frozen_state, sae_model_name, sae_params,
-        sae_layer, **service_kw,
+        net, cast_weights(frozen_params, weights_dtype),
+        cast_weights(frozen_state, weights_dtype), sae_model_name,
+        cast_weights(sae_params, weights_dtype), sae_layer, **service_kw,
     )
     shape = (example_batch, *img_shape)
     exported = export_fn(fn, shape, dtype, poly_batch=poly_batch,
@@ -245,6 +270,7 @@ def export_feature_service(
         outputs=("logits", "logits_original", "latents_mean", "top_values",
                  "top_indices"),
         extras={"sae_model_name": sae_model_name, "sae_layer": sae_layer,
+                "weights_dtype": jnp.dtype(weights_dtype or jnp.float32).name,
                 **(extras or {})},
     )
 
@@ -253,12 +279,14 @@ def export_steering_service(
     net, frozen_params, frozen_state, sae_model_name, sae_params, sae_layer,
     out_dir: str, *, img_shape: tuple, example_batch: int = 8,
     poly_batch: bool = True, platforms: Optional[Sequence[str]] = None,
-    dtype=jnp.float32, extras: Optional[dict] = None, mode: str = "delta",
-    **service_kw,
+    dtype=jnp.float32, weights_dtype=None, extras: Optional[dict] = None,
+    mode: str = "delta", **service_kw,
 ) -> str:
     fn = make_steering_service_fn(
-        net, frozen_params, frozen_state, sae_model_name, sae_params,
-        sae_layer, mode=mode, **service_kw,
+        net, cast_weights(frozen_params, weights_dtype),
+        cast_weights(frozen_state, weights_dtype), sae_model_name,
+        cast_weights(sae_params, weights_dtype), sae_layer, mode=mode,
+        **service_kw,
     )
     h = sae_params["W_dec"].shape[0]  # rows = latent directions (repo convention)
     shape = (example_batch, *img_shape)
@@ -273,6 +301,7 @@ def export_steering_service(
         extras={
             "sae_model_name": sae_model_name, "sae_layer": sae_layer,
             "steering_mode": mode,
+            "weights_dtype": jnp.dtype(weights_dtype or jnp.float32).name,
             # identity-steering fills let the engine warm up / default to a
             # no-op intervention (delta mode: == original model)
             "extra_inputs": [
@@ -290,30 +319,40 @@ def export_backbone(
     net, params, state, out_dir: str, *, img_shape: tuple,
     example_batch: int = 8, poly_batch: bool = True,
     platforms: Optional[Sequence[str]] = None, dtype=jnp.float32,
-    extras: Optional[dict] = None,
+    weights_dtype=None, extras: Optional[dict] = None,
 ) -> str:
     shape = (example_batch, *img_shape)
-    exported = export_fn(make_backbone_fn(net, params, state), shape, dtype,
-                         poly_batch=poly_batch, platforms=platforms)
+    fn = make_backbone_fn(net, cast_weights(params, weights_dtype),
+                          cast_weights(state, weights_dtype))
+    exported = export_fn(fn, shape, dtype, poly_batch=poly_batch,
+                         platforms=platforms)
     return _write(out_dir, exported, kind="backbone", example_shape=shape,
                   dtype=dtype, poly_batch=poly_batch, outputs=("logits",),
-                  extras=extras or {})
+                  extras={
+                      "weights_dtype": jnp.dtype(weights_dtype or jnp.float32).name,
+                      **(extras or {}),
+                  })
 
 
 def export_sae_encoder(
     sae_model_name, sae_params, out_dir: str, *, d: int,
     example_batch: int = 1024, poly_batch: bool = True,
     platforms: Optional[Sequence[str]] = None, dtype=jnp.float32,
-    extras: Optional[dict] = None, topk: int = 32, topk_approx: bool = False,
+    weights_dtype=None, extras: Optional[dict] = None, topk: int = 32,
+    topk_approx: bool = False,
 ) -> str:
     shape = (example_batch, d)
-    fn = make_sae_encoder_fn(sae_model_name, sae_params, topk=topk,
-                             topk_approx=topk_approx)
+    fn = make_sae_encoder_fn(sae_model_name,
+                             cast_weights(sae_params, weights_dtype),
+                             topk=topk, topk_approx=topk_approx)
     exported = export_fn(fn, shape, dtype, poly_batch=poly_batch,
                          platforms=platforms)
     return _write(out_dir, exported, kind="sae_encoder", example_shape=shape,
                   dtype=dtype, poly_batch=poly_batch, outputs=("encoded",),
-                  extras={"sae_model_name": sae_model_name, **(extras or {})})
+                  extras={"sae_model_name": sae_model_name,
+                          "weights_dtype": jnp.dtype(
+                              weights_dtype or jnp.float32).name,
+                          **(extras or {})})
 
 
 def export_from_pipeline(pipe, out_dir: str, *, kind: str = "feature_service",

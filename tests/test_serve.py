@@ -364,3 +364,52 @@ def test_cli_train_then_export(tmp_path):
     assert eng.meta["sae_layer"] == "fc1"
     assert eng.meta["outputs"] == ["logits", "logits_original",
                                    "latents_mean", "top_values", "top_indices"]
+
+
+def test_bf16_weight_quantized_artifact(tmp_path):
+    """weights_dtype=bfloat16 bakes every floating weight constant in bf16:
+    the serialized module shrinks to ~half, outputs stay f32 (type promotion
+    keeps the compute f32), and logits match the f32 artifact within
+    weight-rounding error."""
+    from sparse_vision_tpu.serve.artifact import MODULE_FILE
+
+    out32, fn = _export(tmp_path, "sae_mlp")
+    net, params, state, sae_params = _small_setup("sae_mlp")
+    out16 = export_feature_service(
+        net, params, state, "sae_mlp", sae_params, "fc1",
+        str(tmp_path / "artifact16"), img_shape=IMG, top_k=4, topk=4,
+        weights_dtype=jnp.bfloat16,
+    )
+    b32 = os.path.getsize(os.path.join(out32, MODULE_FILE))
+    b16 = os.path.getsize(os.path.join(out16, MODULE_FILE))
+    assert b16 < 0.65 * b32, (b16, b32)
+    eng = ServingEngine(out16, max_batch=8)
+    assert eng.meta["weights_dtype"] == "bfloat16"
+    imgs = np.asarray(jax.random.normal(jax.random.key(2), (5, *IMG)),
+                      np.float32)
+    served = eng.predict(imgs)
+    live = jax.tree.map(np.asarray, fn(jnp.asarray(imgs)))
+    assert served["logits"].dtype == np.float32
+    np.testing.assert_allclose(served["logits"], live["logits"],
+                               rtol=0.05, atol=0.05)
+    # ranking of the top features survives quantization on this small net
+    agree = (served["top_indices"][:, 0] == live["top_indices"][:, 0]).mean()
+    assert agree >= 0.8, agree
+
+
+def test_cli_export_weights_dtype(tmp_path):
+    """--export_weights_dtype bfloat16 reaches the artifact meta through the
+    CLI train-then-export composition."""
+    from sparse_vision_tpu.cli import main as cli_main
+
+    cfg = json.dumps({
+        "model_name": "custom_mlp_9", "sae_layer": "fc1",
+        "dataset_name": "synthetic", "sae_epochs": 1, "sae_batch_size": 64,
+        "directory_path": str(tmp_path), "log_every": 1000,
+    })
+    out = str(tmp_path / "artifact")
+    rc = cli_main(["--run_pipeline", "--config", cfg, "--export_serving", out,
+                   "--export_weights_dtype", "bfloat16"])
+    assert rc == 0
+    meta = json.load(open(os.path.join(out, META_FILE)))
+    assert meta["weights_dtype"] == "bfloat16"
