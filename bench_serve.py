@@ -96,6 +96,45 @@ def main():
                 "forward",
     }))
 
+    # ---- bf16 weight-quantized artifact: bytes + parity + rate -------------
+    import jax.numpy as jnp
+
+    art16 = os.path.join(
+        os.environ.get("SVT_BENCH_DIR", "/tmp"), "svt_bench_serve_bf16"
+    )
+    t0 = time.perf_counter()
+    export_feature_service(
+        net, params, state, "sae_mlp", sae_params, "mixed3a", art16,
+        img_shape=(229, 229, 3), top_k=16, weights_dtype=jnp.bfloat16,
+    )
+    export16_s = time.perf_counter() - t0
+    eng16 = ServingEngine(art16, buckets=(bucket,))
+    out16 = eng16.predict(imgs)  # compile + warmup
+    logit_err = float(
+        np.max(np.abs(out16["logits"] - out["logits"]))
+        / max(np.max(np.abs(out["logits"])), 1e-9)
+    )
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            eng16.predict(imgs)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    print(json.dumps({
+        "metric": "serving_bf16_artifact_images_per_sec",
+        "backend": jax.default_backend(),
+        "bucket": bucket,
+        "images_per_sec": round(bucket * steps / dt, 1),
+        "export_seconds": round(export16_s, 1),
+        "artifact_bytes": os.path.getsize(
+            os.path.join(art16, "module.stablehlo")
+        ),
+        "max_rel_logit_err_vs_f32": round(logit_err, 5),
+        "note": "weight-only bf16 quantization (--export_weights_dtype); "
+                "compute stays f32 via type promotion",
+    }))
+
     # ---- steering service: the intervention path's deployed rate ----------
     from sparse_vision_tpu.serve.exporter import export_steering_service
 

@@ -325,3 +325,42 @@ def test_batch_topk_not_vmap_sweepable():
                     use_activation_cache=True)
     with pytest.raises(ValueError, match="not vmap-sweepable"):
         train_sae_sweep_cached(cfg, [{"sae_lambda_sparse": 0.0}])
+
+
+def test_batch_topk_e2e_finetune_keeps_threshold_tracking(tmp_path):
+    """The KL finetune epochs keep the inference-threshold EMA updating (the
+    finetuned encoder's activation scale drifts; a frozen threshold would gate
+    against the stale distribution) and the finetune still trains."""
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        model_name="custom_mlp_9", sae_model_name="batch_topk_sae",
+        sae_layer="fc1", dataset_name="synthetic",
+        directory_path=str(tmp_path), sae_epochs=1, sae_batch_size=64,
+        sae_topk=8, sae_lambda_sparse=0.0, sae_expansion_factor=2,
+        dead_neurons_steps=10_000, log_every=1000,
+        sae_e2e_finetune_epochs=1,
+    )
+    pipe = Pipeline(cfg)
+    res = pipe.run()
+    assert np.isfinite(res["kld"])
+    thr = float(pipe.ts.params["threshold"])
+    assert thr > 0
+    # one more finetune step from the converged state moves the EMA unless the
+    # observation exactly equals it (it will not, on random data)
+    from sparse_vision_tpu.ops import optim
+    from sparse_vision_tpu.train.e2e_finetune import make_sae_e2e_finetune_step
+    from sparse_vision_tpu.train.steps import init_sae_train_state
+
+    tx = optim.get_optimizer("constrained_adam", 1e-4)
+    ts = init_sae_train_state(pipe.ts.params, tx, pipe.num_units)
+    step = make_sae_e2e_finetune_step(
+        pipe.net, "fc1", "batch_topk_sae", 0.0, tx, topk=8
+    )
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(64, 28, 28, 1)),
+                       jnp.float32)
+    labels = jnp.zeros((64,), jnp.int32)
+    ts2, m = step(ts, pipe.frozen_params, pipe.net_state, imgs, labels)
+    assert float(ts2.params["threshold"]) != thr
+    assert np.isfinite(m["e2e_loss"])
