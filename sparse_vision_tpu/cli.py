@@ -86,6 +86,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="write a self-contained HTML feature report for the "
                         "--config run's latest evaluated epoch (composable "
                         "with --run_pipeline: train/eval, then report)")
+    p.add_argument("--sparse_probing", type=str, default=None, metavar="KS",
+                   help="run the sparse-probing evaluation tier for the --config "
+                        "run: comma-separated k values (e.g. '1,2,5,16'); a dense "
+                        "all-features probe is always included. Composable with "
+                        "--run_pipeline: train/eval, then probe "
+                        "(eval_tools/probing.py)")
     return p.parse_args(argv)
 
 
@@ -115,9 +121,10 @@ def main(argv=None) -> int:
         if jax.config.jax_platforms is None:
             jax.config.update("jax_platforms", plat)
     if not (args.run_pipeline or args.run_evaluation or args.export_serving
-            or args.feature_report):
+            or args.feature_report or args.sparse_probing):
         print("Nothing to do: pass --run_pipeline, --run_evaluation, "
-              "--export_serving and/or --feature_report", file=sys.stderr)
+              "--export_serving, --feature_report and/or --sparse_probing",
+              file=sys.stderr)
         return 2
 
     if args.run_pipeline:
@@ -194,6 +201,23 @@ def main(argv=None) -> int:
         out = export_from_pipeline(Pipeline(cfg), args.export_serving,
                                    kind=args.export_kind, weights_dtype=wd)
         print(f"Exported {args.export_kind} serving artifact -> {out}")
+
+    if args.sparse_probing:
+        if not args.config:
+            print("--sparse_probing needs --config", file=sys.stderr)
+            return 2
+        import dataclasses
+
+        from sparse_vision_tpu.eval_tools.probing import compute_sparse_probing
+        from sparse_vision_tpu.train.pipeline import Pipeline
+
+        cfg = RunConfig(**json.loads(args.config))
+        if args.run_pipeline and cfg.use_sae and cfg.sae_checkpoint_epoch == 0:
+            # train-then-probe in one invocation: pick up the run just trained
+            cfg = dataclasses.replace(cfg, sae_checkpoint_epoch=cfg.sae_epochs)
+        ks = [int(t) for t in args.sparse_probing.split(",")
+              if t.strip().lstrip("-").isdigit() and int(t) > 0]
+        compute_sparse_probing(Pipeline(cfg), ks=ks or (1, 2, 5, 16))
 
     if args.feature_report:
         if not args.config:
