@@ -147,6 +147,25 @@ def test_feature_report_html(tmp_path):
     with np.load(npz) as z:
         assert z["activity_freq"].shape == (n_units,)
 
+    # a probing summary JSON (eval_tools/probing.py artifact) gains its own
+    # section on re-render
+    import json
+
+    probing_dir = os.path.join(res, "probing")
+    os.makedirs(probing_dir, exist_ok=True)
+    with open(os.path.join(
+            probing_dir, f"{pipe.run_id}_probing_epoch_1.json"), "w") as f:
+        json.dump({"sae": {"k1": {"mean_auc": 0.91, "mean_balanced_acc": 0.84},
+                           "dense": {"mean_auc": 0.99, "mean_balanced_acc": 0.97}},
+                   "original": {"k1": {"mean_auc": 0.88,
+                                       "mean_balanced_acc": 0.80}}}, f)
+    page = open(write_feature_report(
+        res, pipe.run_id, str(tmp_path / "report2.html"))).read()
+    assert "Sparse probing" in page
+    assert "0.9100" in page and "raw channels" in page
+    # missing original-side dense entry renders as empty cells, not a crash
+    assert "SAE latents" in page
+
 
 def test_feature_report_cli_composes_with_run_pipeline(tmp_path):
     from sparse_vision_tpu.cli import main as cli_main
