@@ -299,15 +299,21 @@ def collect_pooled_activations(pipeline, ds, side: str = "sae",
 
 
 def compute_sparse_probing(pipeline, ks=(1, 2, 5, 16), *, include_dense=True,
-                           sides=("sae", "original"), steps: int = 300,
+                           sides=None, steps: int = 300,
                            lr: float = 0.05, batch_size: int | None = None) -> dict:
     """Full probing sweep for a trained run: for each side (SAE latents vs raw
     layer channels) and each k, fit per-class probes on the TRAIN split and
     score on the VAL split. Writes ``probing/{run_id}_probing_epoch_{E}.csv``
     (side, k, class, auc, balanced_acc) + a summary JSON; returns the summary
-    {'sae': {k: mean_auc, ...}, 'original': {...}, ...}."""
+    {'sae': {k: mean_auc, ...}, 'original': {...}, ...}.
+
+    On an original-model run (no SAE; sae_layer names a backbone layer, the
+    reference's parameter reuse, specify_parameters.py:245-247) only the raw
+    channel side is probed."""
     cfg = pipeline.cfg
-    epoch = cfg.sae_checkpoint_epoch or cfg.sae_epochs
+    if sides is None:
+        sides = ("sae", "original") if cfg.use_sae else ("original",)
+    epoch = (cfg.sae_checkpoint_epoch or cfg.sae_epochs) if cfg.use_sae else 0
     n_classes = len(pipeline.category_names)
 
     out_dir = os.path.join(pipeline.paths["evaluation_results"], "probing")

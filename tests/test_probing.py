@@ -146,3 +146,30 @@ def test_sparse_probing_tier_e2e(tmp_path):
     with open(json_path) as f:
         on_disk = json.load(f)
     assert on_disk["sae"]["k1"]["mean_auc"] == summary["sae"]["k1"]["mean_auc"]
+
+
+def test_probing_on_original_model_run(tmp_path):
+    """No SAE in play (the reference's original_model sae_layer reuse,
+    specify_parameters.py:245-247): only the raw-channel side is probed."""
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        model_name="custom_mlp_9",
+        sae_model_name="None",
+        sae_layer="fc1",
+        directory_path=str(tmp_path),
+        dataset_name="synthetic",
+        model_epochs=1,
+        model_learning_rate=1e-2,
+        batch_size=64,
+        model_optimizer_name="adam",
+        original_model=True,
+        training=False,
+        log_every=1000,
+    )
+    summary = compute_sparse_probing(Pipeline(cfg), ks=(2,), steps=100)
+    assert "sae" not in summary
+    # random-init fc1 features are random projections of linearly separable
+    # blobs: the dense probe must still be far above chance
+    assert summary["original"]["dense"]["mean_auc"] > 0.8, summary
