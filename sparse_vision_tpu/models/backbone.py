@@ -40,6 +40,14 @@ def make_backbone(model_name: str, dataset_name: str) -> SeqNet:
         from sparse_vision_tpu.models.vit import make_vit
 
         return make_vit(model_name, num_classes, get_img_size(dataset_name)[0])
+    if model_name.startswith("clip_vit"):
+        from sparse_vision_tpu.models.vit import CLIP_SPECS, make_clip_vision
+
+        if model_name not in CLIP_SPECS:
+            raise ValueError(f"Unknown CLIP spec {model_name} "
+                             f"(available: {sorted(CLIP_SPECS)})")
+        return make_clip_vision(model_name, num_classes,
+                                get_img_size(dataset_name)[0])
     if model_name in ("resnet18", "resnet18_1", "resnet18_2"):
         from sparse_vision_tpu.models.resnet import make_resnet18
 

@@ -37,10 +37,15 @@ VIT_SPECS: dict[str, tuple[int, int, int, int]] = {
 _PATCH_FOR_SIDE = {28: 7, 32: 4, 64: 8, 224: 16}
 
 
-def _layernorm(x, scale, bias):
+def _layernorm(x, scale, bias, eps: float = _LN_EPS):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _quick_gelu(x):
+    # OpenAI CLIP's activation (HF activations.py QuickGELUActivation)
+    return x * jax.nn.sigmoid(1.702 * x)
 
 
 def patch_embed_stage(name: str, dim: int, patch: int) -> Stage:
@@ -75,10 +80,13 @@ def patch_embed_stage(name: str, dim: int, patch: int) -> Stage:
     return Stage(name, init, apply)
 
 
-def vit_block_stage(name: str, dim: int, heads: int, mlp_dim: int) -> Stage:
+def vit_block_stage(name: str, dim: int, heads: int, mlp_dim: int,
+                    act: str = "gelu", ln_eps: float = _LN_EPS) -> Stage:
     if dim % heads:
         raise ValueError(f"dim {dim} not divisible by heads {heads}")
     dh = dim // heads
+    act_fn = (_quick_gelu if act == "quick_gelu"
+              else lambda v: jax.nn.gelu(v, approximate=False))
 
     def init(key, in_shape):
         keys = jax.random.split(key, 6)
@@ -99,7 +107,7 @@ def vit_block_stage(name: str, dim: int, heads: int, mlp_dim: int) -> Stage:
 
     def apply(params, state, x, train):
         b, t, d = x.shape
-        h = _layernorm(x, params["ln1_scale"], params["ln1_bias"])
+        h = _layernorm(x, params["ln1_scale"], params["ln1_bias"], ln_eps)
         q = (h @ params["q_w"] + params["q_b"]).reshape(b, t, heads, dh)
         k = (h @ params["k_w"] + params["k_b"]).reshape(b, t, heads, dh)
         v = (h @ params["v_w"] + params["v_b"]).reshape(b, t, heads, dh)
@@ -107,19 +115,19 @@ def vit_block_stage(name: str, dim: int, heads: int, mlp_dim: int) -> Stage:
         attn = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
         x = x + ctx @ params["o_w"] + params["o_b"]
-        h2 = _layernorm(x, params["ln2_scale"], params["ln2_bias"])
-        h2 = jax.nn.gelu(h2 @ params["mlp1_w"] + params["mlp1_b"], approximate=False)
+        h2 = _layernorm(x, params["ln2_scale"], params["ln2_bias"], ln_eps)
+        h2 = act_fn(h2 @ params["mlp1_w"] + params["mlp1_b"])
         return x + h2 @ params["mlp2_w"] + params["mlp2_b"], state, None
 
     return Stage(name, init, apply)
 
 
-def _ln_stage(name: str, dim: int) -> Stage:
+def _ln_stage(name: str, dim: int, ln_eps: float = _LN_EPS) -> Stage:
     def init(key, in_shape):
         return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}, None, in_shape
 
     def apply(params, state, x, train):
-        return _layernorm(x, params["scale"], params["bias"]), state, None
+        return _layernorm(x, params["scale"], params["bias"], ln_eps), state, None
 
     return Stage(name, init, apply)
 
@@ -159,6 +167,121 @@ def make_vit(spec_name: str, num_classes: int, img_side: int) -> SeqNet:
     stages += [_ln_stage("ln_final", dim), _cls_select_stage("cls"),
                _head_stage("head", dim, num_classes)]
     return SeqNet(stages)
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (OpenAI CLIP / HF CLIPVisionModel) — the standard modern
+# vision-SAE target (e.g. Fry 2024 "Towards Multimodal Interpretability",
+# Daujotas 2024 CLIP-ViT SAEs). Differences from the plain ViT above, all
+# matching HF modeling_clip.py exactly: the patch conv has NO bias, a
+# pre-layernorm runs before the encoder stack, the MLP activation is
+# quick-GELU (x * sigmoid(1.702 x)), LN eps is 1e-5, and the pooled output is
+# post_layernorm(CLS). The classification head here stands where CLIP's
+# visual_projection does (convert_hf_clip_vision maps it when present).
+# ---------------------------------------------------------------------------
+
+_CLIP_LN_EPS = 1e-5
+
+# depth, dim, heads, mlp hidden, patch (None -> per-dataset _PATCH_FOR_SIDE)
+CLIP_SPECS: dict[str, tuple[int, int, int, int, int | None]] = {
+    "clip_vit_test": (2, 64, 2, 128, None),
+    "clip_vit_b32": (12, 768, 12, 3072, 32),
+    "clip_vit_b16": (12, 768, 12, 3072, 16),
+    "clip_vit_l14": (24, 1024, 16, 4096, 14),
+}
+
+
+def clip_patch_embed_stage(name: str, dim: int, patch: int) -> Stage:
+    """CLIP embeddings (modeling_clip.py CLIPVisionEmbeddings): bias-free patch
+    conv, learned class embedding, learned position embeddings."""
+
+    def init(key, in_shape):
+        h, w, c = in_shape
+        if h % patch or w % patch:
+            raise ValueError(f"Image side {(h, w)} not divisible by patch {patch}.")
+        n = (h // patch) * (w // patch)
+        kw, kc, kp = jax.random.split(key, 3)
+        w_proj, _ = _torch_linear_init(
+            kw, c * patch * patch, (patch, patch, c, dim), (dim,)
+        )
+        params = {
+            "proj_w": w_proj,  # no bias, per CLIP
+            "cls": 0.02 * jax.random.normal(kc, (dim,)),
+            "pos": 0.02 * jax.random.normal(kp, (n + 1, dim)),
+        }
+        return params, None, (n + 1, dim)
+
+    def apply(params, state, x, train):
+        y = jax.lax.conv_general_dilated(
+            x, params["proj_w"], window_strides=(patch, patch), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, gh, gw, d = y.shape
+        tokens = y.reshape(b, gh * gw, d)
+        cls = jnp.broadcast_to(params["cls"], (b, 1, d))
+        return jnp.concatenate([cls, tokens], axis=1) + params["pos"], state, None
+
+    return Stage(name, init, apply)
+
+
+def make_clip_vision(spec_name: str, num_classes: int, img_side: int) -> SeqNet:
+    depth, dim, heads, mlp_dim, patch = CLIP_SPECS[spec_name]
+    if patch is None:
+        if img_side not in _PATCH_FOR_SIDE:
+            raise ValueError(f"No patch size for {img_side}px input "
+                             f"(supported: {sorted(_PATCH_FOR_SIDE)}).")
+        patch = _PATCH_FOR_SIDE[img_side]
+    stages = [clip_patch_embed_stage("patch_embed", dim, patch),
+              _ln_stage("pre_ln", dim, _CLIP_LN_EPS)]
+    stages += [vit_block_stage(f"block{i}", dim, heads, mlp_dim,
+                               act="quick_gelu", ln_eps=_CLIP_LN_EPS)
+               for i in range(depth)]
+    stages += [_cls_select_stage("cls"), _ln_stage("post_ln", dim, _CLIP_LN_EPS),
+               _head_stage("head", dim, num_classes)]
+    return SeqNet(stages)
+
+
+def convert_hf_clip_vision(state_dict: dict, depth: int) -> dict:
+    """HF ``CLIPVisionModel``/``CLIPVisionModelWithProjection`` state_dict
+    (tensors or numpy) -> SeqNet params. ``visual_projection`` (bias-free) maps
+    onto the head when present; otherwise the head keeps its own init (train a
+    classifier on top of the frozen tower)."""
+    import numpy as np
+
+    sd = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+          for k, v in state_dict.items()}
+    e = "vision_model.embeddings."
+    params: dict = {
+        "patch_embed": {
+            "proj_w": sd[e + "patch_embedding.weight"].transpose(2, 3, 1, 0),
+            "cls": sd[e + "class_embedding"],
+            "pos": sd[e + "position_embedding.weight"],
+        },
+        # HF's attribute really is spelled 'pre_layrnorm' (modeling_clip.py)
+        "pre_ln": {"scale": sd["vision_model.pre_layrnorm.weight"],
+                   "bias": sd["vision_model.pre_layrnorm.bias"]},
+        "post_ln": {"scale": sd["vision_model.post_layernorm.weight"],
+                    "bias": sd["vision_model.post_layernorm.bias"]},
+    }
+    if "visual_projection.weight" in sd:
+        w = sd["visual_projection.weight"].T
+        params["head"] = {"w": w, "b": np.zeros(w.shape[1], w.dtype)}
+    for i in range(depth):
+        p = f"vision_model.encoder.layers.{i}."
+        a = p + "self_attn."
+        params[f"block{i}"] = {
+            "ln1_scale": sd[p + "layer_norm1.weight"],
+            "ln1_bias": sd[p + "layer_norm1.bias"],
+            "q_w": sd[a + "q_proj.weight"].T, "q_b": sd[a + "q_proj.bias"],
+            "k_w": sd[a + "k_proj.weight"].T, "k_b": sd[a + "k_proj.bias"],
+            "v_w": sd[a + "v_proj.weight"].T, "v_b": sd[a + "v_proj.bias"],
+            "o_w": sd[a + "out_proj.weight"].T, "o_b": sd[a + "out_proj.bias"],
+            "ln2_scale": sd[p + "layer_norm2.weight"],
+            "ln2_bias": sd[p + "layer_norm2.bias"],
+            "mlp1_w": sd[p + "mlp.fc1.weight"].T, "mlp1_b": sd[p + "mlp.fc1.bias"],
+            "mlp2_w": sd[p + "mlp.fc2.weight"].T, "mlp2_b": sd[p + "mlp.fc2.bias"],
+        }
+    return {k: jax.tree.map(jnp.asarray, v) for k, v in params.items()}
 
 
 def convert_hf_vit(state_dict: dict, depth: int) -> dict:

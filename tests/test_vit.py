@@ -171,3 +171,96 @@ def test_vit_circuit_passes():
     assert abs(r1["faithfulness"] - 1.0) < 1e-3
     r0 = eng.compute_faithfulness(batches, node, 1e9, averages=avgs)
     assert abs(r0["faithfulness"]) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower
+# ---------------------------------------------------------------------------
+
+def _tiny_clip_cfg(transformers, with_projection=False):
+    kw = dict(hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+              intermediate_size=128, image_size=32, patch_size=4,
+              num_channels=3, hidden_act="quick_gelu",
+              attention_dropout=0.0)
+    if with_projection:
+        kw["projection_dim"] = 10
+    return transformers.CLIPVisionConfig(**kw)
+
+
+def test_clip_vision_matches_hf_transformers_golden():
+    """Same weights => same pooled output and per-block hidden states as HF
+    CLIPVisionModel (bias-free patch conv, pre-LN, quick-GELU, LN eps 1e-5)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from sparse_vision_tpu.models.vit import convert_hf_clip_vision, make_clip_vision
+
+    torch.manual_seed(0)
+    hf = transformers.CLIPVisionModel(_tiny_clip_cfg(transformers)).eval()
+
+    net = make_clip_vision("clip_vit_test", 10, 32)
+    params0, _ = net.init(jax.random.key(0), (32, 32, 3))
+    params = {**params0, **convert_hf_clip_vision(hf.state_dict(), depth=2)}
+
+    x = np.random.default_rng(1).normal(size=(3, 32, 32, 3)).astype(np.float32)
+    _, taps, _ = net.apply(params, jnp.asarray(x))
+    with torch.no_grad():
+        out = hf(torch.tensor(x.transpose(0, 3, 1, 2)),
+                 output_hidden_states=True)
+    np.testing.assert_allclose(
+        np.asarray(taps["post_ln"]), out.pooler_output.numpy(), atol=2e-4,
+    )
+    # hidden_states[0] is the encoder input (after CLIP's pre-layernorm);
+    # hidden_states[i+1] follows encoder layer i — the SAE tap surface
+    np.testing.assert_allclose(
+        np.asarray(taps["pre_ln"]), out.hidden_states[0].numpy(), atol=2e-4,
+    )
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(taps[f"block{i}"]), out.hidden_states[i + 1].numpy(),
+            atol=2e-4,
+        )
+
+
+def test_clip_visual_projection_maps_to_head():
+    """CLIPVisionModelWithProjection's bias-free visual_projection lands on the
+    head stage: our logits == HF image_embeds."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from sparse_vision_tpu.models.vit import convert_hf_clip_vision, make_clip_vision
+
+    torch.manual_seed(1)
+    hf = transformers.CLIPVisionModelWithProjection(
+        _tiny_clip_cfg(transformers, with_projection=True)).eval()
+
+    net = make_clip_vision("clip_vit_test", 10, 32)
+    net.init(jax.random.key(0), (32, 32, 3))
+    params = convert_hf_clip_vision(hf.state_dict(), depth=2)
+    assert "head" in params  # projection present -> mapped
+
+    x = np.random.default_rng(2).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    emb, _, _ = net.apply(params, jnp.asarray(x))
+    with torch.no_grad():
+        out = hf(torch.tensor(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(emb), out.image_embeds.numpy(), atol=2e-4,
+    )
+
+
+def test_clip_pipeline_e2e(tmp_path):
+    """Full Pipeline run with an SAE on the CLIP tower's residual stream."""
+    import os
+
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        model_name="clip_vit_test", sae_layer="block0", dataset_name="synthetic",
+        directory_path=str(tmp_path), sae_epochs=1, sae_batch_size=32,
+        batch_size=32, sae_expansion_factor=2, dead_neurons_steps=100,
+        use_activation_cache=True, cache_tokens_per_step=512, log_every=1000,
+    )
+    res = Pipeline(cfg).run()
+    assert res and np.isfinite(res["sae_rec_loss"]) and res["sae_rec_loss"] > 0
+    assert np.isfinite(res["kld"])
