@@ -36,18 +36,24 @@ def make_backbone(model_name: str, dataset_name: str) -> SeqNet:
         from sparse_vision_tpu.models.resnet import make_resnet50
 
         return make_resnet50(num_classes=NUM_CLASSES["imagenet"])
-    if model_name in ("vit_test", "vit_tiny", "vit_small", "vit_base"):
+    # a '_split' suffix on any ViT/CLIP spec splits each encoder block into
+    # separate block{i}_attn / block{i}_mlp stages (attention-out tap surface)
+    split_blocks = model_name.endswith("_split")
+    vit_name = model_name[:-6] if split_blocks else model_name
+    if vit_name in ("vit_test", "vit_tiny", "vit_small", "vit_base"):
         from sparse_vision_tpu.models.vit import make_vit
 
-        return make_vit(model_name, num_classes, get_img_size(dataset_name)[0])
-    if model_name.startswith("clip_vit"):
+        return make_vit(vit_name, num_classes, get_img_size(dataset_name)[0],
+                        split_blocks=split_blocks)
+    if vit_name.startswith("clip_vit"):
         from sparse_vision_tpu.models.vit import CLIP_SPECS, make_clip_vision
 
-        if model_name not in CLIP_SPECS:
-            raise ValueError(f"Unknown CLIP spec {model_name} "
+        if vit_name not in CLIP_SPECS:
+            raise ValueError(f"Unknown CLIP spec {vit_name} "
                              f"(available: {sorted(CLIP_SPECS)})")
-        return make_clip_vision(model_name, num_classes,
-                                get_img_size(dataset_name)[0])
+        return make_clip_vision(vit_name, num_classes,
+                                get_img_size(dataset_name)[0],
+                                split_blocks=split_blocks)
     if model_name in ("resnet18", "resnet18_1", "resnet18_2"):
         from sparse_vision_tpu.models.resnet import make_resnet18
 

@@ -122,6 +122,96 @@ def vit_block_stage(name: str, dim: int, heads: int, mlp_dim: int,
     return Stage(name, init, apply)
 
 
+def vit_attn_stage(name: str, dim: int, heads: int,
+                   ln_eps: float = _LN_EPS) -> Stage:
+    """The block's attention sublayer alone: ``x + attn(ln1(x))``. Splitting a
+    block into attn/mlp stages (``split_blocks=True``) exposes the attention
+    output and the MLP output as SEPARATE tap/splice points — the standard
+    transformer-interp surface (attention-out SAEs; e.g. Kissane et al. 2024):
+    a plain per-block tap only sees their sum on the residual stream."""
+    if dim % heads:
+        raise ValueError(f"dim {dim} not divisible by heads {heads}")
+    dh = dim // heads
+
+    def init(key, in_shape):
+        keys = jax.random.split(key, 4)
+        q_w, q_b = _torch_linear_init(keys[0], dim, (dim, dim), (dim,))
+        k_w, k_b = _torch_linear_init(keys[1], dim, (dim, dim), (dim,))
+        v_w, v_b = _torch_linear_init(keys[2], dim, (dim, dim), (dim,))
+        o_w, o_b = _torch_linear_init(keys[3], dim, (dim, dim), (dim,))
+        params = {
+            "ln1_scale": jnp.ones((dim,)), "ln1_bias": jnp.zeros((dim,)),
+            "q_w": q_w, "q_b": q_b, "k_w": k_w, "k_b": k_b,
+            "v_w": v_w, "v_b": v_b, "o_w": o_w, "o_b": o_b,
+        }
+        return params, None, in_shape
+
+    def apply(params, state, x, train):
+        b, t, d = x.shape
+        h = _layernorm(x, params["ln1_scale"], params["ln1_bias"], ln_eps)
+        q = (h @ params["q_w"] + params["q_b"]).reshape(b, t, heads, dh)
+        k = (h @ params["k_w"] + params["k_b"]).reshape(b, t, heads, dh)
+        v = (h @ params["v_w"] + params["v_b"]).reshape(b, t, heads, dh)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dh)
+        attn = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+        return x + ctx @ params["o_w"] + params["o_b"], state, None
+
+    return Stage(name, init, apply)
+
+
+def vit_mlp_stage(name: str, dim: int, mlp_dim: int, act: str = "gelu",
+                  ln_eps: float = _LN_EPS) -> Stage:
+    """The block's MLP sublayer alone: ``x + mlp(ln2(x))`` (see vit_attn_stage)."""
+    act_fn = (_quick_gelu if act == "quick_gelu"
+              else lambda v: jax.nn.gelu(v, approximate=False))
+
+    def init(key, in_shape):
+        k1, k2 = jax.random.split(key)
+        m1_w, m1_b = _torch_linear_init(k1, dim, (dim, mlp_dim), (mlp_dim,))
+        m2_w, m2_b = _torch_linear_init(k2, mlp_dim, (mlp_dim, dim), (dim,))
+        params = {
+            "ln2_scale": jnp.ones((dim,)), "ln2_bias": jnp.zeros((dim,)),
+            "mlp1_w": m1_w, "mlp1_b": m1_b, "mlp2_w": m2_w, "mlp2_b": m2_b,
+        }
+        return params, None, in_shape
+
+    def apply(params, state, x, train):
+        h2 = _layernorm(x, params["ln2_scale"], params["ln2_bias"], ln_eps)
+        h2 = act_fn(h2 @ params["mlp1_w"] + params["mlp1_b"])
+        return x + h2 @ params["mlp2_w"] + params["mlp2_b"], state, None
+
+    return Stage(name, init, apply)
+
+
+def _block_stages(i: int, dim: int, heads: int, mlp_dim: int, act: str,
+                  ln_eps: float, split: bool) -> list[Stage]:
+    if split:
+        return [vit_attn_stage(f"block{i}_attn", dim, heads, ln_eps),
+                vit_mlp_stage(f"block{i}_mlp", dim, mlp_dim, act, ln_eps)]
+    return [vit_block_stage(f"block{i}", dim, heads, mlp_dim, act, ln_eps)]
+
+
+def _split_block_params(block: dict) -> dict:
+    """One fused block param dict -> {'<attn keys>', '<mlp keys>'} pair."""
+    attn_keys = ("ln1_scale", "ln1_bias", "q_w", "q_b", "k_w", "k_b",
+                 "v_w", "v_b", "o_w", "o_b")
+    return ({k: block[k] for k in attn_keys},
+            {k: v for k, v in block.items() if k not in attn_keys})
+
+
+def split_converted_blocks(params: dict, depth: int) -> dict:
+    """Re-key a convert_hf_vit / convert_hf_clip_vision result for a
+    split_blocks=True net: block{i} -> block{i}_attn + block{i}_mlp. The math
+    is identical (the two sublayers compose to exactly the fused block)."""
+    out = {k: v for k, v in params.items() if not k.startswith("block")}
+    for i in range(depth):
+        attn, mlp = _split_block_params(params[f"block{i}"])
+        out[f"block{i}_attn"] = attn
+        out[f"block{i}_mlp"] = mlp
+    return out
+
+
 def _ln_stage(name: str, dim: int, ln_eps: float = _LN_EPS) -> Stage:
     def init(key, in_shape):
         return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}, None, in_shape
@@ -153,7 +243,8 @@ def _head_stage(name: str, dim: int, num_classes: int) -> Stage:
     return Stage(name, init, apply)
 
 
-def make_vit(spec_name: str, num_classes: int, img_side: int) -> SeqNet:
+def make_vit(spec_name: str, num_classes: int, img_side: int,
+             split_blocks: bool = False) -> SeqNet:
     depth, dim, heads, mlp_dim = VIT_SPECS[spec_name]
     if img_side not in _PATCH_FOR_SIDE:
         raise ValueError(
@@ -163,7 +254,9 @@ def make_vit(spec_name: str, num_classes: int, img_side: int) -> SeqNet:
         )
     patch = _PATCH_FOR_SIDE[img_side]
     stages = [patch_embed_stage("patch_embed", dim, patch)]
-    stages += [vit_block_stage(f"block{i}", dim, heads, mlp_dim) for i in range(depth)]
+    for i in range(depth):
+        stages += _block_stages(i, dim, heads, mlp_dim, "gelu", _LN_EPS,
+                                split_blocks)
     stages += [_ln_stage("ln_final", dim), _cls_select_stage("cls"),
                _head_stage("head", dim, num_classes)]
     return SeqNet(stages)
@@ -224,7 +317,8 @@ def clip_patch_embed_stage(name: str, dim: int, patch: int) -> Stage:
     return Stage(name, init, apply)
 
 
-def make_clip_vision(spec_name: str, num_classes: int, img_side: int) -> SeqNet:
+def make_clip_vision(spec_name: str, num_classes: int, img_side: int,
+                     split_blocks: bool = False) -> SeqNet:
     depth, dim, heads, mlp_dim, patch = CLIP_SPECS[spec_name]
     if patch is None:
         if img_side not in _PATCH_FOR_SIDE:
@@ -233,9 +327,9 @@ def make_clip_vision(spec_name: str, num_classes: int, img_side: int) -> SeqNet:
         patch = _PATCH_FOR_SIDE[img_side]
     stages = [clip_patch_embed_stage("patch_embed", dim, patch),
               _ln_stage("pre_ln", dim, _CLIP_LN_EPS)]
-    stages += [vit_block_stage(f"block{i}", dim, heads, mlp_dim,
-                               act="quick_gelu", ln_eps=_CLIP_LN_EPS)
-               for i in range(depth)]
+    for i in range(depth):
+        stages += _block_stages(i, dim, heads, mlp_dim, "quick_gelu",
+                                _CLIP_LN_EPS, split_blocks)
     stages += [_cls_select_stage("cls"), _ln_stage("post_ln", dim, _CLIP_LN_EPS),
                _head_stage("head", dim, num_classes)]
     return SeqNet(stages)

@@ -264,3 +264,77 @@ def test_clip_pipeline_e2e(tmp_path):
     res = Pipeline(cfg).run()
     assert res and np.isfinite(res["sae_rec_loss"]) and res["sae_rec_loss"] > 0
     assert np.isfinite(res["kld"])
+
+
+# ---------------------------------------------------------------------------
+# split blocks: attention-out / MLP-out tap surface
+# ---------------------------------------------------------------------------
+
+def test_split_blocks_compose_to_fused_block():
+    """block{i}_attn + block{i}_mlp with re-keyed params compute EXACTLY the
+    fused block{i}: logits identical, the mlp-stage output equals the fused
+    block tap, and the attn tap is a genuinely new surface (differs from both
+    the block input and output)."""
+    from sparse_vision_tpu.models.vit import make_vit, split_converted_blocks
+
+    fused = make_vit("vit_test", 10, 32)
+    params, _ = fused.init(jax.random.key(0), (32, 32, 3))
+    split = make_vit("vit_test", 10, 32, split_blocks=True)
+    split.init(jax.random.key(1), (32, 32, 3))
+    sparams = split_converted_blocks(params, depth=2)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    logits_f, taps_f, _ = fused.apply(params, x)
+    logits_s, taps_s, _ = split.apply(sparams, x)
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_s),
+                               atol=1e-5)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(taps_f[f"block{i}"]),
+                                   np.asarray(taps_s[f"block{i}_mlp"]),
+                                   atol=1e-5)
+    attn0 = np.asarray(taps_s["block0_attn"])
+    assert not np.allclose(attn0, np.asarray(taps_f["patch_embed"]))
+    assert not np.allclose(attn0, np.asarray(taps_f["block0"]))
+
+
+def test_split_clip_tower_composes_and_wires_through_factory():
+    """'_split' spec names build through the backbone factory; CLIP split
+    params reproduce the fused tower; the attn tap has the SAE input size."""
+    from sparse_vision_tpu.models.backbone import get_sae_input_size
+    from sparse_vision_tpu.models.vit import (
+        make_clip_vision,
+        split_converted_blocks,
+    )
+
+    fused = make_clip_vision("clip_vit_test", 10, 32)
+    params, _ = fused.init(jax.random.key(0), (32, 32, 3))
+    split = make_backbone("clip_vit_test_split", "cifar_10")
+    split.init(jax.random.key(1), (32, 32, 3))
+    sparams = split_converted_blocks(params, depth=2)
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    logits_f, _, _ = fused.apply(params, x)
+    logits_s, taps_s, _ = split.apply(sparams, x)
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_s),
+                               atol=1e-5)
+    assert taps_s["block1_attn"].shape == (2, 65, 64)
+    assert get_sae_input_size(split, "cifar_10", "block1_attn") == 64
+
+
+def test_sae_trains_on_attention_tap(tmp_path):
+    """Full Pipeline run with the SAE on an ATTENTION-OUT tap (the Kissane et
+    al. 2024 surface) — the splice rides the residual stream unchanged."""
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        model_name="vit_test_split", sae_layer="block0_attn",
+        dataset_name="synthetic", directory_path=str(tmp_path), sae_epochs=1,
+        sae_batch_size=32, batch_size=32, sae_expansion_factor=2,
+        dead_neurons_steps=100, log_every=1000,
+    )
+    res = Pipeline(cfg).run()
+    assert res and np.isfinite(res["sae_rec_loss"]) and res["sae_rec_loss"] > 0
+    assert np.isfinite(res["kld"])
