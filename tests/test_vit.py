@@ -338,3 +338,26 @@ def test_sae_trains_on_attention_tap(tmp_path):
     res = Pipeline(cfg).run()
     assert res and np.isfinite(res["sae_rec_loss"]) and res["sae_rec_loss"] > 0
     assert np.isfinite(res["kld"])
+
+
+def test_mlp_transcoder_on_split_vit(tmp_path):
+    """With split blocks, the transcoder tier composes into the Anthropic-style
+    MLP transcoder out of the box: sae_layer=block0_attn (the MLP sublayer's
+    input) -> transcoder_target_layer=block0_mlp (its output, incl. the
+    residual); eval splices the whole sublayer out."""
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        model_name="vit_test_split", sae_model_name="transcoder",
+        sae_layer="block0_attn", transcoder_target_layer="block0_mlp",
+        dataset_name="synthetic", directory_path=str(tmp_path), sae_epochs=1,
+        sae_batch_size=32, batch_size=32, sae_expansion_factor=2,
+        dead_neurons_steps=100, use_activation_cache=True,
+        cache_tokens_per_step=512, log_every=1000,
+    )
+    pipe = Pipeline(cfg)
+    before = pipe.eval_modified(epoch=0, store=False)
+    res = pipe.run()
+    assert res["sae_rec_loss"] < before["sae_rec_loss"], (before, res)
+    assert np.isfinite(res["kld"])
