@@ -361,3 +361,29 @@ def test_mlp_transcoder_on_split_vit(tmp_path):
     res = pipe.run()
     assert res["sae_rec_loss"] < before["sae_rec_loss"], (before, res)
     assert np.isfinite(res["kld"])
+
+
+def test_crosscoder_across_vit_blocks(tmp_path):
+    """Crosscoders are stage-name generic: one shared code over two ViT block
+    taps trains e2e and writes the decoder-norm diffing CSV."""
+    import glob as _glob
+
+    from sparse_vision_tpu.config import RunConfig
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = RunConfig(
+        model_name="vit_test", sae_model_name="crosscoder",
+        sae_layer="block0", crosscoder_layers="block1",
+        sae_optimizer_name="adam", dataset_name="synthetic",
+        directory_path=str(tmp_path), sae_epochs=1, sae_batch_size=32,
+        batch_size=32, sae_expansion_factor=2, dead_neurons_steps=100,
+        use_activation_cache=True, cache_tokens_per_step=512, log_every=1000,
+    )
+    pipe = Pipeline(cfg)
+    before = pipe.eval_modified(epoch=0, store=False)
+    res = pipe.run()
+    assert res["sae_rec_loss"] < before["sae_rec_loss"], (before, res)
+    norms_csv = _glob.glob(os.path.join(
+        pipe.paths["evaluation_results"], "**", "*decoder_norms*"),
+        recursive=True)
+    assert norms_csv, "diffing CSV not written"
