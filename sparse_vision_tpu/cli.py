@@ -215,6 +215,14 @@ def main(argv=None) -> int:
         if args.run_pipeline and cfg.use_sae and cfg.sae_checkpoint_epoch == 0:
             # train-then-probe in one invocation: pick up the run just trained
             cfg = dataclasses.replace(cfg, sae_checkpoint_epoch=cfg.sae_epochs)
+        elif cfg.use_sae and cfg.sae_checkpoint_epoch == 0 and not cfg.sae_weights_path:
+            # without --run_pipeline there is nothing to restore: the probe
+            # would score a randomly initialized SAE yet be filed under the
+            # trained epoch's artifact name, overwriting real results
+            print("--sparse_probing without --run_pipeline needs a trained "
+                  "SAE: set sae_checkpoint_epoch > 0 (or sae_weights_path) "
+                  "in the config", file=sys.stderr)
+            return 2
         ks = [int(t) for t in args.sparse_probing.split(",")
               if t.strip().lstrip("-").isdigit() and int(t) > 0]
         compute_sparse_probing(Pipeline(cfg), ks=ks or (1, 2, 5, 16))

@@ -398,7 +398,22 @@ NUM_CLASSES = {
 }
 
 
-def get_img_size(dataset_name: str) -> tuple:
+def is_vit_family(model_name: str) -> bool:
+    """True for the ViT/CLIP tower specs (optionally '_split'-suffixed)."""
+    base = model_name[:-6] if model_name.endswith("_split") else model_name
+    return base.startswith("vit_") or base.startswith("clip_vit")
+
+
+def get_img_size(dataset_name: str, model_name: str | None = None) -> tuple:
+    """Input image shape, channels-last. Per-dataset by default (reference
+    get_img_size, utils.py:139-149); MODEL-aware for the ViT/CLIP family on
+    ImageNet: the 229px crop is a lucent-InceptionV1 convention
+    (utils.py:318-329) that no 224-trained transformer accepts — ViT/CLIP
+    towers get the HF-processor 224px convention instead (the per-backbone
+    preprocessing precedent is the reference's own InceptionV1 pipeline)."""
     if dataset_name not in IMG_SIZES:
         raise ValueError(f"Unsupported dataset: {dataset_name}")
-    return IMG_SIZES[dataset_name]
+    size = IMG_SIZES[dataset_name]
+    if model_name and is_vit_family(model_name) and size[0] == 229:
+        return (224, 224, 3)
+    return size

@@ -12,7 +12,10 @@ Reference semantics kept:
   transform=None at utils.py:353-357, so the normalization branch at
   tiny_imagenet.py:278-283 never runs)
 - ImageNet: resize-256 -> center-crop 229 -> x*255 - 117 (lucent InceptionV1
-  convention, utils.py:318-329)
+  convention, utils.py:318-329) for the CNN family; ViT/CLIP towers instead get
+  their HF processors' exact numerics (vit_decode/clip_decode below), selected
+  per model by decode_fns_for_model — the reference's own per-backbone
+  preprocessing precedent extended to the transformer family
 - the reference's val-loader bug (load_data returns train_dataloader twice,
   utils.py:610) is NOT replicated: we return the real validation split.
 
@@ -295,7 +298,8 @@ def _imagenet_transform(img, crop: int) -> np.ndarray:
 
 
 def load_imagenet(
-    data_dir: str, split: str, class_filter: Optional[str] = None
+    data_dir: str, split: str, class_filter: Optional[str] = None,
+    decode_fn=imagenet_decode,
 ) -> LazyImageDataset:
     root = os.path.join(data_dir, "imagenet", "train" if split == "train" else "val")
     wnids = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
@@ -308,7 +312,90 @@ def load_imagenet(
         for fn in sorted(os.listdir(d)):
             paths.append(os.path.join(d, fn))
             labels.append(wnid_to_idx[w])
-    return LazyImageDataset(paths, labels, wnids, imagenet_decode)
+    return LazyImageDataset(paths, labels, wnids, decode_fn)
+
+
+# ---------------------------------------------------------------------------
+# ViT / CLIP preprocessing — HF processor numerics, selected per MODEL family
+# (the per-backbone-preprocessing precedent is the reference's own InceptionV1
+# convention, utils.py:318-329; HF-pretrained towers expect their processors'
+# exact pixel statistics, tests/test_vit.py pins both against transformers)
+# ---------------------------------------------------------------------------
+
+# HF ViTImageProcessor defaults (IMAGENET_STANDARD_MEAN/STD)
+VIT_MEAN = (0.5, 0.5, 0.5)
+VIT_STD = (0.5, 0.5, 0.5)
+# HF CLIPImageProcessor defaults (OPENAI_CLIP_MEAN/STD)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def _rescale_normalize(img, mean, std) -> np.ndarray:
+    x = np.asarray(img, np.float32) / 255.0
+    return ((x - np.asarray(mean, np.float32))
+            / np.asarray(std, np.float32)).astype(np.float32)
+
+
+def _vit_transform(img, size: int) -> np.ndarray:
+    """HF ViTImageProcessor numerics: direct (size, size) BILINEAR resize (no
+    aspect-preserving crop), rescale 1/255, normalize mean/std 0.5."""
+    from PIL import Image
+
+    img = img.convert("RGB").resize((size, size), Image.BILINEAR)
+    return _rescale_normalize(img, VIT_MEAN, VIT_STD)
+
+
+def _clip_transform(img, size: int) -> np.ndarray:
+    """HF CLIPImageProcessor numerics: shortest edge -> size with BICUBIC
+    (long side int-truncated, image_transforms.get_resize_output_image_size),
+    center crop size x size, rescale 1/255, normalize OpenAI CLIP stats."""
+    from PIL import Image
+
+    img = img.convert("RGB")
+    w, h = img.size
+    short, long = (w, h) if w <= h else (h, w)
+    new_short, new_long = size, int(size * long / short)
+    nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return _rescale_normalize(img, CLIP_MEAN, CLIP_STD)
+
+
+def vit_decode(path: str, size: int = 224) -> np.ndarray:
+    from PIL import Image
+
+    return _vit_transform(Image.open(path), size)
+
+
+def vit_decode_bytes(data: bytes, size: int = 224) -> np.ndarray:
+    from PIL import Image
+
+    return _vit_transform(Image.open(io.BytesIO(data)), size)
+
+
+def clip_decode(path: str, size: int = 224) -> np.ndarray:
+    from PIL import Image
+
+    return _clip_transform(Image.open(path), size)
+
+
+def clip_decode_bytes(data: bytes, size: int = 224) -> np.ndarray:
+    from PIL import Image
+
+    return _clip_transform(Image.open(io.BytesIO(data)), size)
+
+
+def decode_fns_for_model(model_name: str):
+    """(file decode, bytes decode) for the ImageNet path, per backbone family:
+    CLIP towers -> CLIPImageProcessor numerics, ViTs -> ViTImageProcessor
+    numerics, everything else -> the lucent-InceptionV1 229px convention."""
+    base = model_name[:-6] if model_name.endswith("_split") else model_name
+    if base.startswith("clip_vit"):
+        return clip_decode, clip_decode_bytes
+    if base.startswith("vit_"):
+        return vit_decode, vit_decode_bytes
+    return imagenet_decode, imagenet_decode_bytes
 
 
 # ---------------------------------------------------------------------------
@@ -636,13 +723,17 @@ def load_data(cfg: RunConfig, class_filter: Optional[str] = None):
     elif name == "imagenet":
         # production format first: webdataset tar shards (utils.py:520-547); fall
         # back to ImageFolder. The class filter needs per-class file listing, so it
-        # stays on the folder path.
-        train = None if class_filter else load_imagenet_tars(cfg.data_dir, "train")
-        val = None if class_filter else load_imagenet_tars(cfg.data_dir, "val")
+        # stays on the folder path. Decode is MODEL-aware: ViT/CLIP towers get
+        # their HF-processor transforms, CNNs the InceptionV1 229px convention.
+        dec, dec_bytes = decode_fns_for_model(cfg.model_name)
+        train = None if class_filter else load_imagenet_tars(
+            cfg.data_dir, "train", dec_bytes)
+        val = None if class_filter else load_imagenet_tars(
+            cfg.data_dir, "val", dec_bytes)
         if train is None:
-            train = load_imagenet(cfg.data_dir, "train", class_filter)
+            train = load_imagenet(cfg.data_dir, "train", class_filter, dec)
         if val is None:
-            val = load_imagenet(cfg.data_dir, "val", class_filter)
+            val = load_imagenet(cfg.data_dir, "val", class_filter, dec)
     else:
         raise ValueError(f"Unsupported dataset: {name}")
-    return train, val, train.category_names, get_img_size(name)
+    return train, val, train.category_names, get_img_size(name, cfg.model_name)

@@ -14,8 +14,9 @@ TPU shape: probe fitting is one ``lax.scan`` of full-batch Adam steps over a
 class-vmapped weighted-BCE objective — classes are processed in fixed-size
 chunks so every chunk reuses one compiled program ([chunk, N, k] gathers stay
 small; k <= 32). Feature pooling reuses the eval step's channel/token-mean
-activations (train/steps.py make_sae_eval_step 'topk_acts' — the same [B, U]
-quantity the reference's top-k collection averages, model_pipeline.py:344-358).
+POST-activation code (train/steps.py make_sae_eval_step 'probe_acts'); the
+pre-activation 'topk_acts' quantity stays with the top-k collection path
+(model_pipeline.py:344-358), which is where the reference uses pre-ReLU.
 
 Entry points: ``compute_sparse_probing(pipeline, ks=...)`` on a trained
 Pipeline (writes per-class CSV + summary JSON under
@@ -258,8 +259,10 @@ def collect_pooled_activations(pipeline, ds, side: str = "sae",
                                batch_size: int | None = None):
     """One pass over ``ds`` -> ([N, U] channel/token-mean activations, [N] labels).
 
-    ``side='sae'``: the run's latent activations via the cached eval step's
-    'topk_acts' (any SAE variant, transcoders, crosscoders). ``side='original'``:
+    ``side='sae'``: the run's POST-activation sparse code via the cached eval
+    step's 'probe_acts' (any SAE variant, transcoders, crosscoders) — the
+    quantity SAEBench/Gao et al. probe ('topk_acts' is the dense PRE-activation
+    code, kept for the top-k collection path only). ``side='original'``:
     the raw cfg.sae_layer tap, spatially pooled — the baseline representation at
     the same layer (for crosscoders this is the FIRST configured layer)."""
     import jax
@@ -273,7 +276,7 @@ def collect_pooled_activations(pipeline, ds, side: str = "sae",
         def acts_of(b):
             _, arrays = step(pipeline.ts.params, pipeline.frozen_params,
                              pipeline.net_state, b.images, b.labels)
-            return arrays["topk_acts"]
+            return arrays["probe_acts"]
     elif side == "original":
         layer = pipeline.cfg.sae_layer
 
@@ -336,10 +339,21 @@ def compute_sparse_probing(pipeline, ks=(1, 2, 5, 16), *, include_dense=True,
             pipeline, pipeline.val_ds, side, batch_size
         )
         summary[side] = {}
+        n_feats = tr_acts.shape[1]
         for k in k_list:
+            if 0 < n_feats <= k:
+                # fit_probes falls back to the dense path here; labelling the
+                # result 'k{k}' would report a duplicate of 'dense' as a
+                # k-sparse probe, so collapse the key and say so.
+                print(f"[probing] {side}: k={k} >= {n_feats} features — "
+                      "dense fallback, recorded as 'dense'")
+                if "dense" in summary[side]:
+                    continue
+                key = "dense"
+            else:
+                key = "dense" if k == 0 else f"k{k}"
             res = fit_probes(tr_acts, tr_y, te_acts, te_y, n_classes, k,
                              steps=steps, lr=lr)
-            key = "dense" if k == 0 else f"k{k}"
             summary[side][key] = {
                 "mean_auc": res["mean_auc"],
                 "mean_balanced_acc": res["mean_balanced_acc"],
@@ -348,7 +362,8 @@ def compute_sparse_probing(pipeline, ks=(1, 2, 5, 16), *, include_dense=True,
                 if not res["valid"][c]:
                     continue
                 rows.append({
-                    "side": side, "k": ("dense" if k == 0 else k), "class_idx": c,
+                    "side": side, "k": ("dense" if key == "dense" else k),
+                    "class_idx": c,
                     "auc": res["auc"][c], "balanced_acc": res["balanced_acc"][c],
                 })
             print(f"[probing] {side} {key}: mean AUC {res['mean_auc']:.4f}, "

@@ -21,6 +21,15 @@ from sparse_vision_tpu.models.mlp import MLP_SPECS, make_mlp, make_mlp9_with_sae
 
 
 def make_backbone(model_name: str, dataset_name: str) -> SeqNet:
+    net = _make_backbone(model_name, dataset_name)
+    # record the input convention on the net so init_backbone/layer_dimensions
+    # agree with the data layer's per-model transform (ViT/CLIP towers take
+    # 224px HF-convention inputs on ImageNet, not the 229px InceptionV1 crop)
+    net.input_size = get_img_size(dataset_name, model_name)
+    return net
+
+
+def _make_backbone(model_name: str, dataset_name: str) -> SeqNet:
     num_classes = NUM_CLASSES[dataset_name]
     if model_name in MLP_SPECS:
         return make_mlp(model_name, num_classes)
@@ -43,7 +52,8 @@ def make_backbone(model_name: str, dataset_name: str) -> SeqNet:
     if vit_name in ("vit_test", "vit_tiny", "vit_small", "vit_base"):
         from sparse_vision_tpu.models.vit import make_vit
 
-        return make_vit(vit_name, num_classes, get_img_size(dataset_name)[0],
+        return make_vit(vit_name, num_classes,
+                        get_img_size(dataset_name, model_name)[0],
                         split_blocks=split_blocks)
     if vit_name.startswith("clip_vit"):
         from sparse_vision_tpu.models.vit import CLIP_SPECS, make_clip_vision
@@ -52,7 +62,7 @@ def make_backbone(model_name: str, dataset_name: str) -> SeqNet:
             raise ValueError(f"Unknown CLIP spec {vit_name} "
                              f"(available: {sorted(CLIP_SPECS)})")
         return make_clip_vision(vit_name, num_classes,
-                                get_img_size(dataset_name)[0],
+                                get_img_size(dataset_name, model_name)[0],
                                 split_blocks=split_blocks)
     if model_name in ("resnet18", "resnet18_1", "resnet18_2"):
         from sparse_vision_tpu.models.resnet import make_resnet18
@@ -66,15 +76,21 @@ def make_backbone(model_name: str, dataset_name: str) -> SeqNet:
     raise ValueError(f"Unsupported model: {model_name}")
 
 
+def _input_size(net: SeqNet, dataset_name: str) -> tuple:
+    # nets built by make_backbone carry their input convention (ViT/CLIP on
+    # ImageNet take 224px, not the dataset-default 229px InceptionV1 crop)
+    return tuple(getattr(net, "input_size", None) or get_img_size(dataset_name))
+
+
 def init_backbone(net: SeqNet, key: jax.Array, dataset_name: str) -> tuple[dict, dict]:
-    return net.init(key, get_img_size(dataset_name))
+    return net.init(key, _input_size(net, dataset_name))
 
 
 def layer_dimensions(net: SeqNet, dataset_name: str) -> dict:
     """Static shape map: stage name -> output shape (without batch dim). Stage inits
     declare output shapes, so this is a pure shape walk (params are dropped per stage)."""
     shapes = {}
-    s = tuple(get_img_size(dataset_name))
+    s = _input_size(net, dataset_name)
     key = jax.random.key(0)
     for st in net.stages:
         _, _, s = st.init(key, s)

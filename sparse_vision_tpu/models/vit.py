@@ -68,6 +68,14 @@ def patch_embed_stage(name: str, dim: int, patch: int) -> Stage:
         return params, None, (n + 1, dim)
 
     def apply(params, state, x, train):
+        if x.shape[1] % patch or x.shape[2] % patch:
+            # a VALID stride-`patch` conv would silently CROP the remainder
+            # (e.g. the 229px InceptionV1 ImageNet convention through patch 16)
+            raise ValueError(
+                f"Input side {x.shape[1:3]} not divisible by patch {patch}; "
+                "ViT/CLIP towers take 224px HF-convention inputs on ImageNet "
+                "(data/datasets.py vit_decode/clip_decode)."
+            )
         y = jax.lax.conv_general_dilated(
             x, params["proj_w"], window_strides=(patch, patch), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -305,6 +313,12 @@ def clip_patch_embed_stage(name: str, dim: int, patch: int) -> Stage:
         return params, None, (n + 1, dim)
 
     def apply(params, state, x, train):
+        if x.shape[1] % patch or x.shape[2] % patch:
+            raise ValueError(
+                f"Input side {x.shape[1:3]} not divisible by patch {patch}; "
+                "CLIP towers take 224px CLIPImageProcessor-convention inputs "
+                "(data/datasets.py clip_decode)."
+            )
         y = jax.lax.conv_general_dilated(
             x, params["proj_w"], window_strides=(patch, patch), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -275,6 +275,7 @@ def make_crosscoder_eval_step(
             "dead": dead,
             "freq": freq,
             "topk_acts": metrics.spatial_mean(out["encoded_pre"]),
+            "probe_acts": metrics.spatial_mean(out["encoded"]),
             "correct": jnp.sum(
                 (jnp.argmax(logits_mod, axis=1) == labels).astype(jnp.int32)
             ),

@@ -451,6 +451,9 @@ def make_sae_eval_step(
             # channel-averaged (pre-ReLU when available) activations for top-k
             # (model_pipeline.py:335-360 uses prerelu for SAE top-k)
             "topk_acts": metrics.spatial_mean(enc_for_topk),
+            # POST-activation sparse code, pooled — what sparse probing probes
+            # (SAEBench/Gao et al. probe the sparse code, not the dense pre-code)
+            "probe_acts": metrics.spatial_mean(out["encoded"]),
             "correct": jnp.sum(
                 (jnp.argmax(logits_mod, axis=1) == labels).astype(jnp.int32)
             ),

@@ -367,6 +367,7 @@ def test_crosscoder_across_vit_blocks(tmp_path):
     """Crosscoders are stage-name generic: one shared code over two ViT block
     taps trains e2e and writes the decoder-norm diffing CSV."""
     import glob as _glob
+    import os
 
     from sparse_vision_tpu.config import RunConfig
     from sparse_vision_tpu.train.pipeline import Pipeline
@@ -384,6 +385,6 @@ def test_crosscoder_across_vit_blocks(tmp_path):
     res = pipe.run()
     assert res["sae_rec_loss"] < before["sae_rec_loss"], (before, res)
     norms_csv = _glob.glob(os.path.join(
-        pipe.paths["evaluation_results"], "**", "*decoder_norms*"),
+        pipe.paths["sae_weights"], "**", "*decoder_norms*"),
         recursive=True)
     assert norms_csv, "diffing CSV not written"
