@@ -19,7 +19,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-OUT = os.path.join(REPO, "chip_queue_results.jsonl")
+# committed evidence: every PARITY.md perf row cites a record in this file
+# (round-3 verdict item 5 — the queue's numbers must be auditable artifacts)
+OUT = os.environ.get(
+    "CHIP_QUEUE_OUT", os.path.join(REPO, "docs", "chip_queue_results.jsonl")
+)
 
 # (name, argv, timeout_s) — order: cheap reachability first, then the headline,
 # then per-feature benches, then the long full-chain rehearsals
@@ -35,6 +39,8 @@ STEPS = [
     ("parity_crosscoder", [sys.executable, "chip_parity.py", "crosscoder"], 2400),
     ("parity_vmap_sweep", [sys.executable, "chip_parity.py", "vmap_sweep"], 2400),
     ("bench_ie", [sys.executable, "bench_ie.py"], 3600),
+    ("bench_vit_circuit", [sys.executable, "bench_vit_circuit.py"], 3600),
+    ("bench_clip_sae", [sys.executable, "bench_clip_sae.py"], 2400),
     ("bench_tc_circuit", [sys.executable, "bench_tc_circuit.py"], 2400),
     ("bench_serve", [sys.executable, "bench_serve.py"], 2400),
     ("bench_northstar", [sys.executable, "bench_northstar.py"], 5400),

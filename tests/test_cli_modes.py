@@ -344,7 +344,7 @@ def test_new_examples_run(tmp_path):
                PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
     for script in ("vmap_sweep.py", "train_transcoder.py",
                     "crosscoder_diffing.py", "transcoder_circuit.py",
-                    "serving.py", "probe_clip_sae.py"):
+                    "serving.py", "probe_clip_sae.py", "vit_circuit.py"):
         r = subprocess.run(
             [sys.executable, os.path.join(root, "examples", script),
              str(tmp_path / script[:-3])],
