@@ -144,8 +144,63 @@ def gather_topk_images(dataset, topk_indices: np.ndarray, units: Sequence[int]) 
 
 
 # ---------------------------------------------------------------------------
-# feature visualization (lucent replacement): gradient ascent on the input
+# feature visualization (lucent replacement): FFT-parametrized ascent with
+# color decorrelation + transform robustness (the lucid/lucent recipe the
+# reference renders with, utils.py:1892-1932); pixel-space ascent kept as a
+# fallback mode
 # ---------------------------------------------------------------------------
+
+# empirical ImageNet color-correlation Cholesky-ish factor (the lucid
+# color_correlation_svd_sqrt constant; decorrelating the color channels is
+# half of what makes ImageNet-scale feature viz legible)
+_COLOR_CORR_SVD_SQRT = np.asarray(
+    [[0.26, 0.09, 0.02],
+     [0.27, 0.00, -0.05],
+     [0.27, -0.09, 0.03]], np.float32
+)
+_COLOR_CORR_NORM = _COLOR_CORR_SVD_SQRT / np.max(
+    np.linalg.norm(_COLOR_CORR_SVD_SQRT, axis=0)
+)
+
+
+def _fft_param_image(spectrum: jax.Array, scale: jax.Array,
+                     h: int, w: int) -> jax.Array:
+    """[2, C, h, w//2+1] real/imag spectrum params -> [h, w, C] image values.
+
+    The per-frequency ``scale`` (~1/f) makes the optimizer's steps isotropic in
+    IMAGE space rather than frequency space, which kills the checkerboard/
+    high-frequency attractors of pixel ascent."""
+    spec = (spectrum[0] + 1j * spectrum[1]) * scale  # [C, h, w//2+1]
+    img = jnp.fft.irfft2(spec, s=(h, w))  # [C, h, w]
+    return jnp.transpose(img, (1, 2, 0)) / 4.0  # lucid's magic display scale
+
+
+def _decorrelate_colors(img: jax.Array) -> jax.Array:
+    if img.shape[-1] != 3:
+        return img  # grayscale / non-RGB: nothing to decorrelate
+    return img @ jnp.asarray(_COLOR_CORR_NORM).T
+
+
+def _affine_resample(img: jax.Array, shift: jax.Array, zoom: jax.Array,
+                     angle: jax.Array) -> jax.Array:
+    """Jointly jitter/scale/rotate [h, w, C] with one bilinear resample
+    (map_coordinates keeps shapes static under traced transform scalars)."""
+    h, w, _ = img.shape
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    ys = (ca * (yy - cy) - sa * (xx - cx)) / zoom + cy + shift[0]
+    xs = (sa * (yy - cy) + ca * (xx - cx)) / zoom + cx + shift[1]
+
+    def one_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, [ys, xs], order=1, mode="wrap"
+        )
+
+    return jnp.stack([one_channel(img[..., c]) for c in range(img.shape[-1])],
+                     axis=-1)
+
 
 def feature_visualization(
     net,
@@ -160,40 +215,101 @@ def feature_visualization(
     jitter: int = 4,
     l2_reg: float = 1e-4,
     seed: int = 0,
+    mode: str = "fft",
+    to_model=None,
+    decay_power: float = 1.0,
+    max_zoom: float = 0.05,
+    max_rotate_deg: float = 5.0,
 ) -> np.ndarray:
     """Optimize an input image to maximize one unit's (spatial-mean) activation at
     ``layer`` — optionally of the SAE-SPLICED model, which is how the reference
     visualizes SAE features (utils.py:1892-1932 renders the spliced model with lucent).
 
-    TPU-native replacement for lucent's render_vis: jitted Adam ascent with random
-    jitter for translation robustness and an L2 penalty. Returns the [H, W, C] image.
+    ``mode='fft'`` (default) is the lucent render_vis recipe rebuilt in JAX:
+    a 1/f-scaled FFT parametrization, ImageNet color decorrelation, sigmoid to
+    [0, 1], and per-step transform robustness (random jitter + scale + small
+    rotation in one bilinear resample) — the combination that keeps ImageNet-
+    scale renders legible instead of adversarial-noise-like. Returns the
+    DISPLAY image in [0, 1]; pass ``to_model`` (e.g. ``lambda x: x * 255 - 117``
+    for the InceptionV1 convention, or the ViT/CLIP normalizations in
+    data/datasets.py) to map it into the network's input domain each step.
+
+    ``mode='pixel'`` is the previous raw-pixel Adam ascent (jitter only) and
+    returns the optimized MODEL-DOMAIN input unchanged.
     """
     import optax
 
+    if mode not in ("fft", "pixel"):
+        raise ValueError(f"mode must be 'fft' or 'pixel', got {mode!r}")
     key = jax.random.key(seed)
-    x0 = 0.1 * jax.random.normal(key, (1,) + tuple(img_size))
+    h, w, c = tuple(img_size)
     tx = optax.adam(lr)
-    opt_state = tx.init(x0)
 
-    def objective(x, shift):
-        x = jnp.roll(x, shift=(shift[0], shift[1]), axis=(1, 2))
-        _, taps, _ = net.apply(params, x, state=state, splice=splice, stop_at=layer)
-        act = taps[layer]
-        target = act[..., unit]
-        return -jnp.mean(target) + l2_reg * jnp.mean(jnp.square(x))
+    if mode == "pixel":
+        x0 = 0.1 * jax.random.normal(key, (1, h, w, c))
+        opt_state = tx.init(x0)
+
+        def objective(x, shift):
+            x = jnp.roll(x, shift=(shift[0], shift[1]), axis=(1, 2))
+            _, taps, _ = net.apply(params, x, state=state, splice=splice,
+                                   stop_at=layer)
+            target = taps[layer][..., unit]
+            return -jnp.mean(target) + l2_reg * jnp.mean(jnp.square(x))
+
+        @jax.jit
+        def step(x, opt_state, key):
+            key, sub = jax.random.split(key)
+            shift = jax.random.randint(sub, (2,), -jitter, jitter + 1)
+            loss, g = jax.value_and_grad(objective)(x, shift)
+            updates, opt_state = tx.update(g, opt_state)
+            return optax.apply_updates(x, updates), opt_state, key, loss
+
+        x = x0
+        for _ in range(steps):
+            x, opt_state, key, _ = step(x, opt_state, key)
+        return np.asarray(x[0])
+
+    # ---- FFT mode -------------------------------------------------------------
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.rfftfreq(w)[None, :]
+    freqs = np.sqrt(fx * fx + fy * fy)
+    scale = (1.0 / np.maximum(freqs, 1.0 / max(h, w)) ** decay_power
+             * np.sqrt(h * w)).astype(np.float32)
+    scale_j = jnp.asarray(scale)
+    spectrum0 = 0.01 * jax.random.normal(key, (2, c, h, w // 2 + 1))
+    opt_state = tx.init(spectrum0)
+    to_model_fn = to_model if to_model is not None else (lambda img: img)
+
+    def render(spectrum):
+        img = _fft_param_image(spectrum, scale_j, h, w)
+        img = _decorrelate_colors(img)
+        return jax.nn.sigmoid(img)  # display image in [0, 1]
+
+    def objective(spectrum, shift, zoom, angle):
+        img = render(spectrum)
+        img = _affine_resample(img, shift, zoom, angle)
+        x = to_model_fn(img)[None]
+        _, taps, _ = net.apply(params, x, state=state, splice=splice,
+                               stop_at=layer)
+        target = taps[layer][..., unit]
+        return -jnp.mean(target) + l2_reg * jnp.mean(jnp.square(img))
 
     @jax.jit
-    def step(x, opt_state, key):
-        key, sub = jax.random.split(key)
-        shift = jax.random.randint(sub, (2,), -jitter, jitter + 1)
-        loss, g = jax.value_and_grad(objective)(x, shift)
+    def step(spectrum, opt_state, key):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        shift = jax.random.uniform(k1, (2,), minval=-jitter, maxval=jitter)
+        zoom = 1.0 + jax.random.uniform(k2, (), minval=-max_zoom, maxval=max_zoom)
+        angle = jax.random.uniform(
+            k3, (), minval=-max_rotate_deg, maxval=max_rotate_deg
+        ) * (math.pi / 180.0)
+        loss, g = jax.value_and_grad(objective)(spectrum, shift, zoom, angle)
         updates, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(x, updates), opt_state, key, loss
+        return optax.apply_updates(spectrum, updates), opt_state, key, loss
 
-    x = x0
+    spectrum = spectrum0
     for _ in range(steps):
-        x, opt_state, key, _ = step(x, opt_state, key)
-    return np.asarray(x[0])
+        spectrum, opt_state, key, _ = step(spectrum, opt_state, key)
+    return np.asarray(render(spectrum))
 
 
 # ---------------------------------------------------------------------------
