@@ -116,12 +116,83 @@ def embedding_similarity(embeddings: dict) -> Callable:
     return sim
 
 
-def compute_mis_for_run(pipeline, n_mis: int = 20, k_mis: int = 9):
+def load_reference_mis_stats() -> dict:
+    """Summary statistics of the thesis's per-unit MIS table (dreamsim scores
+    on InceptionV1 units; derived from the reference
+    supplementary_files_2/mis_reference_values.txt — see the asset's _source
+    note). Keyed by layer group ('mixed3a', ...), each with n_units,
+    median/mean MIS_confidence, confidence quantiles, and the fraction of
+    units whose raw MIS sits at the 1.0 ceiling. BASELINE.md's 0.834 mixed3a
+    anchor is this table's median_confidence for that group."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "assets",
+                        "mis_reference_stats.json")
+    with open(os.path.normpath(path)) as f:
+        return json.load(f)
+
+
+def mis_distribution_check(confidences: Sequence[float],
+                           group: str = "mixed3a") -> dict:
+    """Shape sanity check of a layer's per-unit MIS_confidence distribution
+    against the thesis's dreamsim distribution for ``group``.
+
+    CAVEAT (the honest contract): the shipped default similarity — cosine in a
+    backbone embedding (compute_mis_for_run) — is a STAND-IN for dreamsim, so
+    ABSOLUTE scores are not directly comparable to the reference anchors. What
+    should transfer for a trained, interpretable layer is the distribution
+    SHAPE: most units well above chance (confidence 0), a heavy mass near the
+    ceiling, and a thin left tail. This helper quantifies that: quantile gaps
+    against the reference, plus the two headline stats side by side. Use it to
+    catch a broken similarity (confidences ~0, or uniform), not to certify
+    parity with dreamsim.
+    """
+    import numpy as np
+
+    stats = load_reference_mis_stats()["groups"][group]
+    conf = np.asarray(list(confidences), np.float64)
+    if conf.size == 0:
+        raise ValueError("no confidences given")
+    qs = sorted(float(q) for q in stats["confidence_quantiles"])
+    ours_q = {q: float(np.quantile(conf, q)) for q in qs}
+    ref_q = {float(q): v for q, v in stats["confidence_quantiles"].items()}
+    gaps = {q: round(ours_q[q] - ref_q[q], 4) for q in qs}
+    return {
+        "group": group,
+        "n_units": int(conf.size),
+        "median_confidence": float(np.median(conf)),
+        "reference_median_confidence": stats["median_confidence"],
+        "mean_confidence": float(np.mean(conf)),
+        "reference_mean_confidence": stats["mean_confidence"],
+        "quantile_gaps_vs_reference": gaps,
+        "max_abs_quantile_gap": float(max(abs(g) for g in gaps.values())),
+        # shape flags a broken similarity regardless of embedder choice
+        "above_chance_fraction": float((conf > 0.05).mean()),
+    }
+
+
+def compute_mis_for_run(pipeline, n_mis: int = 20, k_mis: int = 9,
+                        embed_fn=None):
     """Mode mis="2" (utils.py:2227-2343 compute_mis driven from deploy_model:1345-1365):
     load the per-unit max/min sample indices saved by the mis="1" epoch, score every
-    unit with the default backbone-embedding similarity (the external dreamsim pickles
-    the reference requires are unavailable, utils.py:2251-2255), write the per-unit CSV
-    and record the layer median into the run's results row."""
+    unit, write the per-unit CSV and record the layer median into the run's results
+    row.
+
+    THE RECOMMENDED SIMILARITY (docs/MIS.md): the external dreamsim pickles the
+    reference requires are unavailable (utils.py:2251-2255), so scoring uses
+    cosine similarity in a semantic image embedding. The default ``embed_fn``
+    is the run's own frozen backbone at its penultimate stage (for a converted
+    GoogLeNet that is the pre-logits avgpool representation — the closest
+    built-in stand-in for dreamsim's perceptual space). Pass ``embed_fn``
+    (jittable ``[B, H, W, C] images -> [B, D] embeddings``) to use a stronger
+    embedder, e.g. a converted CLIP tower's image embedding:
+
+        clip = make_backbone("clip_vit_b16", "imagenet")  # + convert_hf_clip_vision
+        embed_fn = lambda x: clip.apply(clip_params, x, stop_at="post_ln")[1]["post_ln"]
+
+    Absolute scores are embedder-dependent and NOT directly comparable to the
+    thesis's dreamsim anchors; check the distribution SHAPE instead with
+    ``mis_distribution_check`` (see its caveat note)."""
     import jax
 
     from sparse_vision_tpu.eval_tools import results as results_store
@@ -146,20 +217,24 @@ def compute_mis_for_run(pipeline, n_mis: int = 20, k_mis: int = 9):
             f"{need}; reduce n_mis/k_mis or use a larger dataset."
         )
 
-    # default similarity: cosine in the frozen backbone's penultimate representation
-    penult = pipeline.net.stage_names[-2]
     needed = sorted(set(max_idx.ravel().tolist()) | set(min_idx.ravel().tolist()))
     needed = [i for i in needed if i >= 0]  # drop top-k sentinel rows
 
     from sparse_vision_tpu.data.datasets import Batch, fetch_images_batches
     from sparse_vision_tpu.data.prefetch import prefetch
 
-    @jax.jit
-    def embed(x):
-        _, taps, _ = pipeline.net.apply(
-            pipeline.frozen_params, x, state=pipeline.net_state, stop_at=penult
-        )
-        return spatial_mean(taps[penult])
+    if embed_fn is None:
+        # default: cosine in the frozen backbone's penultimate representation
+        penult = pipeline.net.stage_names[-2]
+
+        @jax.jit
+        def embed(x):
+            _, taps, _ = pipeline.net.apply(
+                pipeline.frozen_params, x, state=pipeline.net_state, stop_at=penult
+            )
+            return spatial_mean(taps[penult])
+    else:
+        embed = embed_fn
 
     # decode-parallel chunk fetch (cfg.data_workers thread pool) + one chunk staged
     # on device ahead of the embed dispatch — the same input-pipeline treatment as

@@ -123,3 +123,39 @@ def test_mis_clean_unit_beats_shuffled_unit(fixture):
     )
     per = [r["MIS"] for r in res["per_unit"]]
     assert per[0] > per[1]
+
+
+def test_reference_mis_stats_asset():
+    """The derived thesis MIS distribution stats load and pin the BASELINE
+    anchor: mixed3a median dreamsim confidence 0.8340 (reference
+    supplementary_files_2/mis_reference_values.txt via compute_mis.py's
+    aggregation: substring match, bottlenecks excluded)."""
+    from sparse_vision_tpu.interp.mis import load_reference_mis_stats
+
+    stats = load_reference_mis_stats()
+    g = stats["groups"]
+    assert g["mixed3a"]["median_confidence"] == pytest.approx(0.834, abs=5e-4)
+    assert g["mixed3a"]["n_units"] == 256
+    assert sum(v["n_units"] for v in g.values()) == 6812
+    # deeper layers trend MORE interpretable in the thesis table
+    assert g["mixed5b"]["median_confidence"] > g["mixed3a"]["median_confidence"]
+
+
+def test_mis_distribution_check_shape_tripwire():
+    """mis_distribution_check flags a broken similarity (all-chance scores)
+    and passes a ceiling-shaped distribution with small quantile gaps."""
+    from sparse_vision_tpu.interp.mis import mis_distribution_check
+
+    rng = np.random.default_rng(0)
+    # healthy: heavy ceiling mass, thin left tail (the thesis shape)
+    healthy = np.clip(1.0 - rng.exponential(0.12, size=256), 0.0, 1.0)
+    ok = mis_distribution_check(healthy, group="mixed3a")
+    assert ok["above_chance_fraction"] > 0.9
+    assert ok["max_abs_quantile_gap"] < 0.25
+    assert ok["reference_median_confidence"] == pytest.approx(0.834, abs=5e-4)
+
+    # broken similarity: confidence ~0 everywhere
+    broken = np.abs(rng.normal(0.0, 0.02, size=256))
+    bad = mis_distribution_check(broken, group="mixed3a")
+    assert bad["above_chance_fraction"] < 0.5
+    assert bad["max_abs_quantile_gap"] > 0.5
