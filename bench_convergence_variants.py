@@ -1,0 +1,156 @@
+"""Convergence rows for the round-3 dictionary types on REAL cached activations.
+
+VERDICT r3 #4: batch_topk, matryoshka, transcoder (mixed3a->mixed3b) and
+crosscoder (mixed4a..mixed4e) had kernel parity + speed numbers but no
+trained-quality evidence. This script trains each through the production
+Pipeline on the north-star rehearsal's GoogLeNet activation caches (stand-in
+JPEGs -> 229px lucent transform -> tap dump, bench_northstar.py phase A-C) at
+the same ~25M-token budget as docs/convergence_variants_v5e.json's original
+four variants, and APPENDS one JSONL row per run to that file (committed
+evidence; CONVERGENCE.md summarizes).
+
+Per-variant lambda/k defaults follow the round-3 convention (first value giving
+a sane sparsity/fidelity point, not a Pareto sweep); override with CONV_LAMBDA.
+
+Run on the chip (one variant per invocation keeps the wedge-prevention
+one-program-shape-per-process rule):
+  PYTHONPATH=/root/repo:$PYTHONPATH CONV_ONLY=batch_topk python bench_convergence_variants.py
+Env: CONV_ONLY=<substr>  CONV_LAMBDA=<float>  CONV_EPOCHS=<int>  NORTHSTAR_DIR
+"""
+
+import json
+import os
+import time
+
+from sparse_vision_tpu.utils.platform import pin_cpu_if_requested, probe_tpu_or_pin_cpu
+
+probe_tpu_or_pin_cpu("bench_convergence_variants")
+pin_cpu_if_requested()
+
+import jax
+
+WORK = os.environ.get("NORTHSTAR_DIR", "/tmp/northstar")
+OUT = os.environ.get("CONV_OUT", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs",
+    "convergence_variants_v5e.json"))
+N_TRAIN = int(os.environ.get("CONV_IMAGES", "4096"))
+N_VAL = max(N_TRAIN // 8, 8)
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(WORK, "jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+# name -> (config overrides, epochs, notes). Shapes anchor to the production
+# benches: mixed3a EF 64 -> 16,384 latents (bench.py / bench_transcoder.py);
+# crosscoder mixed4a..4e EF 16 -> 8,192 shared latents (bench_crosscoder.py).
+VARIANTS = {
+    "batch_topk": (dict(
+        sae_model_name="batch_topk_sae", sae_layer="mixed3a",
+        sae_lambda_sparse=0.0, sae_topk=32, sae_expansion_factor=64,
+        sae_optimizer_name="constrained_adam",
+    ), 8, "batch-k=32 (Bussmann et al.); threshold tracked for deployment"),
+    "matryoshka": (dict(
+        sae_model_name="matryoshka_sae", sae_layer="mixed3a",
+        sae_lambda_sparse=5.0, sae_expansion_factor=64,
+        sae_optimizer_name="constrained_adam",
+    ), 8, "prefixes 0.0625/0.25/1.0"),
+    "transcoder": (dict(
+        sae_model_name="transcoder", sae_layer="mixed3a",
+        transcoder_target_layer="mixed3b", sae_lambda_sparse=5.0,
+        sae_expansion_factor=64, sae_optimizer_name="constrained_adam",
+    ), 8, "mixed3a -> mixed3b (the production circuit pair)"),
+    "crosscoder": (dict(
+        sae_model_name="crosscoder", sae_layer="mixed4a",
+        crosscoder_layers="mixed4b,mixed4c,mixed4d,mixed4e",
+        sae_lambda_sparse=5.0, sae_expansion_factor=16,
+        sae_optimizer_name="adam",  # constrained_adam rejected by design
+        cache_tokens_per_step=16384,  # SigmaC=2896-wide token rows
+    ), 32, "mixed4a..4e shared code; 196 tok/img -> 32 epochs for ~25M tokens"),
+}
+
+
+def ensure_dataset():
+    if not os.path.exists(os.path.join(WORK, "imagenet")):
+        from bench_northstar import make_standin_jpegs
+
+        make_standin_jpegs(N_TRAIN, WORK, seed=0, prefix="train")
+        make_standin_jpegs(N_VAL, WORK, seed=1, prefix="val")
+
+
+def run_variant(name: str, overrides: dict, epochs: int, note: str) -> dict:
+    import dataclasses
+
+    from sparse_vision_tpu.config import RunConfig
+    import sparse_vision_tpu.train.pipeline as plmod
+
+    lam = os.environ.get("CONV_LAMBDA")
+    epochs = int(os.environ.get("CONV_EPOCHS", epochs))
+    cfg = RunConfig(
+        model_name="inceptionv1", dataset_name="imagenet", data_dir=WORK,
+        directory_path=os.path.join(WORK, f"runs_conv_{name}"),
+        sae_epochs=epochs, sae_learning_rate=1e-3, sae_batch_size=256,
+        dead_neurons_steps=200, use_activation_cache=True,
+        cache_tokens_per_step=32768, cache_dtype="bfloat16", log_every=25,
+        eval_batch_size=32, **overrides,
+    )
+    if lam is not None:
+        cfg = dataclasses.replace(cfg, sae_lambda_sparse=float(lam))
+    if os.environ.get("CONV_EF"):  # CPU smoke tests shrink the dictionary
+        cfg = dataclasses.replace(
+            cfg, sae_expansion_factor=int(os.environ["CONV_EF"]))
+
+    eval_time = {"s": 0.0, "n": 0}
+    orig_eval = plmod.Pipeline.eval_modified
+
+    def timed_eval(self, *a, **k):
+        t = time.perf_counter()
+        r = orig_eval(self, *a, **k)
+        eval_time["s"] += time.perf_counter() - t
+        eval_time["n"] += 1
+        return r
+
+    plmod.Pipeline.eval_modified = timed_eval
+    try:
+        pipe = plmod.Pipeline(cfg)
+        t0 = time.perf_counter()
+        result = pipe.run()
+        t_total = time.perf_counter() - t0
+    finally:
+        plmod.Pipeline.eval_modified = orig_eval
+
+    steps = int(pipe.ts.step)
+    tokens = steps * cfg.cache_tokens_per_step
+    latents = pipe.sae_input_size * cfg.sae_expansion_factor
+    row = {
+        "variant": cfg.sae_model_name,
+        "lambda": cfg.sae_lambda_sparse,
+        "tokens": tokens,
+        "wall_s": round(t_total - eval_time["s"], 1),
+        "rec_loss": round(float(result["sae_rec_loss"]), 5),
+        "sparsity_L0": round(float(result["sparsity"]) * latents
+                             / cfg.sae_expansion_factor, 1),
+        "perc_dead": round(float(result["perc_dead_units"]), 4),
+        "epochs": epochs,
+        "latents": latents,
+        "backend": jax.default_backend(),
+        "note": note,
+    }
+    if cfg.sae_model_name == "batch_topk_sae":
+        row["batch_k"] = cfg.sae_topk
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+    return row
+
+
+def main():
+    only = os.environ.get("CONV_ONLY", "")
+    ensure_dataset()
+    for name, (ov, epochs, note) in VARIANTS.items():
+        if only and only not in name:
+            continue
+        print(f"=== {name} ===")
+        run_variant(name, ov, epochs, note)
+
+
+if __name__ == "__main__":
+    main()
