@@ -84,19 +84,27 @@ def run_variant(name: str, overrides: dict, epochs: int, note: str) -> dict:
 
     lam = os.environ.get("CONV_LAMBDA")
     epochs = int(os.environ.get("CONV_EPOCHS", epochs))
-    cfg = RunConfig(
+    kwargs = dict(
         model_name="inceptionv1", dataset_name="imagenet", data_dir=WORK,
         directory_path=os.path.join(WORK, f"runs_conv_{name}"),
         sae_epochs=epochs, sae_learning_rate=1e-3, sae_batch_size=256,
         dead_neurons_steps=200, use_activation_cache=True,
         cache_tokens_per_step=32768, cache_dtype="bfloat16", log_every=25,
-        eval_batch_size=32, **overrides,
+        eval_batch_size=32,
     )
+    kwargs.update(overrides)
+    cfg = RunConfig(**kwargs)
     if lam is not None:
         cfg = dataclasses.replace(cfg, sae_lambda_sparse=float(lam))
     if os.environ.get("CONV_EF"):  # CPU smoke tests shrink the dictionary
         cfg = dataclasses.replace(
             cfg, sae_expansion_factor=int(os.environ["CONV_EF"]))
+    if os.environ.get("CONV_BATCH"):  # smoke tests with few images
+        bs = int(os.environ["CONV_BATCH"])
+        cfg = dataclasses.replace(cfg, sae_batch_size=bs, batch_size=bs,
+                                  eval_batch_size=bs,
+                                  cache_tokens_per_step=min(
+                                      cfg.cache_tokens_per_step, bs * 784))
 
     eval_time = {"s": 0.0, "n": 0}
     orig_eval = plmod.Pipeline.eval_modified

@@ -43,6 +43,14 @@ STEPS = [
     ("bench_clip_sae", [sys.executable, "bench_clip_sae.py"], 2400),
     ("bench_tc_circuit", [sys.executable, "bench_tc_circuit.py"], 2400),
     ("bench_serve", [sys.executable, "bench_serve.py"], 2400),
+    ("conv_batch_topk", [sys.executable, "bench_convergence_variants.py"], 5400,
+     {"CONV_ONLY": "batch_topk"}),
+    ("conv_matryoshka", [sys.executable, "bench_convergence_variants.py"], 5400,
+     {"CONV_ONLY": "matryoshka"}),
+    ("conv_transcoder", [sys.executable, "bench_convergence_variants.py"], 5400,
+     {"CONV_ONLY": "transcoder"}),
+    ("conv_crosscoder", [sys.executable, "bench_convergence_variants.py"], 7200,
+     {"CONV_ONLY": "crosscoder"}),
     ("bench_northstar", [sys.executable, "bench_northstar.py"], 5400),
     ("northstar_int8", [sys.executable, "bench_northstar.py"], 5400,
      {"NORTHSTAR_INT8": "1"}),

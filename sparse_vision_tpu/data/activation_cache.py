@@ -148,6 +148,12 @@ class _ShardWriter:
 
     def finish(self, layer: str, dtype) -> dict:
         self._flush(final=True)
+        if self.dim is None:
+            raise ValueError(
+                f"activation dump for {layer!r} received ZERO batches — the "
+                "dataset has fewer samples than one batch (drop_last) or the "
+                "batch iterator was empty; nothing to cache"
+            )
         if self.quantize:
             dtype_name = "int8"
         else:
