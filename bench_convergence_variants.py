@@ -65,6 +65,16 @@ VARIANTS = {
         sae_optimizer_name="adam",  # constrained_adam rejected by design
         cache_tokens_per_step=16384,  # SigmaC=2896-wide token rows
     ), 32, "mixed4a..4e shared code; 196 tok/img -> 32 epochs for ~25M tokens"),
+    # the ViT/CLIP family's first trained-quality row: the data layer ingests
+    # the SAME JPEG shards through the 224px CLIPImageProcessor convention
+    # (round-4 per-model preprocessing), the tower is a random-init
+    # compute-identical stand-in for an HF checkpoint (the northstar
+    # GoogLeNet precedent)
+    "clip_sae": (dict(
+        model_name="clip_vit_b16", sae_model_name="sae_mlp",
+        sae_layer="block6", sae_lambda_sparse=5.0, sae_expansion_factor=8,
+        sae_optimizer_name="constrained_adam", cache_tokens_per_step=16384,
+    ), 32, "SAE on CLIP ViT-B/16 block6 residual (197 tok/img, 224px ingest)"),
 }
 
 

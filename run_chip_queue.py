@@ -51,6 +51,8 @@ STEPS = [
      {"CONV_ONLY": "transcoder"}),
     ("conv_crosscoder", [sys.executable, "bench_convergence_variants.py"], 7200,
      {"CONV_ONLY": "crosscoder"}),
+    ("conv_clip_sae", [sys.executable, "bench_convergence_variants.py"], 7200,
+     {"CONV_ONLY": "clip_sae"}),
     ("bench_northstar", [sys.executable, "bench_northstar.py"], 5400),
     ("northstar_int8", [sys.executable, "bench_northstar.py"], 5400,
      {"NORTHSTAR_INT8": "1"}),
