@@ -414,3 +414,20 @@ def test_cli_does_not_override_pinned_platform(tmp_path, monkeypatch):
     rc = cli_main([])  # exits early ("nothing to do") after the platform block
     assert rc == 2
     assert jax.config.jax_platforms == "cpu"
+
+
+def test_cli_multilayer_vit_attention_taps(tmp_path):
+    """--multilayer on a split ViT tower: SAEs for two ATTENTION taps train off
+    ONE shared multi-tap dump of rank-3 [B, N, D] token streams."""
+    cfg = _base_cfg(tmp_path, model_name="vit_test_split", sae_layer="block0_attn",
+                    batch_size=32, sae_batch_size=32,
+                    use_activation_cache=True, cache_tokens_per_step=512)
+    rc = cli_main(["--run_pipeline", "--config", cfg.to_json(),
+                   "--multilayer", "block0_attn,block1_attn"])
+    assert rc == 0
+    evald = str(tmp_path / "runs" / "vit_test_split" / "synthetic" /
+                "evaluation_results_sae_mlp")
+    for layer in ("block0_attn", "block1_attn"):
+        assert os.path.exists(
+            os.path.join(evald, "activation_cache", layer, "meta.json")), layer
+    assert os.path.exists(os.path.join(evald, "sae_eval_results.csv"))

@@ -413,3 +413,48 @@ def test_cli_export_weights_dtype(tmp_path):
     assert rc == 0
     meta = json.load(open(os.path.join(out, META_FILE)))
     assert meta["weights_dtype"] == "bfloat16"
+
+
+def test_export_clip_tower_feature_and_steering(tmp_path):
+    """The serving tier works on the ViT/CLIP family: a CLIP tower run exports
+    a feature-service artifact whose spliced/original logits match the
+    in-process model on the rank-3 [B, N, D] tap, and the steering artifact's
+    identity edit reproduces the original logits exactly (delta mode preserves
+    the SAE error)."""
+    from sparse_vision_tpu.models.sae import sae_inference_and_loss
+    from sparse_vision_tpu.train.pipeline import Pipeline
+
+    cfg = _cfg(tmp_path, model_name="clip_vit_test", sae_layer="block0",
+               dataset_name="synthetic", batch_size=32, sae_batch_size=32)
+    pipe = Pipeline(cfg)
+    img_shape = tuple(pipe.img_size)
+
+    feat_dir = export_from_pipeline(pipe, str(tmp_path / "clip_feat"))
+    eng = ServingEngine(feat_dir, max_batch=4)
+    x = np.asarray(jax.random.normal(jax.random.key(3), (2, *img_shape)),
+                   np.float32)
+    out = eng.predict(x)
+
+    logits_orig, taps, _ = pipe.net.apply(
+        pipe.frozen_params, jnp.asarray(x), state=pipe.net_state
+    )
+    sae_out = sae_inference_and_loss(
+        "sae_mlp", pipe.ts.params, taps["block0"], 0.0, training=False
+    )
+    logits_mod = pipe.net.apply_segment(
+        pipe.frozen_params, sae_out["decoded"], after="block0",
+        upto=pipe.net.stage_names[-1], state=pipe.net_state,
+    )
+    np.testing.assert_allclose(out["logits_original"], np.asarray(logits_orig),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out["logits"], np.asarray(logits_mod),
+                               rtol=1e-4, atol=1e-4)
+    # latents pooled over the TOKEN axis: [B, h]
+    assert out["latents_mean"].shape == (2, pipe.sae_input_size * 2)
+
+    steer_dir = export_from_pipeline(pipe, str(tmp_path / "clip_steer"),
+                                     kind="steering_service")
+    s_eng = ServingEngine(steer_dir, max_batch=4)
+    s_out = s_eng.predict(x)
+    np.testing.assert_allclose(s_out["logits_steered"],
+                               s_out["logits_original"], rtol=1e-5, atol=1e-5)
