@@ -69,14 +69,15 @@ def main():
 
     avgs = eng.compute_averages([(images, labels)])  # also compiles the tap pass
     node_fn = eng._node_batch
-    out = node_fn(images, labels, avgs.enc, avgs.err, avgs.out)  # compile
+    w = eng._weights  # weights are jit ARGUMENTS (not baked constants), circuit.py
+    out = node_fn(w, images, labels, avgs.enc, avgs.err, avgs.out)  # compile
     jax.block_until_ready(out)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(STEPS):
-            out = node_fn(images, labels, avgs.enc, avgs.err, avgs.out)
+            out = node_fn(w, images, labels, avgs.enc, avgs.err, avgs.out)
         _ = float(out[CIRCUIT_LAYERS[0]]["error"])
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]
@@ -217,7 +218,8 @@ def _node_ie_from_tars(eng, avgs, node_fn, batch: int) -> float:
         n = 0
         out = None
         for b in prefetch(ds.batches(batch, shuffle=False, workers=None), None):
-            out = node_fn(b.images, remap_torch_to_tf_labels(b.labels),
+            out = node_fn(eng._weights, b.images,
+                          remap_torch_to_tf_labels(b.labels),
                           avgs.enc, avgs.err, avgs.out)
             n += b.images.shape[0]
         if out is None:

@@ -67,14 +67,15 @@ def main():
 
     avgs = eng.compute_averages([(images, labels)])
     node_fn = eng._node_batch
-    out = node_fn(images, labels, avgs.enc, avgs.err, avgs.out)  # compile
+    w = eng._weights  # weights are jit ARGUMENTS (not baked constants) — see circuit.py
+    out = node_fn(w, images, labels, avgs.enc, avgs.err, avgs.out)  # compile
     jax.block_until_ready(out)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(STEPS):
-            out = node_fn(images, labels, avgs.enc, avgs.err, avgs.out)
+            out = node_fn(w, images, labels, avgs.enc, avgs.err, avgs.out)
         _ = float(out[TAPS[0]]["error"])
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]

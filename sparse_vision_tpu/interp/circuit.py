@@ -114,30 +114,37 @@ class CircuitEngine:
         self.layers = list(layers) if layers is not None else [
             n for n in net.stage_names if n in saes
         ]
+        # every jitted pass takes the weights as RUNTIME ARGUMENTS, not closed-over
+        # constants: baking an 86M-param CLIP tower into the HLO makes the program
+        # body ~344 MB, which is untraceably slow to serialize and exceeds remote-
+        # compile request limits (measured: HTTP 413 on the v5e tunnel, chip_queue
+        # round 4). Weights live on-device once; the executable just reads them.
+        self._weights = (
+            self.params, self.state, {n: s.params for n, s in saes.items()}
+        )
 
-    # -- SAE plumbing -------------------------------------------------------------
+    # -- SAE plumbing (model_name/expansion are static metadata; params are traced) --
 
-    def _encode(self, name: str, tok: jax.Array) -> jax.Array:
-        sae = self.saes[name]
-        return sae_encode(sae.model_name, sae.params, tok)
+    def _enc(self, name: str, sae_params: dict, tok: jax.Array) -> jax.Array:
+        return sae_encode(self.saes[name].model_name, sae_params, tok)
 
-    def _decode(self, name: str, enc: jax.Array) -> jax.Array:
-        sae = self.saes[name]
-        return sae_decode(sae.model_name, sae.params, enc)
+    def _dec(self, name: str, sae_params: dict, enc: jax.Array) -> jax.Array:
+        return sae_decode(self.saes[name].model_name, sae_params, enc)
 
     # -- 1) dataset averages (reference compute_average, compute_ie.py:95-226) -----
 
     @functools.cached_property
     def _avg_batch(self):
         @jax.jit
-        def f(images):
-            _, taps, _ = self.net.apply(self.params, images, state=self.state)
+        def f(weights, images):
+            params, state, sae_p = weights
+            _, taps, _ = self.net.apply(params, images, state=state)
             per_layer = {}
             for name in self.layers:
                 act = taps[name]
                 tok, transformed = tokens_from_act(act)
-                enc = self._encode(name, tok)
-                dec = self._decode(name, enc)
+                enc = self._enc(name, sae_p[name], tok)
+                dec = self._dec(name, sae_p[name], enc)
                 err = tok - dec
                 # NOTE: stats are computed on the TOKEN matrix (per-token inactivity),
                 # exactly like the reference's averages pass, which calls
@@ -169,7 +176,7 @@ class CircuitEngine:
         for images, labels in data:
             del labels
             b = images.shape[0]
-            per_layer = self._avg_batch(images)
+            per_layer = self._avg_batch(self._weights, images)
             for name, v in per_layer.items():
                 enc[name] = running_mean(enc.get(name), v["enc"], n, b)
                 err[name] = running_mean(err.get(name), v["err"], n, b)
@@ -186,9 +193,10 @@ class CircuitEngine:
     @functools.cached_property
     def _node_batch(self):
         @jax.jit
-        def f(images, labels, enc_avg, err_avg, out_avg):
+        def f(weights, images, labels, enc_avg, err_avg, out_avg):
+            params, state, sae_p = weights
             _, taps, grads = loss_and_tap_grads(
-                self.net, self.params, self.state, images, labels,
+                self.net, params, state, images, labels,
                 self.criterion, self.layers,
             )
             res = {}
@@ -197,11 +205,12 @@ class CircuitEngine:
                 b = act.shape[0]
                 tok, _ = tokens_from_act(act)
                 gtok, _ = tokens_from_act(grad)
-                enc = self._encode(name, tok)
+                enc = self._enc(name, sae_p[name], tok)
                 # pass-through + stop-gradient semantics make the encoder-output
                 # gradient = clean layer gradient chained through the decoder
                 # (compute_ie.py:242-267; equivalence test in tests/test_patching.py)
-                dec, vjp_dec = jax.vjp(lambda e: self._decode(name, e), enc)
+                dec, vjp_dec = jax.vjp(
+                    lambda e: self._dec(name, sae_p[name], e), enc)
                 (enc_grad,) = vjp_dec(gtok)
                 err = tok - dec
                 res[name] = {
@@ -218,7 +227,8 @@ class CircuitEngine:
         n = 0
         for images, labels in data:
             b = images.shape[0]
-            res = self._node_batch(images, labels, averages.enc, averages.err, averages.out)
+            res = self._node_batch(self._weights, images, labels,
+                                   averages.enc, averages.err, averages.out)
             for name, v in res.items():
                 feats[name] = running_mean(feats.get(name), v["features"], n, b)
                 errs[name] = running_mean(errs.get(name), v["error"], n, b)
@@ -245,7 +255,8 @@ class CircuitEngine:
         idx_d_arr = jnp.asarray(idx_d, jnp.int32)
 
         @jax.jit
-        def f(act_u, act_d, grad_d, enc_avg_u, err_avg_u):
+        def f(weights, act_u, act_d, grad_d, enc_avg_u, err_avg_u):
+            params, state, sae_p = weights
             # clean taps/gradients come from ONE shared multi-tap backward per batch
             # (compute_edge_ie below); this function only retraces the u->d segment
             b = act_u.shape[0]
@@ -255,14 +266,15 @@ class CircuitEngine:
             # grad of loss w.r.t. enc_d under the standard intervention at d
             # (first trace of the reference pair loop, compute_ie.py:552-558)
             tok_d0, _ = tokens_from_act(act_d)
-            enc_d0 = self._encode(name_d, tok_d0)
-            _, vjp_dec_d = jax.vjp(lambda e: self._decode(name_d, e), enc_d0)
+            enc_d0 = self._enc(name_d, sae_p[name_d], tok_d0)
+            _, vjp_dec_d = jax.vjp(
+                lambda e: self._dec(name_d, sae_p[name_d], e), enc_d0)
             (grad_m_d,) = vjp_dec_d(gd_tok)
             grad_m_d = jax.lax.stop_gradient(grad_m_d)
 
             tok_u, transformed_u = tokens_from_act(act_u)
-            enc_u0 = self._encode(name_u, tok_u)
-            dec_u0 = self._decode(name_u, enc_u0)
+            enc_u0 = self._enc(name_u, sae_p[name_u], tok_u)
+            dec_u0 = self._dec(name_u, sae_p[name_u], enc_u0)
             err_u = tok_u - dec_u0
 
             def prods_fn(eps_enc, eps_dec):
@@ -270,16 +282,16 @@ class CircuitEngine:
                 # (compute_ie.py:572-573); eps injections expose the encoder/decoder
                 # outputs as differentiable leaves
                 enc_u = enc_u0 + eps_enc
-                dec_u = self._decode(name_u, enc_u) + eps_dec
+                dec_u = self._dec(name_u, sae_p[name_u], enc_u) + eps_dec
                 spliced = splice_with_error(tok_u, dec_u)
                 act_sp = act_from_tokens(spliced, act_u.shape) if transformed_u else spliced
                 act_d2 = self.net.apply_segment(
-                    self.params, act_sp, after=name_u, upto=name_d, state=self.state
+                    params, act_sp, after=name_u, upto=name_d, state=state
                 )
                 tok_d, _ = tokens_from_act(act_d2)
                 # downstream: no stop-grad, no pass-through (compute_ie.py:580-581)
-                enc_d = self._encode(name_d, tok_d)
-                dec_d = self._decode(name_d, enc_d)
+                enc_d = self._enc(name_d, sae_p[name_d], tok_d)
+                dec_d = self._dec(name_d, sae_p[name_d], enc_d)
                 err_d = tok_d - dec_d
                 pf = jnp.mean(grad_m_d * enc_d, axis=0)[idx_d_arr]  # [D_sel]
                 pe = jnp.mean(jnp.sum(gd_tok * err_d, axis=-1))  # scalar
@@ -330,24 +342,25 @@ class CircuitEngine:
         idx_u_arr = jnp.asarray(idx_u, jnp.int32)
 
         @jax.jit
-        def f(images, labels, enc_avg_u, err_avg_u):
-            _, taps, _ = self.net.apply(self.params, images, state=self.state)
+        def f(weights, images, labels, enc_avg_u, err_avg_u):
+            params, state, sae_p = weights
+            _, taps, _ = self.net.apply(params, images, state=state)
             act_u = taps[name_u]
             b = act_u.shape[0]
             tok_u, transformed_u = tokens_from_act(act_u)
-            enc_u0 = self._encode(name_u, tok_u)
-            err_u = tok_u - self._decode(name_u, enc_u0)
+            enc_u0 = self._enc(name_u, sae_p[name_u], tok_u)
+            err_u = tok_u - self._dec(name_u, sae_p[name_u], enc_u0)
 
             def loss_fn(eps_enc, eps_dec):
                 def sp(a):
                     tok, tr = tokens_from_act(a)
-                    enc = self._encode(name_u, tok) + eps_enc
-                    dec = self._decode(name_u, enc) + eps_dec
+                    enc = self._enc(name_u, sae_p[name_u], tok) + eps_enc
+                    dec = self._dec(name_u, sae_p[name_u], enc) + eps_dec
                     out = splice_with_error(tok, dec)
                     return act_from_tokens(out, a.shape) if tr else out
 
                 logits, _, _ = self.net.apply(
-                    self.params, images, state=self.state, splice={name_u: sp}
+                    params, images, state=state, splice={name_u: sp}
                 )
                 return self.criterion(logits, labels)
 
@@ -388,9 +401,10 @@ class CircuitEngine:
         last_fn = self._make_edge_loss_fn(last, tuple(feature_indices[last]))
 
         @jax.jit
-        def clean(images, labels):
+        def clean(weights, images, labels):
+            params, state, _ = weights
             _, taps, grads = loss_and_tap_grads(
-                self.net, self.params, self.state, images, labels,
+                self.net, params, state, images, labels,
                 self.criterion, layers,
             )
             return taps, grads
@@ -399,13 +413,15 @@ class CircuitEngine:
         batch_idx = 0
         for images, labels in data:
             batch_idx += 1
-            taps, grads = clean(images, labels)
+            taps, grads = clean(self._weights, images, labels)
             for u, d in zip(layers[:-1], layers[1:]):
                 mat = pair_fns[u](
-                    taps[u], taps[d], grads[d], averages.enc[u], averages.err[u]
+                    self._weights, taps[u], taps[d], grads[d],
+                    averages.enc[u], averages.err[u]
                 )
                 edges[u] = running_mean(edges.get(u), mat, batch_idx - 1, 1)
-            mat = last_fn(images, labels, averages.enc[last], averages.err[last])
+            mat = last_fn(self._weights, images, labels,
+                          averages.enc[last], averages.err[last])
             edges[last] = running_mean(edges.get(last), mat, batch_idx - 1, 1)
         return edges
 
@@ -422,7 +438,8 @@ class CircuitEngine:
                    for n in self.layers}
         return feat, err, neurons
 
-    def _sae_splice(self, name, mask, enc_avg, err_avg, variant: str, err_keep=None):
+    def _sae_splice(self, name, sae_params, mask, enc_avg, err_avg, variant: str,
+                    err_keep=None):
         """One layer's faithfulness intervention (reference apply_sae + error handling,
         utils.py:2786-2820, compute_ie.py:797-862). Variants:
           zero:    circuit features, SAE error zero-ablated
@@ -434,16 +451,16 @@ class CircuitEngine:
         def sp(act):
             tok, tr = tokens_from_act(act)
             b = act.shape[0]
-            enc = self._encode(name, tok)
+            enc = self._enc(name, sae_params, tok)
             avg_tok = broadcast_average(enc_avg, b)
             new_enc = jnp.where(mask[None, :], enc, avg_tok)
-            new_dec = self._decode(name, new_enc)
+            new_dec = self._dec(name, sae_params, new_enc)
             if variant == "zero":
                 out = new_dec
             elif variant == "mean":
                 out = new_dec + broadcast_average(err_avg, b)
             elif variant == "circuit":
-                dec = self._decode(name, enc)
+                dec = self._dec(name, sae_params, enc)
                 err = tok - dec
                 err_mean = broadcast_average(err_avg, b) * jnp.ones_like(err)
                 out = new_dec + jnp.where(err_keep, err, err_mean)
@@ -456,22 +473,25 @@ class CircuitEngine:
     @functools.cached_property
     def _faithfulness_batch(self):
         @jax.jit
-        def f(images, labels, feat_masks, err_keep, enc_avg, err_avg):
+        def f(weights, images, labels, feat_masks, err_keep, enc_avg, err_avg):
+            params, state, sae_p = weights
+
             def run(variant, masks, keep=None):
                 splice = {
                     name: self._sae_splice(
-                        name, masks[name], enc_avg[name], err_avg[name], variant,
+                        name, sae_p[name], masks[name], enc_avg[name],
+                        err_avg[name], variant,
                         None if keep is None else keep[name],
                     )
                     for name in self.layers
                 }
                 logits, _, _ = self.net.apply(
-                    self.params, images, state=self.state, splice=splice
+                    params, images, state=state, splice=splice
                 )
                 return self.criterion(logits, labels)
 
             empty_masks = {n: jnp.zeros_like(feat_masks[n]) for n in self.layers}
-            logits_full, _, _ = self.net.apply(self.params, images, state=self.state)
+            logits_full, _, _ = self.net.apply(params, images, state=state)
             return {
                 "m_C_zero": run("zero", feat_masks),
                 "m_C_mean": run("mean", feat_masks),
@@ -488,7 +508,9 @@ class CircuitEngine:
         channels below threshold."""
 
         @jax.jit
-        def f(images, labels, neuron_masks, out_avg):
+        def f(weights, images, labels, neuron_masks, out_avg):
+            params, state, _ = weights
+
             def make_sp(name, mask):
                 def sp(act):
                     tok, tr = tokens_from_act(act)
@@ -501,12 +523,12 @@ class CircuitEngine:
             def run(masks):
                 splice = {n: make_sp(n, masks[n]) for n in self.layers}
                 logits, _, _ = self.net.apply(
-                    self.params, images, state=self.state, splice=splice
+                    params, images, state=state, splice=splice
                 )
                 return self.criterion(logits, labels)
 
             empty = {n: jnp.zeros_like(neuron_masks[n]) for n in self.layers}
-            logits_full, _, _ = self.net.apply(self.params, images, state=self.state)
+            logits_full, _, _ = self.net.apply(params, images, state=state)
             return {
                 "m_C": run(neuron_masks),
                 "m_empty": run(empty),
@@ -537,11 +559,12 @@ class CircuitEngine:
             batch_idx += 1
             if model_or_sae == "sae":
                 m = self._faithfulness_batch(
-                    images, labels, feat_masks, err_keep, averages.enc, averages.err
+                    self._weights, images, labels, feat_masks, err_keep,
+                    averages.enc, averages.err
                 )
             else:
                 m = self._faithfulness_model_batch(
-                    images, labels, neuron_masks, averages.out
+                    self._weights, images, labels, neuron_masks, averages.out
                 )
             for k, v in m.items():
                 acc[k] = running_mean(acc.get(k), v, batch_idx - 1, 1)

@@ -34,6 +34,7 @@ from sparse_vision_tpu.models.layers import (
     global_avgpool,
     linear,
     maxpool,
+    promote_conv_operands,
 )
 
 _BN_EPS = 1e-3  # torchvision BasicConv2d BatchNorm2d(eps=0.001)
@@ -54,8 +55,9 @@ def _bc_init(key, cin: int, cout: int, k: int) -> tuple[dict, dict]:
 
 
 def _bc_apply(p: dict, s: dict, x: jax.Array, train: bool, stride: int, pad: int):
+    xp, wp = promote_conv_operands(x, p["w"])
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride),
+        xp, wp, window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )

@@ -33,6 +33,17 @@ class Stage(NamedTuple):
     apply: Callable  # (params, state, x, train) -> (y, new_state, subtaps | None)
 
 
+def promote_conv_operands(x: jax.Array, w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """lax.conv_general_dilated requires equal operand dtypes (unlike jnp matmuls,
+    which promote). Promote both to the jnp result type so weight-only-quantized
+    artifacts work: f32 images @ bf16 weights compute in f32, matching the dense
+    layers' implicit behavior (serve/exporter.py weights_dtype contract)."""
+    if x.dtype == w.dtype:
+        return x, w
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    return x.astype(dt), w.astype(dt)
+
+
 def _torch_linear_init(key, fan_in, w_shape, b_shape, dtype=jnp.float32):
     bound = 1.0 / math.sqrt(fan_in)
     kw, kb = jax.random.split(key)
@@ -93,8 +104,9 @@ def conv(name: str, out_ch: int, kernel: int, stride: int = 1, padding: int = 0,
         return params, None, (oh, ow, out_ch)
 
     def apply(params, state, x, train):
+        xp, wp = promote_conv_operands(x, params["w"])
         y = jax.lax.conv_general_dilated(
-            x, params["w"], window_strides=(stride, stride),
+            xp, wp, window_strides=(stride, stride),
             padding=[(padding, padding), (padding, padding)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )

@@ -28,6 +28,7 @@ from sparse_vision_tpu.models.layers import (
     global_avgpool,
     linear,
     maxpool,
+    promote_conv_operands,
     relu,
 )
 
@@ -41,6 +42,7 @@ def _conv_init(key, cin, cout, k):
 
 
 def _conv2d(x, w, stride, pad):
+    x, w = promote_conv_operands(x, w)
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

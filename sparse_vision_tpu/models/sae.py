@@ -235,6 +235,7 @@ def init_sae_conv(key: jax.Array, c: int, expansion_factor: int, dtype=jnp.float
 
 
 def _conv3x3(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    x, w = promote_conv_operands(x, w)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

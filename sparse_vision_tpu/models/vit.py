@@ -76,8 +76,9 @@ def patch_embed_stage(name: str, dim: int, patch: int) -> Stage:
                 "ViT/CLIP towers take 224px HF-convention inputs on ImageNet "
                 "(data/datasets.py vit_decode/clip_decode)."
             )
+        xp, wp = promote_conv_operands(x, params["proj_w"])
         y = jax.lax.conv_general_dilated(
-            x, params["proj_w"], window_strides=(patch, patch), padding="VALID",
+            xp, wp, window_strides=(patch, patch), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + params["proj_b"]
         b, gh, gw, d = y.shape
@@ -319,8 +320,9 @@ def clip_patch_embed_stage(name: str, dim: int, patch: int) -> Stage:
                 "CLIP towers take 224px CLIPImageProcessor-convention inputs "
                 "(data/datasets.py clip_decode)."
             )
+        xp, wp = promote_conv_operands(x, params["proj_w"])
         y = jax.lax.conv_general_dilated(
-            x, params["proj_w"], window_strides=(patch, patch), padding="VALID",
+            xp, wp, window_strides=(patch, patch), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         b, gh, gw, d = y.shape

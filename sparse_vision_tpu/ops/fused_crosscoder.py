@@ -43,56 +43,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sparse_vision_tpu.ops.fused_sae import (
     _compiler_params,
-    _largest_aligned_divisor,
-    _pick_tiles,
+    _pick_tiles_vmem,
     can_fuse,  # same (T, H) tiling constraints — re-exported for callers
 )
 
 __all__ = ["fused_crosscoder_loss_terms", "make_fused_crosscoder_op", "can_fuse"]
 
-# v5e VMEM is 128 MiB; leave headroom for Mosaic's own scratch
+# v5e VMEM is 128 MiB; keep the round-3-tuned conservative budget for the cat
+# space (ΣC=2,896 for the 5-layer GoogLeNet set): the measured 'input window
+# allocation ... bf16[2896, 2048]' scoped-allocation failure calibrated it
 _VMEM_BUDGET = 96 * 2**20
-
-
-def _bwd_vmem_bytes(tt: int, th: int, c: int, itemsize: int) -> int:
-    """Conservative VMEM working-set estimate for the BACKWARD kernel (the fat
-    one): 4 double-buffered [tile, ΣC]/[ΣC, tile] input blocks, 2 f32 gradient
-    output blocks, plus the recompute temporaries (pre/post [tt, th], drecon
-    [tt, ΣC], the two dot partials)."""
-    blocks = 2 * itemsize * (2 * tt * c + 2 * c * th)  # x, err, W_enc, W_dec
-    outs = 2 * 4 * (2 * c * th)  # dw_enc, dw_dec (f32)
-    temps = 4 * (2 * tt * th + tt * c + 2 * c * th)
-    return blocks + outs + temps
 
 
 def _pick_tiles_c(t: int, h: int, c: int, tile_t: int, tile_h: int,
                   compute_dtype) -> tuple[int, int]:
     """Crosscoder tiles must respect ΣC: the cat space for 5 GoogLeNet layers
     is 2,896 columns, where fixed 2048x2048 tiles overflow VMEM in the
-    backward (measured on the v5e: 'input window allocation ... bf16[2896,
-    2048]' scoped-allocation failure, chip_queue round 3). Halve the larger
-    tile until the backward's estimated working set fits the budget."""
-    tt, th = _pick_tiles(t, h, tile_t, tile_h)
-    itemsize = jnp.dtype(compute_dtype).itemsize
-
-    def _shrink(n: int, cur: int, quantum: int):
-        nxt = _largest_aligned_divisor(n, max(cur // 2, quantum), quantum)
-        return nxt if nxt is not None and nxt < cur else None
-
-    while _bwd_vmem_bytes(tt, th, c, itemsize) > _VMEM_BUDGET:
-        # halve the larger tile first; stop when neither can shrink
-        first_t = tt >= th
-        cand_t = _shrink(t, tt, 8)
-        cand_h = _shrink(h, th, 128)
-        if first_t and cand_t:
-            tt = cand_t
-        elif cand_h:
-            th = cand_h
-        elif cand_t:
-            tt = cand_t
-        else:
-            break
-    return tt, th
+    backward. Delegates to the shared VMEM-aware picker (ops/fused_sae.py)
+    with this module's tighter budget."""
+    return _pick_tiles_vmem(t, h, c, tile_t, tile_h, compute_dtype,
+                            budget=_VMEM_BUDGET)
 
 
 def _fwd_kernel(x_ref, w_enc_ref, b_enc_ref, w_dec_ref, b_dec_ref,

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparse_vision_tpu.ops.fused_sae import _compiler_params, _pick_tiles
+from sparse_vision_tpu.ops.fused_sae import _compiler_params, _pick_tiles_vmem
 
 
 def _gate(pre_gate):
@@ -226,7 +226,10 @@ def make_fused_gated_sae_op(tile_t: int = 1024, tile_h: int = 2048,
     def _forward_raw(params, x):
         t, c = x.shape
         h = params["b_gate"].shape[0]
-        tt, th = _pick_tiles(t, h, tile_t, tile_h)
+        # gated backward carries an extra err/via block pair vs the plain SAE's
+        # estimator — plan against a tighter budget so wide-model tiles shrink early
+        tt, th = _pick_tiles_vmem(t, h, c, tile_t, tile_h, compute_dtype,
+                                  budget=88 * 2**20)
         kernel = functools.partial(_fwd_kernel, compute_dtype=compute_dtype)
         recon, via, act_part, row_active, l1_sum = pl.pallas_call(
             kernel,
@@ -277,7 +280,8 @@ def make_fused_gated_sae_op(tile_t: int = 1024, tile_h: int = 2048,
         params, x, err_rec, err_via = res
         t, c = x.shape
         h = params["b_gate"].shape[0]
-        tt, th = _pick_tiles(t, h, tile_t, tile_h)
+        tt, th = _pick_tiles_vmem(t, h, c, tile_t, tile_h, compute_dtype,
+                                  budget=88 * 2**20)
         coeffs = jnp.array(
             [[ct["rec_loss"] * 2.0 / (t * c), ct["l1_loss"] / (t * h),
               ct["aux_loss"] * 2.0 / (t * c)]], jnp.float32,

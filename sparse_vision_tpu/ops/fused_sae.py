@@ -203,7 +203,57 @@ def _dx_kernel(x_ref, w_enc_ref, b_enc_ref, w_dec_ref, b_dec_ref, err_ref, c_ref
 
 # v5e cores have far more physical VMEM than Mosaic's 16 MiB default scoped limit;
 # raising it lets the kernels run larger tiles (fewer W-block reload sweeps).
-_VMEM_LIMIT = 100 * 2**20
+# 112 MiB: the d=768 (CLIP ViT-B residual) backward needs 101.75 MiB at the
+# tile-sweep-optimal 2048x2048 tiles (measured on the v5e, chip_queue round 4);
+# the same chip compiles and runs at a 120 MiB limit (round-3 tile sweep), so
+# 112 keeps the optimal tiles for every production width with headroom.
+_VMEM_LIMIT = 112 * 2**20
+
+# planning budget for the tile picker: keep the backward's estimated working set
+# under this so the compile-time scoped allocation (which the estimate tracks
+# within ~5%, calibrated on the measured 101.75 MiB / 98 MiB-estimate d=768 point)
+# stays below _VMEM_LIMIT
+_VMEM_BUDGET = 104 * 2**20
+
+
+def _bwd_vmem_bytes(tt: int, th: int, c: int, itemsize: int) -> int:
+    """Conservative VMEM working-set estimate for the BACKWARD kernel (the fat
+    one): 4 double-buffered [tile, C]/[C, tile] input blocks, 2 f32 gradient
+    output blocks, plus the recompute temporaries (pre/post [tt, th], drecon
+    [tt, C], the two dot partials)."""
+    blocks = 2 * itemsize * (2 * tt * c + 2 * c * th)  # x, err, W_enc, W_dec
+    outs = 2 * 4 * (2 * c * th)  # dw_enc, dw_dec (f32)
+    temps = 4 * (2 * tt * th + tt * c + 2 * c * th)
+    return blocks + outs + temps
+
+
+def _pick_tiles_vmem(t: int, h: int, c: int, tile_t: int, tile_h: int,
+                     compute_dtype, budget: int | None = None) -> tuple[int, int]:
+    """(token, latent) tiles that both divide (t, h) AND keep the backward's
+    estimated VMEM working set under budget. Wide models (d_model >= ~1024 at
+    the default 2048x2048 caps) would otherwise overflow the scoped-VMEM limit
+    at compile time; halve the larger tile until the estimate fits."""
+    tt, th = _pick_tiles(t, h, tile_t, tile_h)
+    itemsize = jnp.dtype(compute_dtype).itemsize
+    budget = _VMEM_BUDGET if budget is None else budget
+
+    def _shrink(n: int, cur: int, quantum: int):
+        nxt = _largest_aligned_divisor(n, max(cur // 2, quantum), quantum)
+        return nxt if nxt is not None and nxt < cur else None
+
+    while _bwd_vmem_bytes(tt, th, c, itemsize) > budget:
+        first_t = tt >= th
+        cand_t = _shrink(t, tt, 8)
+        cand_h = _shrink(h, th, 128)
+        if first_t and cand_t:
+            tt = cand_t
+        elif cand_h:
+            th = cand_h
+        elif cand_t:
+            tt = cand_t
+        else:
+            break
+    return tt, th
 
 
 def _compiler_params(interpret: bool):
@@ -265,7 +315,7 @@ def make_fused_sae_op(tile_t: int = 2048, tile_h: int = 2048,
     def _forward_raw(params, x):
         t, c = x.shape
         h = params["b_enc"].shape[0]
-        tt, th = _pick_tiles(t, h, tile_t, tile_h)
+        tt, th = _pick_tiles_vmem(t, h, c, tile_t, tile_h, compute_dtype)
         grid = (t // tt, h // th)  # H innermost: recon accumulates contiguously
         kernel = functools.partial(_fwd_kernel, compute_dtype=compute_dtype)
         recon, act_part, row_active, l1_sum = pl.pallas_call(
@@ -326,7 +376,7 @@ def make_fused_sae_op(tile_t: int = 2048, tile_h: int = 2048,
         params, x, err = res
         t, c = x.shape
         h = params["b_enc"].shape[0]
-        tt, th = _pick_tiles(t, h, tile_t, tile_h)
+        tt, th = _pick_tiles_vmem(t, h, c, tile_t, tile_h, compute_dtype)
         # only rec_loss / l1_loss cotangents participate (see module docstring)
         coeffs = jnp.array(
             [[ct["rec_loss"] * 2.0 / (t * c), ct["l1_loss"] / (t * h)]], jnp.float32

@@ -107,11 +107,8 @@ def test_pick_tiles_c_vmem_shrink():
     crosscoders concatenate to 2,896 columns, where the default 2048x2048
     tiles overflow v5e VMEM in the backward (measured scoped-allocation
     failure, chip_queue round 3). Small cat spaces keep the requested tiles."""
-    from sparse_vision_tpu.ops.fused_crosscoder import (
-        _VMEM_BUDGET,
-        _bwd_vmem_bytes,
-        _pick_tiles_c,
-    )
+    from sparse_vision_tpu.ops.fused_crosscoder import _VMEM_BUDGET, _pick_tiles_c
+    from sparse_vision_tpu.ops.fused_sae import _bwd_vmem_bytes
 
     # the failing bench shape: T=16384, h=8192, sum_c=2896, bf16 compute
     tt, th = _pick_tiles_c(16384, 8192, 2896, 2048, 2048, jnp.bfloat16)

@@ -113,3 +113,33 @@ def test_tile_picker_finds_aligned_divisors():
     assert can_fuse(4096, 16384)
     # 1030 = 2*5*103: exceeds the cap and has no multiple-of-8 divisor under it
     assert not can_fuse(1030, 16384)
+
+
+def test_tile_picker_is_vmem_aware():
+    """Wide-residual shapes must keep/shrink tiles by the backward's estimated
+    VMEM working set (the measured v5e points: d=768 needs 101.75 MiB at
+    2048x2048 — allowed by the 112 MiB limit; d>=1024 would overflow and must
+    shrink). The headline d=256 shape must be untouched."""
+    import jax.numpy as jnp
+
+    from sparse_vision_tpu.ops.fused_sae import (
+        _VMEM_BUDGET,
+        _VMEM_LIMIT,
+        _bwd_vmem_bytes,
+        _pick_tiles_vmem,
+    )
+
+    # headline bench shape (bench.py): exact optimal tiles preserved
+    assert _pick_tiles_vmem(65536, 16384, 256, 2048, 2048, jnp.bfloat16) == (
+        2048, 2048)
+    # CLIP ViT-B/16 residual (bench_clip_sae): kept at the optimum — the
+    # measured 101.75 MiB compile fits the raised limit
+    assert _pick_tiles_vmem(32768, 6144, 768, 2048, 2048, jnp.bfloat16) == (
+        2048, 2048)
+    assert _bwd_vmem_bytes(2048, 2048, 768, 2) <= _VMEM_BUDGET < _VMEM_LIMIT
+    # a ViT-L-width residual must shrink to fit
+    tt, th = _pick_tiles_vmem(32768, 8192, 1024, 2048, 2048, jnp.bfloat16)
+    assert (tt, th) != (2048, 2048)
+    assert 32768 % tt == 0 and 8192 % th == 0
+    assert tt % 8 == 0 and th % 128 == 0
+    assert _bwd_vmem_bytes(tt, th, 1024, 2) <= _VMEM_BUDGET

@@ -397,6 +397,34 @@ def test_bf16_weight_quantized_artifact(tmp_path):
     assert agree >= 0.8, agree
 
 
+def test_bf16_artifact_conv_backbone(tmp_path):
+    """CONV backbones through the bf16 export path: lax.conv requires equal
+    operand dtypes (unlike jnp.dot's implicit promotion), so f32 images into
+    bf16-quantized conv weights crashed the GoogLeNet serve export on the chip
+    (chip_queue round 4, bench_serve rc=1). promote_conv_operands must upcast
+    the weights at use — f32 compute, bf16 storage."""
+    net = make_backbone("custom_cnn_1", "synthetic")
+    params, state = init_backbone(net, jax.random.key(0), "synthetic")
+    d = get_sae_input_size(net, "synthetic", "conv2")
+    sae_params = init_sae("sae_mlp", jax.random.key(1), d, 2)
+    out16 = export_feature_service(
+        net, params, state, "sae_mlp", sae_params, "conv2",
+        str(tmp_path / "artifact_conv16"), img_shape=IMG, top_k=4, topk=4,
+        weights_dtype=jnp.bfloat16,
+    )
+    eng = ServingEngine(out16, max_batch=4)
+    fn = make_feature_service_fn(
+        net, params, state, "sae_mlp", sae_params, "conv2", top_k=4, topk=4,
+    )
+    imgs = np.asarray(jax.random.normal(jax.random.key(2), (3, *IMG)),
+                      np.float32)
+    served = eng.predict(imgs)
+    live = jax.tree.map(np.asarray, fn(jnp.asarray(imgs)))
+    assert served["logits"].dtype == np.float32
+    np.testing.assert_allclose(served["logits"], live["logits"],
+                               rtol=0.05, atol=0.05)
+
+
 def test_cli_export_weights_dtype(tmp_path):
     """--export_weights_dtype bfloat16 reaches the artifact meta through the
     CLI train-then-export composition."""
