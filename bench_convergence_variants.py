@@ -16,6 +16,16 @@ Run on the chip (one variant per invocation keeps the wedge-prevention
 one-program-shape-per-process rule):
   PYTHONPATH=/root/repo:$PYTHONPATH CONV_ONLY=batch_topk python bench_convergence_variants.py
 Env: CONV_ONLY=<substr>  CONV_LAMBDA=<float>  CONV_EPOCHS=<int>  NORTHSTAR_DIR
+     CONV_CHUNK_EPOCHS=<int>  (default 8 on the chip, 0=off on CPU)
+
+Long chip runs are CHUNKED into fresh subprocesses of CONV_CHUNK_EPOCHS epochs
+each, resumed from the per-epoch Orbax checkpoints: the axon remote backend's
+client grows host RSS roughly linearly with dispatch count (measured ~3 GB/epoch
+at crosscoder scale — the 32-epoch run was OOM-killed at epoch 25 with 79 GB
+RSS, chip_queue round 4, while the SAME loop on the CPU backend is flat at
+~620 MB over 12 epochs). Bounding epochs per process bounds the leak; the
+training trajectory is unchanged (step counter, optimizer state, and dead-unit
+accumulator all live in the checkpoint).
 """
 
 import json
@@ -46,8 +56,9 @@ VARIANTS = {
     "batch_topk": (dict(
         sae_model_name="batch_topk_sae", sae_layer="mixed3a",
         sae_lambda_sparse=0.0, sae_topk=32, sae_expansion_factor=64,
-        sae_optimizer_name="constrained_adam",
-    ), 8, "batch-k=32 (Bussmann et al.); threshold tracked for deployment"),
+        sae_optimizer_name="constrained_adam", sae_aux_k=512,
+    ), 8, "batch-k=32 + AuxK 512 (Bussmann/Gao recipe); final-params "
+          "threshold calibration (the EMA-only first row hit L0=403, 81% dead)"),
     "matryoshka": (dict(
         sae_model_name="matryoshka_sae", sae_layer="mixed3a",
         sae_lambda_sparse=5.0, sae_expansion_factor=64,
@@ -86,6 +97,48 @@ def ensure_dataset():
         make_standin_jpegs(N_VAL, WORK, seed=1, prefix="val")
 
 
+def _default_chunk() -> int:
+    if "CONV_CHUNK_EPOCHS" in os.environ:
+        return int(os.environ["CONV_CHUNK_EPOCHS"])
+    return 8 if jax.default_backend() != "cpu" else 0
+
+
+def _run_chunked(name: str, total_epochs: int, chunk: int, start: int) -> dict:
+    """Drive the variant in CONV_CHUNK_EPOCHS-epoch subprocesses (see module
+    docstring). Each child resumes from the previous chunk's checkpoint, skips
+    the on-disk activation cache dump, and prints its row JSON; the driver sums
+    the wall clocks and appends ONE composed row for the full run."""
+    import subprocess
+    import sys
+
+    wall = 0.0
+    row = None
+    while start < total_epochs:
+        end = min(start + chunk, total_epochs)
+        env = dict(os.environ, CONV_CHILD="1", CONV_ONLY=name,
+                   CONV_START=str(start), CONV_EPOCHS=str(end))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, env=env)
+        sys.stdout.write(r.stdout[-1500:])
+        sys.stdout.flush()
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            raise RuntimeError(
+                f"{name} chunk [{start},{end}) failed rc={r.returncode}")
+        last = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("{") and '"variant"' in ln][-1]
+        row = json.loads(last)
+        wall += row["wall_s"]
+        start = end
+    row["wall_s"] = round(wall, 1)
+    row["epochs"] = total_epochs
+    row["chunk_epochs"] = chunk
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+    return row
+
+
 def run_variant(name: str, overrides: dict, epochs: int, note: str) -> dict:
     import dataclasses
 
@@ -94,6 +147,10 @@ def run_variant(name: str, overrides: dict, epochs: int, note: str) -> dict:
 
     lam = os.environ.get("CONV_LAMBDA")
     epochs = int(os.environ.get("CONV_EPOCHS", epochs))
+    start = int(os.environ.get("CONV_START", "0"))
+    chunk = _default_chunk()
+    if chunk and epochs - start > chunk and not os.environ.get("CONV_CHILD"):
+        return _run_chunked(name, epochs, chunk, start)
     kwargs = dict(
         model_name="inceptionv1", dataset_name="imagenet", data_dir=WORK,
         directory_path=os.path.join(WORK, f"runs_conv_{name}"),
@@ -104,6 +161,8 @@ def run_variant(name: str, overrides: dict, epochs: int, note: str) -> dict:
     )
     kwargs.update(overrides)
     cfg = RunConfig(**kwargs)
+    if start:
+        cfg = dataclasses.replace(cfg, sae_checkpoint_epoch=start)
     if lam is not None:
         cfg = dataclasses.replace(cfg, sae_lambda_sparse=float(lam))
     if os.environ.get("CONV_EF"):  # CPU smoke tests shrink the dictionary
@@ -154,6 +213,10 @@ def run_variant(name: str, overrides: dict, epochs: int, note: str) -> dict:
     }
     if cfg.sae_model_name == "batch_topk_sae":
         row["batch_k"] = cfg.sae_topk
+    if os.environ.get("CONV_CHILD"):
+        # chunk subprocess: the driver composes and appends the final row
+        print(json.dumps(row))
+        return row
     with open(OUT, "a") as f:
         f.write(json.dumps(row) + "\n")
     print(json.dumps(row))

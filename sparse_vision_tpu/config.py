@@ -124,6 +124,13 @@ class RunConfig:
     # the whole batch; inference gates with an EMA-estimated scalar threshold
     # (models/sae.batch_topk_sae_apply)
     sae_topk: int = 32
+    # AuxK dead-latent auxiliary loss for the TopK family (Gao et al. 2024 §A.2;
+    # models/sae.topk_aux_loss): reconstruct the main residual with the top-k_aux
+    # currently-dead latents, weighted by sae_aux_alpha (the paper's 1/32).
+    # 0 = off (the pinned default). Measured motivation: batch_topk at 16k latents
+    # with pure MSE converged to 81% dead units (convergence_variants_v5e.json).
+    sae_aux_k: int = 0
+    sae_aux_alpha: float = 0.03125
     # JumpReLU STE kernel bandwidth ε and threshold init θ0 (Rajamanoharan et al.
     # 2024 defaults, sized for NORMALIZED activations). The STE gradient only fires
     # within ε/2 of a threshold — on raw vision activations (GoogLeNet mixed3a

@@ -368,6 +368,63 @@ def batch_topk_threshold_update(threshold: jax.Array, batch_min_pos: jax.Array,
     return jnp.where(batch_min_pos > 0, seeded, threshold).astype(threshold.dtype)
 
 
+def calibrate_batch_topk_threshold(params: dict, tok: jax.Array, k: int) -> jax.Array:
+    """Final-params inference threshold from one sample batch: the T*k-th
+    largest pre-activation (clamped to >= 0) — the paper's BatchTopK->JumpReLU
+    conversion evaluated at the CONVERGED parameters. The train-time EMA
+    (batch_topk_threshold_update) averages cutoffs from across training, so it
+    lags when the cutoff drifts as features sharpen (measured on the chip:
+    EMA-thresholded eval L0 = 403 at batch_k=32, chip_queue round 4); this
+    recomputes it where it will be used. Call after training, before eval:
+    ``params["threshold"] = calibrate_batch_topk_threshold(params, tok, k)``."""
+    from sparse_vision_tpu.ops.fast_batch_topk import kth_largest
+
+    t = tok.shape[0]
+    pre = (tok - params["b_dec"]) @ params["W_enc"] + params["b_enc"]
+    cutoff = kth_largest(pre.reshape(-1).astype(jnp.float32), t * k)
+    return jnp.maximum(cutoff, 0.0).astype(params["threshold"].dtype)
+
+
+def topk_aux_loss(params: dict, act, residual, dead_mask: jax.Array,
+                  k_aux: int, approx: bool = False) -> jax.Array:
+    """AuxK auxiliary loss for the TopK family (Gao et al. 2024 arXiv:2406.04093
+    §A.2; BatchTopK inherits the recipe, Bussmann et al. 2024): reconstruct the
+    MAIN reconstruction's residual ``e = x - x_hat`` with the top-``k_aux``
+    currently-DEAD latents, normalized by the residual's variance. Gradients
+    flow through the aux decode only (``e`` is stop-gradded), pulling dead
+    latents toward directions the live code misses — the dead-revival
+    mechanism the paper uses in place of resampling. Returns 0 when no latent
+    is dead.
+
+    ``act``/``residual`` may be token matrices or conv maps (tokens_from_act).
+    ``dead_mask`` is the train state's [h] running dead accumulator."""
+    tok, _ = tokens_from_act(act)
+    res_tok, _ = tokens_from_act(residual)
+    h = params["b_enc"].shape[0]
+    k_aux = min(k_aux, h)
+    pre = (tok - params["b_dec"]) @ params["W_enc"] + params["b_enc"]
+    neg = jnp.finfo(pre.dtype).min
+    masked = jnp.where(dead_mask[None, :], pre, neg)
+    if approx:
+        vals, idx = jax.lax.approx_max_k(masked, k_aux, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(masked, k_aux)
+    # post-ReLU selection, matching the main TopK path's activation (and the
+    # community dictionary_learning AuxK): a dead latent joins the aux decode
+    # only where its pre-activation is already positive; sign-flipped decoder
+    # fits from negative coefficients are worse than a zero gradient
+    kept = jnp.where(vals > neg / 2, jax.nn.relu(vals), 0.0)
+    rows = jnp.arange(tok.shape[0])[:, None]
+    post = jnp.zeros_like(pre).at[rows, idx].set(kept)
+    aux_recon = post @ params["W_dec"]  # residual space: no b_dec
+    e = jax.lax.stop_gradient(res_tok)
+    num = jnp.sum(jnp.square(e - aux_recon))
+    den = jnp.maximum(
+        jnp.sum(jnp.square(e - jnp.mean(e, axis=0, keepdims=True))), 1e-9
+    )
+    return jnp.where(jnp.any(dead_mask), num / den, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # factory + splice helper
 # ---------------------------------------------------------------------------

@@ -47,14 +47,19 @@ from sparse_vision_tpu.ops.fused_sae import (
     _bwd_kernel,
     _compiler_params,
     _fwd_kernel,
-    _pick_tiles,
+    _pick_tiles_vmem,
 )
+
+# gated/jumprelu backwards carry extra err/state blocks vs the plain-SAE VMEM
+# estimator — plan those against a tighter budget (same policy as
+# ops/fused_gated_sae.py)
+_GATED_BUDGET = 88 * 2**20
 
 
 def _run_fwd_kernel(params, x, tile_t, tile_h, compute_dtype, interpret, cast):
     t, c = x.shape
     h = params["b_enc"].shape[0]
-    tt, th = _pick_tiles(t, h, tile_t, tile_h)
+    tt, th = _pick_tiles_vmem(t, h, c, tile_t, tile_h, compute_dtype)
     grid = (t // tt, h // th)
     kernel = functools.partial(_fwd_kernel, compute_dtype=compute_dtype)
     return pl.pallas_call(
@@ -91,7 +96,7 @@ def _run_bwd_kernel(params, x, err, coeffs, tile_t, tile_h, compute_dtype,
                     interpret, cast):
     t, c = x.shape
     h = params["b_enc"].shape[0]
-    tt, th = _pick_tiles(t, h, tile_t, tile_h)
+    tt, th = _pick_tiles_vmem(t, h, c, tile_t, tile_h, compute_dtype)
     x_spec = pl.BlockSpec((tt, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(_bwd_kernel, compute_dtype=compute_dtype)
     return pl.pallas_call(
@@ -264,7 +269,8 @@ def make_fused_gated_sae_tp_op(n_data: int, n_model: int, tile_t: int = 1024,
     def _forward_raw(params, x):
         t, c = x.shape
         h = params["b_gate"].shape[0]
-        tt, th = _pick_tiles(t, h, tile_t, tile_h)
+        tt, th = _pick_tiles_vmem(t, h, c, tile_t, tile_h, compute_dtype,
+                                  budget=_GATED_BUDGET)
         kernel = functools.partial(_gated_fwd_kernel, compute_dtype=compute_dtype)
         recon_p, via_p, act_part, row_active, l1_sum = pl.pallas_call(
             kernel,
@@ -323,7 +329,8 @@ def make_fused_gated_sae_tp_op(n_data: int, n_model: int, tile_t: int = 1024,
         h_l = params["b_gate"].shape[0]
         t_g = t_l * n_data
         h_g = h_l * n_model
-        tt, th = _pick_tiles(t_l, h_l, tile_t, tile_h)
+        tt, th = _pick_tiles_vmem(t_l, h_l, c, tile_t, tile_h, compute_dtype,
+                                  budget=_GATED_BUDGET)
         c_rec = ct["rec_loss"] * 2.0 / (t_g * c)
         c_l1 = ct["l1_loss"] / (t_g * h_g)
         c_aux = ct["aux_loss"] * 2.0 / (t_g * c)
@@ -450,7 +457,8 @@ def make_fused_jumprelu_sae_tp_op(n_data: int, n_model: int, tile_t: int = 2048,
     def _forward_raw(params, x):
         t, c = x.shape
         h = params["b_enc"].shape[0]
-        tt, th = _pick_tiles(t, h, tile_t, tile_h)
+        tt, th = _pick_tiles_vmem(t, h, c, tile_t, tile_h, compute_dtype,
+                                  budget=_GATED_BUDGET)
         kernel = functools.partial(_jr_fwd_kernel, compute_dtype=compute_dtype)
         recon_p, act_part, row_active, l1_sum = pl.pallas_call(
             kernel,
@@ -506,7 +514,8 @@ def make_fused_jumprelu_sae_tp_op(n_data: int, n_model: int, tile_t: int = 2048,
         t_l, c = x.shape
         h_l = params["b_enc"].shape[0]
         t_g = t_l * n_data
-        tt, th = _pick_tiles(t_l, h_l, tile_t, tile_h)
+        tt, th = _pick_tiles_vmem(t_l, h_l, c, tile_t, tile_h, compute_dtype,
+                                  budget=_GATED_BUDGET)
         c_rec = ct["rec_loss"] * 2.0 / (t_g * c)
         c_l0 = ct["l0_loss"] / t_g
         coeffs = jnp.stack([c_rec, c_l0]).reshape(1, 2).astype(jnp.float32)

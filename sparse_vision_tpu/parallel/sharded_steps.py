@@ -57,16 +57,21 @@ def make_sharded_fused_train_step(
     topk_approx: bool = False,
     jumprelu_bandwidth: float = 1e-3,
     matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
+    aux_k: int = 0,
+    aux_alpha: float = 0.03125,
 ):
     """Data-parallel SAE train step: ``step(ts, acts)`` with ``acts`` [T, C] sharded
     over the 'data' axis and the train state replicated. ``fused=False`` runs the
     stock jnp path per chip (e.g. CPU meshes, where Pallas would be interpreted).
     Same loss dispatch + resample gating as the single-device
     train.steps.make_sae_train_step_from_acts, so the two paths stay interchangeable
-    from the Pipeline."""
+    from the Pipeline. ``aux_k > 0``: the AuxK dead-revival loss runs per shard on
+    the replicated dead accumulator; the pmean'd gradient equals the global-batch
+    aux gradient (equal shards)."""
     opts = dict(fused_opts or {})
     n_data = mesh.shape["data"]
     can_resample = sae_model_name == "sae_mlp"
+    aux_on = aux_k > 0 and sae_model_name in ("topk_sae", "batch_topk_sae")
     if fused and sae_model_name not in (
         "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae", "batch_topk_sae",
         "matryoshka_sae",
@@ -150,10 +155,27 @@ def make_sharded_fused_train_step(
             out = {**out, "dead": dead, "sparsity": sparsity}
             return out["loss"], out
 
+    base_local_loss = local_loss
+
+    def aux_local_loss(params, act_local, dead_mask, aux_scale):
+        from sparse_vision_tpu.models.sae import topk_aux_loss
+
+        loss, out = base_local_loss(params, act_local)
+        aux = topk_aux_loss(params, act_local, act_local - out["decoded"],
+                            dead_mask, aux_k, approx=topk_approx)
+        out["aux_loss"] = aux
+        return loss + aux_scale * aux, out
+
     def shard_body(ts: SAETrainState, act_local: jax.Array):
-        (loss, out), grads = jax.value_and_grad(local_loss, has_aux=True)(
-            ts.params, act_local
-        )
+        if aux_on:
+            mature = (ts.step % dead_neurons_steps) >= dead_neurons_steps // 2
+            (loss, out), grads = jax.value_and_grad(aux_local_loss, has_aux=True)(
+                ts.params, act_local, ts.dead_acc, aux_alpha * mature
+            )
+        else:
+            (loss, out), grads = jax.value_and_grad(local_loss, has_aux=True)(
+                ts.params, act_local
+            )
         # global gradient = mean over chips of local-mean gradients (equal shards)
         grads = jax.lax.pmean(grads, "data")
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)

@@ -224,6 +224,27 @@ class Pipeline:
         )
         print(f"Resumed SAE from checkpoint epoch {epoch} (train step {int(self.ts.step)}).")
 
+    def _recalibrate_batch_topk(self, cache, tps: int) -> None:
+        """Replace the EMA-estimated batch-topk inference threshold with the
+        paper's deployment conversion at the CONVERGED params: the T*k-th
+        largest pre-activation over one cached token block
+        (models/sae.calibrate_batch_topk_threshold)."""
+        from sparse_vision_tpu.models.sae import calibrate_batch_topk_threshold
+
+        tok = next(iter(cache.batches(
+            tps, shuffle=True, seed=self.cfg.seed + 7919, prefetch=False
+        )))
+        if isinstance(tok, tuple):  # int8 device-dequant pairs never reach here
+            tok = tok[0]
+        tok = jnp.asarray(np.asarray(tok, np.float32))
+        thr = calibrate_batch_topk_threshold(self.ts.params, tok, self.cfg.sae_topk)
+        old = float(jax.device_get(self.ts.params["threshold"]))
+        self.ts = self.ts._replace(
+            params={**self.ts.params, "threshold": thr}
+        )
+        print(f"[batch_topk] inference threshold calibrated: "
+              f"{old:.5g} (EMA) -> {float(jax.device_get(thr)):.5g}")
+
     def _put(self, batch):
         return device_put_batch(batch, self.batch_sharding)
 
@@ -300,6 +321,7 @@ class Pipeline:
             topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
             jumprelu_bandwidth=cfg.jumprelu_bandwidth,
             matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
+            aux_k=cfg.sae_aux_k, aux_alpha=cfg.sae_aux_alpha,
         )
         from sparse_vision_tpu.utils.profiling import maybe_profile
 
@@ -509,6 +531,12 @@ class Pipeline:
                 cfg.use_pallas
                 and jax.default_backend() != "cpu"
                 and self.num_units % n_model == 0
+                # AuxK is wired into the stock + shard_map steps only; a TopK run
+                # with sae_aux_k under TP falls back to the GSPMD-placed stock
+                # step (correct, modestly slower) rather than silently dropping
+                # the aux loss
+                and not (cfg.sae_aux_k > 0
+                         and cfg.sae_model_name in ("topk_sae", "batch_topk_sae"))
                 and (
                     (
                         cfg.sae_model_name
@@ -549,6 +577,7 @@ class Pipeline:
                     topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
                     jumprelu_bandwidth=cfg.jumprelu_bandwidth,
                     matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
+                    aux_k=cfg.sae_aux_k, aux_alpha=cfg.sae_aux_alpha,
                 )
 
             def _put_tokens(arr, token_axis):
@@ -566,6 +595,7 @@ class Pipeline:
                 sae_model_name=cfg.sae_model_name, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
                 jumprelu_bandwidth=cfg.jumprelu_bandwidth,
                 matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
+                aux_k=cfg.sae_aux_k, aux_alpha=cfg.sae_aux_alpha,
             )
             self.ts = put_replicated_state(mesh, self.ts)
 
@@ -578,6 +608,7 @@ class Pipeline:
                 fused_opts=fused_opts, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
                 jumprelu_bandwidth=cfg.jumprelu_bandwidth,
                 matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
+                aux_k=cfg.sae_aux_k, aux_alpha=cfg.sae_aux_alpha,
             )
 
             def _put_tokens(arr, token_axis):
@@ -660,6 +691,16 @@ class Pipeline:
                         for tok in item:
                             self.ts, m = step_fn(self.ts, _put_tokens(tok, 0))
                             self.logger.log_train(int(self.ts.step), m)
+            if (cfg.sae_model_name == "batch_topk_sae"
+                    and epoch + 1 == cfg.sae_epochs):
+                # final-params threshold calibration (models/sae.
+                # calibrate_batch_topk_threshold): the train-time EMA lags the
+                # converged cutoff, inflating deployment L0 — recompute on one
+                # cached block BEFORE the final checkpoint/eval so both carry it
+                if cache is None:  # single overlapped epoch: dump just finished
+                    dump_thread.join()
+                    cache = ActivationCache(cache_dir)
+                self._recalibrate_batch_topk(cache, tps)
             # async save: serialization overlaps the next epoch's compute
             ckpt.save_checkpoint(
                 self._sae_ckpt_dir(), epoch + 1,

@@ -27,6 +27,7 @@ from sparse_vision_tpu.models.layers import SeqNet
 from sparse_vision_tpu.models.sae import (
     batch_topk_threshold_update,
     sae_inference_and_loss,
+    topk_aux_loss,
 )
 from sparse_vision_tpu.ops import metrics
 from sparse_vision_tpu.ops.resample import (
@@ -84,6 +85,8 @@ def make_sae_train_step(
     topk_approx: bool = False,
     jumprelu_bandwidth: float = 1e-3,
     matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
+    aux_k: int = 0,
+    aux_alpha: float = 0.03125,
 ):
     """Build the jitted SAE train step.
 
@@ -91,19 +94,30 @@ def make_sae_train_step(
     (model_pipeline.py:602-938): modified-model logits via splice, original logits,
     KLD / %same-classification / loss-diff / accuracy. Turning it off keeps only the
     SAE update + dead-unit stats — the throughput configuration.
+
+    ``aux_k > 0`` (TopK family only) adds the AuxK dead-revival loss
+    (models/sae.topk_aux_loss), gated to the mature half of each dead-measurement
+    window so a freshly-reset dead accumulator (all-True) never drives it.
     """
     last = last_stage or net.stage_names[-1]
     # the reference only resamples SaeMLP (reset_encoder_weights is a SaeMLP method;
     # model_pipeline.py:792 calls it unconditionally when use_sae)
     can_resample = sae_model_name == "sae_mlp"
+    aux_on = aux_k > 0 and sae_model_name in ("topk_sae", "batch_topk_sae")
 
-    def loss_fn(sae_params, act):
+    def loss_fn(sae_params, act, dead_mask, aux_scale):
         out = sae_inference_and_loss(
             sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx,
             jumprelu_bandwidth=jumprelu_bandwidth,
             matryoshka_prefixes=matryoshka_prefixes,
         )
-        return out["loss"], out
+        loss = out["loss"]
+        if aux_on:
+            aux = topk_aux_loss(sae_params, act, act - out["decoded"],
+                                dead_mask, aux_k, approx=topk_approx)
+            out["aux_loss"] = aux
+            loss = loss + aux_scale * aux
+        return loss, out
 
     @jax.jit
     def step_fn(ts: SAETrainState, frozen_params: dict, frozen_state: dict,
@@ -116,7 +130,10 @@ def make_sae_train_step(
             )
         act = jax.lax.stop_gradient(taps[sae_layer])
 
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params, act)
+        mature = (ts.step % dead_neurons_steps) >= dead_neurons_steps // 2
+        aux_scale = aux_alpha * mature
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, act, ts.dead_acc, aux_scale)
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
 
@@ -202,6 +219,8 @@ def make_sae_train_step_from_acts(
     topk_approx: bool = False,
     jumprelu_bandwidth: float = 1e-3,
     matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
+    aux_k: int = 0,
+    aux_alpha: float = 0.03125,
 ):
     """SAE train step over pre-extracted activations (the activation-cache training
     mode; the reference abandoned an HDF5 version of this, utils.py:613-657 — here it
@@ -211,8 +230,13 @@ def make_sae_train_step_from_acts(
     ``fused=True`` routes forward+loss+stats through the Pallas fused kernels
     (ops/fused_sae.py for sae_mlp, ops/fused_gated_sae.py for gated_sae) — the
     production TPU path; requires tile-divisible shapes. Parity with the stock path is
-    tested in tests/test_fused_sae.py / tests/test_fused_gated_sae.py."""
+    tested in tests/test_fused_sae.py / tests/test_fused_gated_sae.py.
+
+    ``aux_k > 0`` (TopK family only) adds the AuxK dead-revival loss on top of
+    whichever selection engine runs (stock, fast gather, radix cutoff) — see
+    make_sae_train_step."""
     can_resample = sae_model_name == "sae_mlp"
+    aux_on = aux_k > 0 and sae_model_name in ("topk_sae", "batch_topk_sae")
     if fused and sae_model_name not in (
         "sae_mlp", "gated_sae", "jumprelu_sae", "topk_sae", "batch_topk_sae",
         "matryoshka_sae",
@@ -291,9 +315,24 @@ def make_sae_train_step_from_acts(
             )
             return out["loss"], out
 
+    base_loss_fn = loss_fn
+
+    def aux_loss_fn(sae_params, act, dead_mask, aux_scale):
+        loss, out = base_loss_fn(sae_params, act)
+        aux = topk_aux_loss(sae_params, act, act - out["decoded"],
+                            dead_mask, aux_k, approx=topk_approx)
+        out["aux_loss"] = aux
+        return loss + aux_scale * aux, out
+
     @jax.jit
     def step_fn(ts: SAETrainState, act: jax.Array):
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params, act)
+        if aux_on:
+            mature = (ts.step % dead_neurons_steps) >= dead_neurons_steps // 2
+            (loss, out), grads = jax.value_and_grad(aux_loss_fn, has_aux=True)(
+                ts.params, act, ts.dead_acc, aux_alpha * mature)
+        else:
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                ts.params, act)
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
         step = ts.step + 1
@@ -335,6 +374,8 @@ def make_sae_train_step_from_acts(
             "sparsity": sparsity,
             "perc_dead": jnp.sum(dead_acc) / dead_acc.shape[0],
         }
+        if aux_on:
+            m["sae_aux_loss"] = out["aux_loss"]
         return SAETrainState(new_params, opt_state, step, dead_acc, rng), m
 
     return step_fn
