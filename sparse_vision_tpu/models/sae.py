@@ -32,6 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from sparse_vision_tpu.models.layers import promote_conv_operands
+
 
 # ---------------------------------------------------------------------------
 # init helpers

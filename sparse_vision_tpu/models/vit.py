@@ -20,7 +20,12 @@ import math
 import jax
 import jax.numpy as jnp
 
-from sparse_vision_tpu.models.layers import SeqNet, Stage, _torch_linear_init
+from sparse_vision_tpu.models.layers import (
+    SeqNet,
+    Stage,
+    _torch_linear_init,
+    promote_conv_operands,
+)
 
 _LN_EPS = 1e-12  # HF ViTConfig.layer_norm_eps default
 
