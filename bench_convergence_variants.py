@@ -57,8 +57,9 @@ VARIANTS = {
         sae_model_name="batch_topk_sae", sae_layer="mixed3a",
         sae_lambda_sparse=0.0, sae_topk=32, sae_expansion_factor=64,
         sae_optimizer_name="constrained_adam", sae_aux_k=512,
-    ), 8, "batch-k=32 + AuxK 512 (Bussmann/Gao recipe); final-params "
-          "threshold calibration (the EMA-only first row hit L0=403, 81% dead)"),
+    ), 8, "batch-k=32 + AuxK 512 (Bussmann/Gao recipe) + final-params "
+          "threshold calibration; measured per-token deploy L0 = 32.3 "
+          "(the table L0 is the per-image union, docs/CONVERGENCE.md)"),
     "matryoshka": (dict(
         sae_model_name="matryoshka_sae", sae_layer="mixed3a",
         sae_lambda_sparse=5.0, sae_expansion_factor=64,
