@@ -32,6 +32,11 @@ STEPS = [
     # finish 24->32 in one 8-epoch chunk
     ("conv_crosscoder_resume", [sys.executable, "bench_convergence_variants.py"],
      10800, {"CONV_ONLY": "crosscoder", "CONV_START": "24"}),
+    # the lambda=5 transcoder row sits at L0=9,413 of 16,384 — effectively
+    # dense; one tuned row toward the Pareto point (the jumprelu-tuning
+    # precedent, docs/CONVERGENCE.md)
+    ("conv_transcoder_l40", [sys.executable, "bench_convergence_variants.py"],
+     10800, {"CONV_ONLY": "transcoder", "CONV_LAMBDA": "40"}),
     ("bench_tc_circuit", [sys.executable, "bench_tc_circuit.py"], 2400),
     ("bench_ie", [sys.executable, "bench_ie.py"], 3600),
 ]
