@@ -91,10 +91,17 @@ VARIANTS = {
 
 
 def ensure_dataset():
-    if not os.path.exists(os.path.join(WORK, "imagenet")):
-        from bench_northstar import make_standin_jpegs
+    # check per-split shard presence, not just the directory: an interrupted
+    # earlier invocation can leave train shards without val shards, and the
+    # folder's mere existence would then skip creation and fail downstream
+    import glob
 
+    shard_dir = os.path.join(WORK, "imagenet")
+    from bench_northstar import make_standin_jpegs
+
+    if not glob.glob(os.path.join(shard_dir, "train*.tar")):
         make_standin_jpegs(N_TRAIN, WORK, seed=0, prefix="train")
+    if not glob.glob(os.path.join(shard_dir, "val*.tar")):
         make_standin_jpegs(N_VAL, WORK, seed=1, prefix="val")
 
 

@@ -71,6 +71,11 @@ def probe_tpu_or_pin_cpu(caller: str = "bench") -> None:
             check=True, capture_output=True,
         )
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        # NOTE: a FAST failure saying "Backend 'axon' is not in the list of
+        # known backends" usually means the caller's environment clobbered
+        # PYTHONPATH (the plugin registers via a sitecustomize dir that the
+        # deployment ships ON PYTHONPATH) — export
+        # PYTHONPATH=/root/repo:$PYTHONPATH, never PYTHONPATH=/root/repo.
         print(f"{caller}: TPU backend unreachable within the probe timeout — "
               "falling back to CPU", file=sys.stderr)
         os.environ["JAX_PLATFORMS"] = "cpu"
