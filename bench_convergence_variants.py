@@ -91,18 +91,11 @@ VARIANTS = {
 
 
 def ensure_dataset():
-    # check per-split shard presence, not just the directory: an interrupted
-    # earlier invocation can leave train shards without val shards, and the
-    # folder's mere existence would then skip creation and fail downstream
-    import glob
+    # shared per-split check (ADVICE r4): bench_northstar owns the helper so
+    # every WORK-sharing bench regenerates exactly the missing split(s)
+    from bench_northstar import ensure_standin_dataset
 
-    shard_dir = os.path.join(WORK, "imagenet")
-    from bench_northstar import make_standin_jpegs
-
-    if not glob.glob(os.path.join(shard_dir, "train*.tar")):
-        make_standin_jpegs(N_TRAIN, WORK, seed=0, prefix="train")
-    if not glob.glob(os.path.join(shard_dir, "val*.tar")):
-        make_standin_jpegs(N_VAL, WORK, seed=1, prefix="val")
+    ensure_standin_dataset(WORK, N_TRAIN, N_VAL)
 
 
 def _default_chunk() -> int:

@@ -79,14 +79,29 @@ def make_standin_jpegs(n: int, out_dir: str, seed: int, prefix: str) -> list[str
     return sorted(os.listdir(shard_dir))
 
 
+def ensure_standin_dataset(work: str = WORK, n_train: int = N_TRAIN,
+                           n_val: int = N_VAL) -> None:
+    """Create any MISSING split of the stand-in tar dataset (shared by every
+    bench that uses WORK). Checks per-split shard presence, not the directory:
+    an interrupted earlier run can leave train shards without val shards, and
+    the folder's mere existence would then skip creation and fail downstream
+    (ADVICE r4; truncation is handled by write_tar_shards' atomic rename)."""
+    import glob
+
+    shard_dir = os.path.join(work, "imagenet")
+    if not glob.glob(os.path.join(shard_dir, "train*.tar")):
+        make_standin_jpegs(n_train, work, seed=0, prefix="train")
+    if not glob.glob(os.path.join(shard_dir, "val*.tar")):
+        make_standin_jpegs(n_val, work, seed=1, prefix="val")
+
+
 def main() -> int:
     report: dict = {"host_cpus": os.cpu_count()}
 
     # ---- A. stand-in dataset ------------------------------------------------
-    if not os.path.exists(os.path.join(WORK, "imagenet")):
-        t0 = time.perf_counter()
-        make_standin_jpegs(N_TRAIN, WORK, seed=0, prefix="train")
-        make_standin_jpegs(N_VAL, WORK, seed=1, prefix="val")
+    t0 = time.perf_counter()
+    ensure_standin_dataset()
+    if time.perf_counter() - t0 > 1.0:
         report["t_dataset_build_s"] = round(time.perf_counter() - t0, 1)
     print(f"dataset at {WORK}/imagenet: "
           f"{len(os.listdir(os.path.join(WORK, 'imagenet')))} files")

@@ -653,7 +653,12 @@ def write_tar_shards(
     out_paths = []
     for s in range(0, len(paths), shard_size):
         op = os.path.join(out_dir, f"{prefix}-{s // shard_size:05d}.tar")
-        with tarfile.open(op, "w") as tf:
+        # write to a temp name and rename on completion: tarfile.open creates
+        # the file immediately, so a process killed mid-write would otherwise
+        # leave a truncated shard that satisfies existence globs but fails at
+        # decode time (ADVICE r4)
+        tmp = op + ".tmp"
+        with tarfile.open(tmp, "w") as tf:
             for i in range(s, min(s + shard_size, len(paths))):
                 key = f"{i:08d}"
                 ext = os.path.splitext(paths[i])[1].lower() or ".jpg"
@@ -666,6 +671,7 @@ def write_tar_shards(
                 info = tarfile.TarInfo(key + ".cls")
                 info.size = len(cls)
                 tf.addfile(info, io.BytesIO(cls))
+        os.replace(tmp, op)
         out_paths.append(op)
     return out_paths
 

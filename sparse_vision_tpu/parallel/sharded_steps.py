@@ -203,6 +203,12 @@ def make_sharded_fused_train_step(
                 should_resample(step, dead_neurons_steps),
                 do_resample, no_resample, new_params, opt_state, dead_acc,
             )
+        else:
+            # rolling dead window for non-resampling variants (matches
+            # train/steps.make_sae_train_step's AuxK dead-revival fix)
+            dead_acc = jnp.where(
+                step % dead_neurons_steps == 0, jnp.ones_like(dead_acc), dead_acc
+            )
 
         if sae_model_name == "batch_topk_sae":
             # global threshold observation = min over chips of each chip's min

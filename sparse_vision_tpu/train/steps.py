@@ -98,6 +98,16 @@ def make_sae_train_step(
     ``aux_k > 0`` (TopK family only) adds the AuxK dead-revival loss
     (models/sae.topk_aux_loss), gated to the mature half of each dead-measurement
     window so a freshly-reset dead accumulator (all-True) never drives it.
+
+    Dead-accumulator semantics: resampling variants (sae_mlp) follow the
+    reference's measure/burn-in alternation (ops/resample.py). NON-resampling
+    variants reset the accumulator every ``dead_neurons_steps`` — a rolling
+    "has not fired in the current window" measurement (Gao et al. 2024 §A.2
+    define dead as not-fired-in-N-tokens). Without the reset the accumulator
+    is "never fired since step 0", which after a few hundred steps is a small
+    frozen set: AuxK then revives only those, while latents that fired early
+    and died later stay invisible to it — measured on the chip as the
+    batch_topk 75.7%-dead plateau (docs/CONVERGENCE.md round 4; fixed round 5).
     """
     last = last_stage or net.stage_names[-1]
     # the reference only resamples SaeMLP (reset_encoder_weights is a SaeMLP method;
@@ -161,6 +171,11 @@ def make_sae_train_step(
             new_params, opt_state, dead_acc = jax.lax.cond(
                 should_resample(step, dead_neurons_steps),
                 do_resample, no_resample, new_params, opt_state, dead_acc,
+            )
+        else:
+            # rolling dead window for non-resampling variants (see docstring)
+            dead_acc = jnp.where(
+                step % dead_neurons_steps == 0, jnp.ones_like(dead_acc), dead_acc
             )
 
         if sae_model_name == "batch_topk_sae":
@@ -234,7 +249,8 @@ def make_sae_train_step_from_acts(
 
     ``aux_k > 0`` (TopK family only) adds the AuxK dead-revival loss on top of
     whichever selection engine runs (stock, fast gather, radix cutoff) — see
-    make_sae_train_step."""
+    make_sae_train_step. Non-resampling variants use the rolling dead window
+    (reset every dead_neurons_steps; see make_sae_train_step's docstring)."""
     can_resample = sae_model_name == "sae_mlp"
     aux_on = aux_k > 0 and sae_model_name in ("topk_sae", "batch_topk_sae")
     if fused and sae_model_name not in (
@@ -359,6 +375,12 @@ def make_sae_train_step_from_acts(
             new_params, opt_state, dead_acc = jax.lax.cond(
                 should_resample(step, dead_neurons_steps),
                 do_resample, no_resample, new_params, opt_state, dead_acc,
+            )
+        else:
+            # rolling dead window for non-resampling variants (see
+            # make_sae_train_step's docstring; the AuxK dead-revival fix)
+            dead_acc = jnp.where(
+                step % dead_neurons_steps == 0, jnp.ones_like(dead_acc), dead_acc
             )
         if sae_model_name == "batch_topk_sae":
             new_params = {

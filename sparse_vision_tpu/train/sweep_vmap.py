@@ -229,6 +229,12 @@ def make_sae_sweep_step(
                 should_resample(step, dead_neurons_steps),
                 do_resample, no_resample, params, opt_state, dead_acc,
             )
+        else:
+            # rolling dead window for non-resampling variants (matches
+            # train/steps.make_sae_train_step's AuxK dead-revival fix)
+            dead_acc = jnp.where(
+                step % dead_neurons_steps == 0, jnp.ones_like(dead_acc), dead_acc
+            )
         return SweepState(params, opt_state, step, dead_acc, rngs), m
 
     return step_fn

@@ -508,3 +508,40 @@ def test_batch_topk_cached_run_calibrates_threshold(tmp_path):
         pipe.ts.params, jnp.asarray(np.asarray(tok, np.float32)), cfg.sae_topk
     ))
     assert abs(thr - expect) < 1e-5, (thr, expect)
+
+
+def test_dead_window_resets_for_non_resampling_variants():
+    """Rolling dead measurement (the round-5 AuxK dead-revival fix): for
+    non-resampling variants the accumulator resets every dead_neurons_steps,
+    so a latent that fired in an EARLIER window but not in the current one
+    counts dead again — AuxK can target latents that die after early firing
+    (Gao et al. 2024 §A.2 define dead as not-fired-in-N-tokens, a rolling
+    property, not fired-never-since-step-0)."""
+    import optax
+
+    from sparse_vision_tpu.train.steps import (
+        init_sae_train_state,
+        make_sae_train_step_from_acts,
+    )
+
+    d, ef, n = 8, 2, 4
+    h = d * ef
+    params = init_sae("batch_topk_sae", jax.random.key(0), d, ef)
+    tx = optax.adam(0.0)  # frozen params: only the accumulator dynamics matter
+    ts = init_sae_train_state(params, tx, h)
+    step = make_sae_train_step_from_acts("batch_topk_sae", 0.0, tx, n, ef, topk=2)
+
+    x = jax.random.normal(jax.random.key(1), (4, d))  # 4*k=8 slots < h=16
+    fired_w1 = fired_w2 = None
+    for i in range(2 * n - 1):
+        ts, _ = step(ts, x)
+        if int(ts.step) == n - 1:
+            fired_w1 = ~np.asarray(ts.dead_acc)  # latents that fired in window 1
+        if int(ts.step) == n:
+            # reset boundary: the accumulator starts the new window all-True
+            assert bool(np.all(np.asarray(ts.dead_acc)))
+    fired_w2 = ~np.asarray(ts.dead_acc)  # step 2n-1: window 2, pre-boundary
+    assert fired_w1 is not None and fired_w1.any() and not fired_w1.all()
+    # same data, frozen params -> the same latents fire again within window 2;
+    # the measurement is per-window, not since-step-0
+    np.testing.assert_array_equal(fired_w2, fired_w1)
