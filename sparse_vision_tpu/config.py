@@ -204,6 +204,20 @@ class RunConfig:
     # eval step materializes the [B*H*W, latents] matrix — at 16k latents that is
     # ~13 GB for a 256-image conv batch, so large-latent evals need a smaller batch
     eval_batch_size: int = 0
+    # input normalization for SAE-family training ("none" | "rms"): "rms"
+    # divides every token by the cache's sqrt(mean(x^2)) (per layer; recorded in
+    # the cache meta as token_rms) before the dictionary and rescales the
+    # reconstruction before the splice, so lambda/lr recipes transfer across
+    # activation distributions. Vision taps vary by ORDERS OF MAGNITUDE across
+    # layers (measured here: mixed3a std ~3.3 vs mixed4e std ~0.003 on the
+    # stand-in backbone) and the crosscoder's cat space mixes them in one loss —
+    # per-layer RMS normalization is the standard SAE-practice fix (Anthropic
+    # crosscoders; saprmarks/dictionary_learning "normalize_activations").
+    # Requires use_activation_cache (the scale comes from the cache) and is
+    # incompatible with overlap_dump_train (the scale is only known once the
+    # dump finishes). Reported rec/l1/rmse metrics are in NORMALIZED units;
+    # KLD/%same/loss_diff splice at the raw scale (exact rescale).
+    sae_input_norm: str = "none"
     # edge-IE (compute_ie="3") feature count per layer: the top-|node IE| features
     # enter the edge matrices (the reference hand-lists indices instead,
     # compute_ie.py:81-88). Production scale is hundreds/layer (bench_ie.py

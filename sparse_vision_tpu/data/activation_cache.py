@@ -101,9 +101,18 @@ class _ShardWriter:
         self.shard_idx = 0
         self.total = 0
         self.dim: Optional[int] = None
+        self.sumsq = 0.0  # running sum of squared entries -> meta["token_rms"]
+        self.sumsq_n = 0
 
     def add(self, tok: np.ndarray) -> None:
         self.dim = tok.shape[1]
+        # token-RMS statistic of the TRUE values (before int8 quantization):
+        # sqrt(mean(x^2)) over all entries — the per-layer input scale
+        # sae_input_norm="rms" training divides by (config.py). BLAS dot keeps
+        # this a negligible share of the dump (decode-bound on this host).
+        flat = np.ascontiguousarray(tok, dtype=np.float32).ravel()
+        self.sumsq += float(np.dot(flat, flat))
+        self.sumsq_n += flat.size
         self.buf.append(tok)
         self.buffered += tok.shape[0]
         self._flush(final=False)
@@ -165,6 +174,7 @@ class _ShardWriter:
             "total_tokens": int(self.total),
             "shard_tokens": int(self.shard_tokens),
             "dtype": dtype_name,
+            "token_rms": float(np.sqrt(self.sumsq / max(self.sumsq_n, 1))),
         }
         with open(os.path.join(self.out_dir, "meta.json"), "w") as f:
             json.dump(meta, f, indent=1)
@@ -440,6 +450,27 @@ class ActivationCache:
         if i not in self._scales:
             self._scales[i] = np.load(_scale_path(self.shard_paths[i]))
         return self._scales[i]
+
+    @property
+    def token_rms(self) -> float:
+        """sqrt(mean(x^2)) over the cached tokens — the per-layer input scale
+        that ``sae_input_norm="rms"`` training divides by. Dumps record it in
+        meta.json; for caches written before the field existed it is computed
+        once from the first shard (statistically equivalent at >=64k tokens)
+        and persisted back."""
+        if "token_rms" not in self.meta:
+            a = np.asarray(self._load(0), dtype=np.float32)
+            if self.quantized:
+                a = dequantize_int8(a, self.scale(0))
+            flat = a.ravel()
+            self.meta["token_rms"] = float(
+                np.sqrt(np.dot(flat, flat) / max(flat.size, 1))
+            )
+            tmp = os.path.join(self.dir, "meta.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(self.meta, f, indent=1)
+            os.replace(tmp, os.path.join(self.dir, "meta.json"))
+        return float(self.meta["token_rms"])
 
     def _load(self, i: int) -> np.ndarray:
         raw = np.load(self.shard_paths[i], mmap_mode="r")

@@ -223,6 +223,7 @@ def make_crosscoder_eval_step(
     expansion_factor: int,
     criterion,
     last_stage: Optional[str] = None,
+    input_scales: Optional[tuple] = None,
 ):
     """Eval step for the crosscoder-spliced model, shaped exactly like
     make_sae_eval_step's output so Pipeline.eval_modified consumes it unchanged.
@@ -234,18 +235,30 @@ def make_crosscoder_eval_step(
     apply_segment(after=layers[-1]). ``layers`` must be in network depth order
     (validated by train_crosscoder_cached). ``var_expl`` reports the deepest
     layer (the spliced quantity); rec/nrmse follow the loss convention
-    (models/crosscoder.crosscoder_loss_terms)."""
+    (models/crosscoder.crosscoder_loss_terms).
+
+    ``input_scales`` (sae_input_norm="rms"): per-layer ``token_rms`` values in
+    ``layers`` order — required for the crosscoder at heterogeneous layer
+    scales (config.py: mixed4a..4e tap RMS spans ~100x; unnormalized, the
+    summed MSE is dominated by the largest-scale layer and one lambda cannot
+    fit all). The splice rescales the deepest reconstruction back to raw."""
     last = last_stage or net.stage_names[-1]
     deepest = layers[-1]
+    invs = (None if input_scales is None
+            else tuple(float(1.0 / s) for s in input_scales))
 
     @jax.jit
     def step_fn(params: dict, frozen_params: dict, frozen_state: dict,
                 images: jax.Array, labels: jax.Array):
         logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
         acts = tuple(taps[l] for l in layers)
+        if invs is not None:
+            acts = tuple(a * i for a, i in zip(acts, invs))
         out = crosscoder_inference_and_loss(params, acts, lambda_sparse)
+        deep_raw = (out["decoded"][-1] if invs is None
+                    else out["decoded"][-1] * float(input_scales[-1]))
         logits_mod = net.apply_segment(
-            frozen_params, out["decoded"][-1], after=deepest, upto=last,
+            frozen_params, deep_raw, after=deepest, upto=last,
             state=frozen_state,
         )
         loss_mod = criterion(logits_mod, labels)
@@ -267,8 +280,10 @@ def make_crosscoder_eval_step(
             "sae_aux_loss": out["aux_loss"],
             "sparsity": sparsity,
             # variance explained of the SPLICED (deepest) layer's activation
+            # (on the same basis the crosscoder reconstructs — acts are
+            # normalized under sae_input_norm="rms"; var_expl is scale-free)
             "var_expl": metrics.variance_explained(
-                taps[deepest], out["decoded"][-1]
+                acts[-1], out["decoded"][-1]
             ),
         }
         arrays = {
@@ -418,6 +433,18 @@ def train_crosscoder_cached(pipe) -> Optional[dict]:
             cfg.sae_lambda_sparse, pipe.tx, cfg.dead_neurons_steps,
             cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
         )
+    if cfg.sae_input_norm != "none":
+        # sae_input_norm="rms": per-layer token-RMS normalization — REQUIRED
+        # at heterogeneous layer scales (train/crosscoder.make_crosscoder_
+        # eval_step docstring; Pipeline.input_scale_for)
+        _base_step = step_fn
+        _invs = tuple(float(1.0 / pipe.input_scale_for(l)) for l in layers)
+
+        @jax.jit
+        def step_fn(ts, xs):
+            return _base_step(ts, tuple(
+                x.astype(jnp.float32) * i for x, i in zip(xs, _invs)))
+
     multi_fn = make_crosscoder_multi_step(step_fn)
     scan_k = pipe.CACHE_SCAN_K
     start = cfg.sae_checkpoint_epoch

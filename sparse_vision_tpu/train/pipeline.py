@@ -67,6 +67,7 @@ class Pipeline:
         (train/multilayer.py) share one dataset instance instead of re-reading it;
         dataset objects are read-only after construction (data/datasets.py)."""
         self.cfg = cfg
+        self.validate_input_norm(cfg)
         self.paths = folder_paths(cfg)
         self.run_id = run_id(cfg)
         self.logger = logger or RunLogger(
@@ -224,6 +225,56 @@ class Pipeline:
         )
         print(f"Resumed SAE from checkpoint epoch {epoch} (train step {int(self.ts.step)}).")
 
+    @staticmethod
+    def validate_input_norm(cfg) -> None:
+        """Pure-config part of the sae_input_norm contract — called from
+        __init__ so misconfiguration fails BEFORE any dump thread starts
+        (raising with a device-active daemon thread risks the tunnel wedge,
+        train/crosscoder.py)."""
+        if cfg.sae_input_norm == "none":
+            return
+        if cfg.sae_input_norm != "rms":
+            raise ValueError(f"sae_input_norm must be 'none' or 'rms', got "
+                             f"{cfg.sae_input_norm!r}")
+        if not cfg.use_activation_cache:
+            raise ValueError("sae_input_norm='rms' requires "
+                             "use_activation_cache=True (the scale is a cache "
+                             "statistic)")
+        if cfg.overlap_dump_train:
+            raise ValueError("sae_input_norm='rms' is incompatible with "
+                             "overlap_dump_train (the scale is only known once "
+                             "the dump finishes)")
+        if cfg.sae_e2e_finetune_epochs > 0:
+            raise ValueError("sae_input_norm='rms' does not support the e2e KL "
+                             "finetune yet (its splice step is scale-unaware); "
+                             "run the finetune on a sae_input_norm='none' run")
+
+    def input_scale_for(self, layer: str):
+        """The layer's input-normalization scale, or None when off.
+
+        ``sae_input_norm="rms"``: the dictionary trains on ``x / token_rms`` of
+        the layer's activation cache and the eval splice rescales the
+        reconstruction back (config.py rationale: vision tap scales span orders
+        of magnitude across layers, so lambda/lr recipes only transfer on a
+        normalized basis). The scale is a CACHE statistic — deterministic given
+        the dump — so checkpoints/resume need no extra state."""
+        cfg = self.cfg
+        if cfg.sae_input_norm == "none":
+            return None
+        self.validate_input_norm(cfg)
+        if not hasattr(self, "_input_scales"):
+            self._input_scales = {}
+        if layer not in self._input_scales:
+            from sparse_vision_tpu.data.activation_cache import ActivationCache
+
+            cache_dir = self._cache_dir(layer)
+            if not os.path.exists(os.path.join(cache_dir, "meta.json")):
+                raise ValueError(
+                    f"sae_input_norm='rms' needs the {layer} activation cache "
+                    f"at {cache_dir} (train first, or dump the cache)")
+            self._input_scales[layer] = ActivationCache(cache_dir).token_rms
+        return self._input_scales[layer]
+
     def _recalibrate_batch_topk(self, cache, tps: int) -> None:
         """Replace the EMA-estimated batch-topk inference threshold with the
         paper's deployment conversion at the CONVERGED params: the T*k-th
@@ -236,7 +287,11 @@ class Pipeline:
         )))
         if isinstance(tok, tuple):  # int8 device-dequant pairs never reach here
             tok = tok[0]
-        tok = jnp.asarray(np.asarray(tok, np.float32))
+        tok = np.asarray(tok, np.float32)
+        scale = self.input_scale_for(self.cfg.sae_layer)
+        if scale is not None:  # threshold lives in the normalized space
+            tok = tok / np.float32(scale)
+        tok = jnp.asarray(tok)
         thr = calibrate_batch_topk_threshold(self.ts.params, tok, self.cfg.sae_topk)
         old = float(jax.device_get(self.ts.params["threshold"]))
         self.ts = self.ts._replace(
@@ -614,6 +669,18 @@ class Pipeline:
             def _put_tokens(arr, token_axis):
                 return jnp.asarray(arr)
 
+        input_scale = self.input_scale_for(cfg.sae_layer)
+        if input_scale is not None:
+            # sae_input_norm="rms": the dictionary trains on x / token_rms; the
+            # multiply composes with every engine above ((ts, act)-shaped) and
+            # with the int8 device-dequant wrappers built from this step below
+            _base_step = step_fn
+            _inv = float(1.0 / input_scale)
+
+            @jax.jit
+            def step_fn(ts, act):
+                return _base_step(ts, act.astype(jnp.float32) * _inv)
+
         multi_fn = make_sae_train_multi_step(step_fn)
         # int8 cache: blocks arrive as (int8, scale) pairs and dequantize ON DEVICE
         # (half the host->device bytes of bf16); the overlapped first epoch's
@@ -735,7 +802,21 @@ class Pipeline:
             str(v) for v in sae_params_no_epochs(self.cfg).values()
         )
         folder = self.paths["sae_weights"]
-        path = save_sae_weights(self.ts.params, folder, file_name=f"{name}_model_weights")
+        params = self.ts.params
+        if self.cfg.sae_input_norm != "none":
+            # the dictionary operates on x / token_rms — persist the scale(s)
+            # alongside the weights so any consumer can reproduce the splice
+            if self.cfg.sae_model_name == "crosscoder":
+                scales = [self.input_scale_for(l)
+                          for l in self.crosscoder_all_layers]
+            elif self.cfg.sae_model_name == "transcoder":
+                scales = [self.input_scale_for(self.cfg.sae_layer),
+                          self.input_scale_for(self.cfg.transcoder_target_layer)]
+            else:
+                scales = [self.input_scale_for(self.cfg.sae_layer)]
+            params = {**params,
+                      "input_scale": jnp.asarray(scales, jnp.float32)}
+        path = save_sae_weights(params, folder, file_name=f"{name}_model_weights")
         try:
             import torch
 
@@ -764,10 +845,16 @@ class Pipeline:
                     make_transcoder_eval_step,
                 )
 
+                tc_scales = None
+                if cfg.sae_input_norm != "none":
+                    tc_scales = (
+                        self.input_scale_for(cfg.sae_layer),
+                        self.input_scale_for(cfg.transcoder_target_layer),
+                    )
                 self._sae_eval_step_cache = make_transcoder_eval_step(
                     self.net, cfg.sae_layer, cfg.transcoder_target_layer,
                     cfg.sae_lambda_sparse, cfg.sae_expansion_factor,
-                    self.criterion,
+                    self.criterion, input_scales=tc_scales,
                 )
                 return self._sae_eval_step_cache
             if cfg.sae_model_name == "crosscoder":
@@ -775,10 +862,16 @@ class Pipeline:
                     make_crosscoder_eval_step,
                 )
 
+                cc_scales = None
+                if cfg.sae_input_norm != "none":
+                    cc_scales = tuple(
+                        self.input_scale_for(l)
+                        for l in self.crosscoder_all_layers
+                    )
                 self._sae_eval_step_cache = make_crosscoder_eval_step(
                     self.net, self.crosscoder_all_layers,
                     cfg.sae_lambda_sparse, cfg.sae_expansion_factor,
-                    self.criterion,
+                    self.criterion, input_scales=cc_scales,
                 )
                 return self._sae_eval_step_cache
             self._sae_eval_step_cache = make_sae_eval_step(
@@ -786,6 +879,7 @@ class Pipeline:
                 cfg.sae_expansion_factor, self.criterion, topk=cfg.sae_topk, topk_approx=cfg.sae_topk_approx,
                 jumprelu_bandwidth=cfg.jumprelu_bandwidth,
                 matryoshka_prefixes=cfg.matryoshka_prefix_fractions,
+                input_scale=self.input_scale_for(cfg.sae_layer),
             )
         return self._sae_eval_step_cache
 

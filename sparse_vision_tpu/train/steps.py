@@ -466,16 +466,25 @@ def make_sae_eval_step(
     topk_approx: bool = False,
     jumprelu_bandwidth: float = 1e-3,
     matryoshka_prefixes: tuple = (0.0625, 0.25, 1.0),
+    input_scale: Optional[float] = None,
 ):
     """Eval step for the modified (SAE-spliced) model: all reference eval-epoch
-    quantities for one batch (model_pipeline.py:661-714 + 806-878)."""
+    quantities for one batch (model_pipeline.py:661-714 + 806-878).
+
+    ``input_scale`` (sae_input_norm="rms"): the SAE consumes ``act / scale``
+    and the splice rescales the reconstruction back, so KLD/%same/loss_diff
+    are raw-exact while rec/l1/rmse report on the normalized basis the
+    dictionary was trained on (var_expl/NRMSE/sparsity are scale-invariant)."""
     last = last_stage or net.stage_names[-1]
+    inv = None if input_scale is None else float(1.0 / input_scale)
 
     @jax.jit
     def step_fn(sae_params: dict, frozen_params: dict, frozen_state: dict,
                 images: jax.Array, labels: jax.Array):
         logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
         act = taps[sae_layer]
+        if inv is not None:
+            act = act * inv
         out = sae_inference_and_loss(
             sae_model_name, sae_params, act, lambda_sparse, topk=topk, topk_approx=topk_approx,
             jumprelu_bandwidth=jumprelu_bandwidth,
@@ -484,8 +493,10 @@ def make_sae_eval_step(
             # scalar threshold instead of batch-level selection)
             training=False,
         )
+        decoded_raw = (out["decoded"] if inv is None
+                       else out["decoded"] * float(input_scale))
         logits_mod = net.apply_segment(
-            frozen_params, out["decoded"], after=sae_layer, upto=last, state=frozen_state
+            frozen_params, decoded_raw, after=sae_layer, upto=last, state=frozen_state
         )
         loss_mod = criterion(logits_mod, labels)
         loss_orig = criterion(logits_orig, labels)

@@ -516,6 +516,15 @@ def train_sae_sweep_cached(
         fused=fused,
         fused_opts=fused_opts,
     )
+    if base_cfg.sae_input_norm != "none":
+        # sae_input_norm="rms": one shared scale (all combos read one cache)
+        _base_step = step_fn
+        _inv = float(1.0 / p0.input_scale_for(base_cfg.sae_layer))
+
+        @jax.jit
+        def step_fn(ss, act):
+            return _base_step(ss, act.astype(jnp.float32) * _inv)
+
     # one jitted multi-step dispatch per scan block; the wrapper is carry-type
     # agnostic, so the SweepState rides the same scan/donate machinery as a
     # single run (train/steps.make_sae_train_multi_step)
@@ -687,6 +696,16 @@ def train_transcoder_sweep_cached(
         base_cfg.dead_neurons_steps,
         base_cfg.sae_expansion_factor,
     )
+    if base_cfg.sae_input_norm != "none":
+        _base_step = step_fn
+        _inv_in = float(1.0 / p0.input_scale_for(base_cfg.sae_layer))
+        _inv_tgt = float(1.0 / p0.input_scale_for(tgt))
+
+        @jax.jit
+        def step_fn(ss, x, y):
+            return _base_step(ss, x.astype(jnp.float32) * _inv_in,
+                              y.astype(jnp.float32) * _inv_tgt)
+
     multi_fn = make_transcoder_multi_step(step_fn)
     ss = stack_sae_states([p.ts for p in pipes])
 
@@ -881,6 +900,15 @@ def train_crosscoder_sweep_cached(
         base_cfg.dead_neurons_steps,
         base_cfg.sae_expansion_factor,
     )
+    if base_cfg.sae_input_norm != "none":
+        _base_step = step_fn
+        _invs = tuple(float(1.0 / p0.input_scale_for(l)) for l in layers)
+
+        @jax.jit
+        def step_fn(ss, xs):
+            return _base_step(ss, tuple(
+                x.astype(jnp.float32) * i for x, i in zip(xs, _invs)))
+
     multi_fn = make_crosscoder_multi_step(step_fn)
     ss = stack_sae_states([p.ts for p in pipes])
 

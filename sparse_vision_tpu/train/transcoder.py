@@ -218,13 +218,23 @@ def make_transcoder_eval_step(
     expansion_factor: int,
     criterion,
     last_stage: Optional[str] = None,
+    input_scales: Optional[tuple] = None,
 ):
     """Eval step for the transcoder-spliced model, shaped exactly like
     make_sae_eval_step's output so Pipeline.eval_modified consumes it unchanged.
 
     The modified model SKIPS the segment (in_layer, tgt_layer]: logits_mod =
-    backbone-to-in_layer -> transcoder -> apply_segment(after=tgt_layer)."""
+    backbone-to-in_layer -> transcoder -> apply_segment(after=tgt_layer).
+
+    ``input_scales`` (sae_input_norm="rms"): ``(rms_in, rms_tgt)`` — the
+    transcoder consumes ``act_in / rms_in``, predicts the target on the
+    ``/ rms_tgt`` basis, and the splice rescales the prediction back, so
+    KLD/%same/loss_diff stay raw-exact (train/steps.make_sae_eval_step)."""
     last = last_stage or net.stage_names[-1]
+    inv_in = inv_tgt = None
+    if input_scales is not None:
+        inv_in = float(1.0 / input_scales[0])
+        inv_tgt = float(1.0 / input_scales[1])
 
     @jax.jit
     def step_fn(params: dict, frozen_params: dict, frozen_state: dict,
@@ -232,9 +242,14 @@ def make_transcoder_eval_step(
         logits_orig, taps, _ = net.apply(frozen_params, images, state=frozen_state)
         act_in = taps[in_layer]
         act_tgt = taps[tgt_layer]
+        if inv_in is not None:
+            act_in = act_in * inv_in
+            act_tgt = act_tgt * inv_tgt
         out = transcoder_inference_and_loss(params, act_in, act_tgt, lambda_sparse)
+        decoded_raw = (out["decoded"] if inv_tgt is None
+                       else out["decoded"] * float(input_scales[1]))
         logits_mod = net.apply_segment(
-            frozen_params, out["decoded"], after=tgt_layer, upto=last,
+            frozen_params, decoded_raw, after=tgt_layer, upto=last,
             state=frozen_state,
         )
         loss_mod = criterion(logits_mod, labels)
@@ -378,6 +393,18 @@ def train_transcoder_cached(pipe) -> Optional[dict]:
             cfg.sae_lambda_sparse, pipe.tx, cfg.dead_neurons_steps,
             cfg.sae_expansion_factor, fused=fused, fused_opts=fused_opts,
         )
+    if cfg.sae_input_norm != "none":
+        # sae_input_norm="rms": read on the /rms_in basis, predict on the
+        # /rms_tgt basis (Pipeline.input_scale_for; eval rescales the splice)
+        _base_step = step_fn
+        _inv_in = float(1.0 / pipe.input_scale_for(cfg.sae_layer))
+        _inv_tgt = float(1.0 / pipe.input_scale_for(tgt))
+
+        @jax.jit
+        def step_fn(ts, x, y):
+            return _base_step(ts, x.astype(jnp.float32) * _inv_in,
+                              y.astype(jnp.float32) * _inv_tgt)
+
     multi_fn = make_transcoder_multi_step(step_fn)
     scan_k = pipe.CACHE_SCAN_K
     start = cfg.sae_checkpoint_epoch
