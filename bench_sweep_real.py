@@ -116,9 +116,17 @@ def run_sweep(name: str, grid: tuple, overrides: dict) -> dict:
         return orig(self, epoch, store=store, final=final, **kw)
 
     plmod.Pipeline.eval_modified = skipping
+    # Vmapping every EF-64 combo at once risks the same HBM exhaustion the
+    # r5 crosscoder heal sweep hit (run_crosscoder_heal.py) — group combos;
+    # the cache is shared, so each extra group costs one compile at most.
+    group = int(os.environ.get(
+        "SWEEP_GROUP", "2" if jax.default_backend() != "cpu" else "0"))
+    group = group or len(combos)
     t0 = time.perf_counter()
+    evals = []
     try:
-        evals = train_sae_sweep_cached(cfg, combos)
+        for i in range(0, len(combos), group):
+            evals.extend(train_sae_sweep_cached(cfg, combos[i:i + group]))
     finally:
         plmod.Pipeline.eval_modified = orig
     wall = time.perf_counter() - t0

@@ -28,7 +28,7 @@ STEPS = [
      None),
     ("heal_sweep", [sys.executable, "run_crosscoder_heal.py"], 9000,
      {"HEAL_PHASE": "sweep"}),
-    ("flagship_registry", [sys.executable, "run_flagship.py"], 7200,
+    ("flagship_registry", [sys.executable, "run_flagship.py"], 10800,
      {"FLAG_ONLY": "registry"}),
     ("flagship_northstar", [sys.executable, "run_flagship.py"], 7200,
      {"FLAG_ONLY": "northstar"}),

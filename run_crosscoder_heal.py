@@ -52,7 +52,10 @@ WORK = os.environ.get("NORTHSTAR_DIR", "/tmp/northstar")
 RUNS = os.path.join(WORK, "runs_cc_r5")
 GRID = [float(x) for x in os.environ.get("HEAL_GRID", "0.2,0.5,1.5,5,15").split(",")]
 SWEEP_EPOCHS = int(os.environ.get("HEAL_SWEEP_EPOCHS", "6"))
-FULL_EPOCHS = int(os.environ.get("HEAL_FULL_EPOCHS", "32"))
+# 16 epochs = 12.9M tokens: half the r4 conv-row budget, chosen to fit the
+# round-5 chip window (r4 measured ~590 s/epoch for the 5-layer cat stream;
+# the collapse-vs-healthy contrast shows up within the first epochs)
+FULL_EPOCHS = int(os.environ.get("HEAL_FULL_EPOCHS", "16"))
 EF = int(os.environ.get("HEAL_EF", "16"))
 TPS = int(os.environ.get("HEAL_TPS", "16384"))
 N_IMAGES = int(os.environ.get("HEAL_IMAGES", "4096"))
@@ -131,10 +134,19 @@ def phase_a_sweep() -> float:
     ensure_standin_dataset(WORK, N_IMAGES, max(N_IMAGES // 8, 8))
     base = base_cfg(SWEEP_EPOCHS, GRID[0])
     overrides = [{"sae_lambda_sparse": l} for l in GRID]
+    # Five 8,192-latent crosscoders vmapped at once RESOURCE_EXHAUSTED the
+    # v5e's HBM (measured r5: params+adam ~570MB/combo but the [tps, h]
+    # code transients dominate) — sweep in groups; caches are shared so the
+    # only per-group cost is one compile per distinct group size.
+    group = int(os.environ.get(
+        "HEAL_SWEEP_GROUP", "2" if jax.default_backend() != "cpu" else "0"))
+    group = group or len(overrides)
     orig = _patch_eval_final_only(plmod)
     t0 = time.perf_counter()
+    evals = []
     try:
-        evals = train_crosscoder_sweep_cached(base, overrides)
+        for i in range(0, len(overrides), group):
+            evals.extend(train_crosscoder_sweep_cached(base, overrides[i:i + group]))
     finally:
         plmod.Pipeline.eval_modified = orig
     wall = time.perf_counter() - t0
@@ -286,10 +298,14 @@ def main() -> int:
     if os.environ.get("HEAL_SKIP_SWEEP"):
         lam = float(os.environ["HEAL_SKIP_SWEEP"])
     elif phase == "full":
-        # queue split: the sweep step ran earlier and recorded its pick
-        with open(os.path.join(DOCS, "crosscoder_lambda_sweep_r5.json")) as f:
-            lam = float(json.load(f)["best_lambda"])
-        print(f"phase B resuming with best lambda from sweep: {lam}")
+        # queue split: the sweep step ran earlier and recorded its pick; if it
+        # failed (e.g. the r5 HBM exhaustion before grouping), run it here
+        try:
+            with open(os.path.join(DOCS, "crosscoder_lambda_sweep_r5.json")) as f:
+                lam = float(json.load(f)["best_lambda"])
+            print(f"phase B resuming with best lambda from sweep: {lam}")
+        except FileNotFoundError:
+            print("phase B: no sweep artifact — running phase A first")
     if lam is None:
         lam = phase_a_sweep()
     if phase == "sweep":

@@ -100,18 +100,23 @@ def finish(name: str, payload: dict) -> None:
 
 
 # ---------------------------------------------------------------------------
-def phase_registry():
-    """Per-layer circuit SAEs at the registry hyperparameters (12 epochs cover
-    every registry checkpoint_epoch; evals only on the final epoch — the
-    per-epoch CHECKPOINTS are what the circuit engine loads)."""
+def _registry_child(layer: str) -> None:
+    """Train ONE circuit layer's SAE to ITS registry checkpoint_epoch, resuming
+    from the latest checkpoint. Runs in its own subprocess: the axon client
+    leaks host RSS per epoch (CLAUDE.md), and 8 layers x 12 epochs in one
+    process OOMed the host in the first r5 attempt — per-layer children bound
+    the leak and make the phase resumable."""
     import sparse_vision_tpu.train.pipeline as plmod
-    from sparse_vision_tpu.interp.registry import CIRCUIT_LAYERS, LAYER_SAE_CONFIGS
-    from sparse_vision_tpu.train.multilayer import train_saes_multilayer
+    from sparse_vision_tpu.interp.registry import LAYER_SAE_CONFIGS, layer_ckpt_dir
+    from sparse_vision_tpu.train.checkpoint import latest_epoch
+    from sparse_vision_tpu.train.multilayer import layer_config
+    from sparse_vision_tpu.utils.paths import folder_paths
 
-    epochs = max(c.checkpoint_epoch for c in LAYER_SAE_CONFIGS.values())
-    if _IS_SMOKE:
-        epochs = 1
-    cfg = base_cfg(sae_epochs=epochs)
+    tgt = 1 if _IS_SMOKE else LAYER_SAE_CONFIGS[layer].checkpoint_epoch
+    cfg = layer_config(base_cfg(sae_epochs=tgt), layer)
+    ckpt_dir = layer_ckpt_dir(folder_paths(cfg)["checkpoints"], layer)
+    start = min(latest_epoch(ckpt_dir) or 0, tgt - 1)
+    cfg = dataclasses.replace(cfg, sae_checkpoint_epoch=start)
     orig = plmod.Pipeline.eval_modified
 
     def skipping(self, epoch, store=True, final=False, **kw):
@@ -122,16 +127,51 @@ def phase_registry():
     plmod.Pipeline.eval_modified = skipping
     t0 = time.perf_counter()
     try:
-        results = train_saes_multilayer(cfg, layers=list(CIRCUIT_LAYERS))
+        r = plmod.Pipeline(cfg).run()
     finally:
         plmod.Pipeline.eval_modified = orig
-    rows = {
-        layer: {"rec_loss": round(float(r["sae_rec_loss"]), 5),
-                "union_L0_rel": round(float(r["sparsity"]), 4),
-                "perc_dead": round(float(r["perc_dead_units"]), 4)}
-        for layer, r in results.items()
-    }
-    finish("registry", {"epochs": epochs, "layers": rows,
+    print(json.dumps({"registry_layer": layer, "row": {
+        "rec_loss": round(float(r["sae_rec_loss"]), 5),
+        "union_L0_rel": round(float(r["sparsity"]), 4),
+        "perc_dead": round(float(r["perc_dead_units"]), 4),
+        "epochs": tgt, "resumed_from": start,
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }}))
+
+
+def phase_registry():
+    """Per-layer circuit SAEs at the registry hyperparameters, each layer in a
+    bounded child subprocess trained to its OWN checkpoint_epoch (evals only on
+    the final epoch — the per-epoch CHECKPOINTS are what the circuit engine
+    loads). Rows accumulate in a partial file so re-runs skip finished layers."""
+    import subprocess
+
+    from sparse_vision_tpu.interp.registry import CIRCUIT_LAYERS
+
+    partial = os.path.join(DOCS, "_registry.rows.json")
+    rows = {}
+    if os.path.exists(partial) and not os.environ.get("FLAG_FORCE"):
+        with open(partial) as f:
+            rows = json.load(f)
+    t0 = time.perf_counter()
+    for layer in CIRCUIT_LAYERS:
+        if layer in rows:
+            print(f"[registry] {layer} row present — skipping")
+            continue
+        env = dict(os.environ, FLAG_CHILD_REGISTRY=layer)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, env=env)
+        sys.stdout.write(r.stdout[-1000:])
+        sys.stdout.flush()
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            raise RuntimeError(f"registry child {layer} rc={r.returncode}")
+        last = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("{") and '"registry_layer"' in ln][-1]
+        rows[layer] = json.loads(last)["row"]
+        with open(partial, "w") as f:
+            json.dump(rows, f, indent=1)
+    finish("registry", {"layers": rows,
                         "wall_s": round(time.perf_counter() - t0, 1)})
 
 
@@ -486,6 +526,9 @@ PHASES = [
 def main() -> int:
     from bench_northstar import ensure_standin_dataset
 
+    if os.environ.get("FLAG_CHILD_REGISTRY"):
+        _registry_child(os.environ["FLAG_CHILD_REGISTRY"])
+        return 0
     ensure_standin_dataset(WORK, N_IMAGES, max(N_IMAGES // 8, 8))
     only = os.environ.get("FLAG_ONLY", "")
     for name, fn in PHASES:
