@@ -46,7 +46,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 WORK = os.environ.get("NORTHSTAR_DIR", "/tmp/northstar")
-EPOCHS = int(os.environ.get("SWEEP_EPOCHS", "8"))
+EPOCHS = int(os.environ.get("SWEEP_EPOCHS", "6"))
 EF = int(os.environ.get("SWEEP_EF", "64"))
 TPS = int(os.environ.get("SWEEP_TPS", "32768"))
 BATCH = int(os.environ.get("SWEEP_BATCH", "256"))

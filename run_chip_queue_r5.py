@@ -23,17 +23,25 @@ import sys
 
 from run_chip_queue import run_step
 
+# Order = VERDICT-r4 priority (re-planned mid-round-5 after measuring step
+# rates: the original breadth-first order could not finish in the round's chip
+# window). heal_sweep ran standalone (docs/crosscoder_lambda_sweep_r5.json;
+# chip record in the JSONL) and flagship_registry resumes for free via its
+# partial-rows file, so re-running the queue stays cheap.
 STEPS = [
     ("probe", [sys.executable, "-c", "import jax; print(jax.devices())"], 360,
      None),
-    ("heal_sweep", [sys.executable, "run_crosscoder_heal.py"], 9000,
-     {"HEAL_PHASE": "sweep"}),
     ("flagship_registry", [sys.executable, "run_flagship.py"], 10800,
      {"FLAG_ONLY": "registry"}),
+    ("heal_full", [sys.executable, "run_crosscoder_heal.py"], 14400,
+     {"HEAL_PHASE": "full"}),
     ("flagship_northstar", [sys.executable, "run_flagship.py"], 7200,
      {"FLAG_ONLY": "northstar"}),
     ("flagship_mis", [sys.executable, "run_flagship.py"], 7200,
      {"FLAG_ONLY": "mis"}),  # also matches mis_orig: runs both MIS phases
+    ("conv_batch_topk", [sys.executable, "bench_convergence_variants.py"],
+     7200, {"CONV_ONLY": "batch_topk"}),
+    ("diag_batch_topk", [sys.executable, "diag_batch_topk.py"], 5400, None),
     ("flagship_ie", [sys.executable, "run_flagship.py"], 7200,
      {"FLAG_ONLY": "ie"}),
     ("flagship_probing", [sys.executable, "run_flagship.py"], 3600,
@@ -46,17 +54,12 @@ STEPS = [
      {"FLAG_ONLY": "finetune"}),
     ("flagship_steering", [sys.executable, "run_flagship.py"], 1800,
      {"FLAG_ONLY": "steering"}),
-    ("heal_full", [sys.executable, "run_crosscoder_heal.py"], 21600,
-     {"HEAL_PHASE": "full"}),
-    ("conv_batch_topk", [sys.executable, "bench_convergence_variants.py"],
-     7200, {"CONV_ONLY": "batch_topk"}),
-    ("diag_batch_topk", [sys.executable, "diag_batch_topk.py"], 5400, None),
     ("sweep_real_sae_mlp", [sys.executable, "bench_sweep_real.py"], 7200,
      {"SWEEP_ONLY": "sae_mlp"}),
-    ("sweep_real_jumprelu", [sys.executable, "bench_sweep_real.py"], 7200,
-     {"SWEEP_ONLY": "jumprelu"}),
     ("sweep_real_transcoder_rms", [sys.executable, "bench_sweep_real.py"],
      7200, {"SWEEP_ONLY": "transcoder_rms"}),
+    ("sweep_real_jumprelu", [sys.executable, "bench_sweep_real.py"], 7200,
+     {"SWEEP_ONLY": "jumprelu"}),
     ("sweep_real_transcoder_l1", [sys.executable, "bench_sweep_real.py"],
      7200, {"SWEEP_ONLY": "transcoder_l1"}),
     ("bench_headline", [sys.executable, "bench.py"], 1800, None),

@@ -40,7 +40,7 @@ import time
 
 from sparse_vision_tpu.utils.platform import pin_cpu_if_requested, probe_tpu_or_pin_cpu
 
-if not os.environ.get("HEAL_CHILD"):
+if not (os.environ.get("HEAL_CHILD") or os.environ.get("HEAL_SWEEP_CHILD")):
     probe_tpu_or_pin_cpu("run_crosscoder_heal")
 pin_cpu_if_requested()
 
@@ -52,10 +52,10 @@ WORK = os.environ.get("NORTHSTAR_DIR", "/tmp/northstar")
 RUNS = os.path.join(WORK, "runs_cc_r5")
 GRID = [float(x) for x in os.environ.get("HEAL_GRID", "0.2,0.5,1.5,5,15").split(",")]
 SWEEP_EPOCHS = int(os.environ.get("HEAL_SWEEP_EPOCHS", "6"))
-# 16 epochs = 12.9M tokens: half the r4 conv-row budget, chosen to fit the
-# round-5 chip window (r4 measured ~590 s/epoch for the 5-layer cat stream;
+# 12 epochs = 9.6M tokens: under half the r4 conv-row budget, chosen to fit
+# the round-5 chip window (r5 measured ~4 min per cat-space epoch-stream;
 # the collapse-vs-healthy contrast shows up within the first epochs)
-FULL_EPOCHS = int(os.environ.get("HEAL_FULL_EPOCHS", "16"))
+FULL_EPOCHS = int(os.environ.get("HEAL_FULL_EPOCHS", "12"))
 EF = int(os.environ.get("HEAL_EF", "16"))
 TPS = int(os.environ.get("HEAL_TPS", "16384"))
 N_IMAGES = int(os.environ.get("HEAL_IMAGES", "4096"))
@@ -125,7 +125,11 @@ def row_from_eval(ev: dict, lam: float, epochs: int, wall_s: float,
     }
 
 
-def phase_a_sweep() -> float:
+def _sweep_child(lo: int, hi: int) -> None:
+    """Train GRID[lo:hi] vmapped and print their final eval rows as JSON.
+    Runs in its own subprocess: one full sweep group leaked ~45 GB host RSS
+    (the axon transfer-payload leak), so three groups in one process OOM the
+    125 GB host — per-group children bound the leak like phase B's chunks."""
     import sparse_vision_tpu.train.pipeline as plmod
     from sparse_vision_tpu.train.sweep_vmap import train_crosscoder_sweep_cached
 
@@ -133,25 +137,58 @@ def phase_a_sweep() -> float:
 
     ensure_standin_dataset(WORK, N_IMAGES, max(N_IMAGES // 8, 8))
     base = base_cfg(SWEEP_EPOCHS, GRID[0])
-    overrides = [{"sae_lambda_sparse": l} for l in GRID]
-    # Five 8,192-latent crosscoders vmapped at once RESOURCE_EXHAUSTED the
-    # v5e's HBM (measured r5: params+adam ~570MB/combo but the [tps, h]
-    # code transients dominate) — sweep in groups; caches are shared so the
-    # only per-group cost is one compile per distinct group size.
-    group = int(os.environ.get(
-        "HEAL_SWEEP_GROUP", "2" if jax.default_backend() != "cpu" else "0"))
-    group = group or len(overrides)
+    overrides = [{"sae_lambda_sparse": l} for l in GRID[lo:hi]]
     orig = _patch_eval_final_only(plmod)
-    t0 = time.perf_counter()
-    evals = []
     try:
-        for i in range(0, len(overrides), group):
-            evals.extend(train_crosscoder_sweep_cached(base, overrides[i:i + group]))
+        evals = train_crosscoder_sweep_cached(base, overrides)
     finally:
         plmod.Pipeline.eval_modified = orig
+    for lam, ev in zip(GRID[lo:hi], evals):
+        print(json.dumps({"sweep_lambda": lam, "eval": {
+            k: float(ev[k])
+            for k in ("sae_rec_loss", "sparsity", "perc_dead_units", "var_expl")
+        }}))
+
+
+def phase_a_sweep() -> float:
+    # Five 8,192-latent crosscoders vmapped at once RESOURCE_EXHAUSTED the
+    # v5e's HBM (measured r5: params+adam ~570MB/combo but the [tps, h]
+    # code transients dominate) — sweep in groups, one bounded SUBPROCESS per
+    # group (HBM: small vmap width; host RSS: fresh client per group); the
+    # caches are shared so each group costs at most one compile.
+    group = int(os.environ.get(
+        "HEAL_SWEEP_GROUP", "2" if jax.default_backend() != "cpu" else "0"))
+    group = group or len(GRID)
+    partial_path = os.path.join(DOCS, "_heal_sweep.rows.json")
+    done_rows: dict = {}
+    if os.path.exists(partial_path):
+        with open(partial_path) as f:
+            done_rows = json.load(f)
+    t0 = time.perf_counter()
+    for i in range(0, len(GRID), group):
+        lams = GRID[i:i + group]
+        if all(str(l) in done_rows for l in lams):
+            print(f"sweep group {lams}: rows present — skipping")
+            continue
+        env = dict(os.environ, HEAL_SWEEP_CHILD=f"{i}:{i + group}",
+                   HEAL_PHASE="sweep")
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, env=env)
+        sys.stdout.write(r.stdout[-1500:])
+        sys.stdout.flush()
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-2000:])
+            raise RuntimeError(f"sweep group {lams} rc={r.returncode}")
+        for ln in r.stdout.splitlines():
+            if ln.startswith("{") and '"sweep_lambda"' in ln:
+                rec = json.loads(ln)
+                done_rows[str(rec["sweep_lambda"])] = rec["eval"]
+        with open(partial_path, "w") as f:
+            json.dump(done_rows, f, indent=1)
     wall = time.perf_counter() - t0
     rows = []
-    for lam, ev in zip(GRID, evals):
+    for lam in GRID:
+        ev = done_rows[str(lam)]
         r = {"lambda": lam, "rec_loss": round(float(ev["sae_rec_loss"]), 5),
              "union_L0": round(union_l0(ev), 1),
              "perc_dead": round(float(ev["perc_dead_units"]), 4),
@@ -289,8 +326,69 @@ def phase_c_diffing(lam: float) -> dict:
     return summary
 
 
+def phase_d_control(target_l0: float) -> dict:
+    """Dead-fraction A/B control: SINGLE-layer sae_mlp at the same latent
+    count (512*EF, the crosscoder anchor), same rms basis, same token budget,
+    on the mixed4a cache — a small vmapped lambda grid so one row can be
+    compared to the crosscoder AT MATCHED union L0. The r4 batch_topk lesson
+    (VERDICT r4 #2): a "stand-in data diversity" explanation for a dead
+    fraction is vacuous without a same-cache control. If the matched-L0
+    control lands near the crosscoder's dead%, the fraction is a property of
+    the deep-layer stand-in distribution; far below -> the crosscoder
+    objective's own concentration."""
+    import sparse_vision_tpu.train.pipeline as plmod
+    from sparse_vision_tpu.train.sweep_vmap import train_sae_sweep_cached
+
+    grid = [float(x) for x in os.environ.get(
+        "HEAL_CONTROL_GRID", "1,5,15").split(",")]
+    cfg = dataclasses.replace(
+        base_cfg(SWEEP_EPOCHS, grid[0]),
+        sae_model_name="sae_mlp", crosscoder_layers="",
+        sae_optimizer_name="constrained_adam",
+    )
+    overrides = [{"sae_lambda_sparse": l} for l in grid]
+    orig = _patch_eval_final_only(plmod)
+    t0 = time.perf_counter()
+    evals = []
+    try:
+        group = 2 if jax.default_backend() != "cpu" else len(overrides)
+        for i in range(0, len(overrides), group):
+            evals.extend(train_sae_sweep_cached(cfg, overrides[i:i + group]))
+    finally:
+        plmod.Pipeline.eval_modified = orig
+    rows = [{
+        "lambda": lam,
+        "rec_loss": round(float(ev["sae_rec_loss"]), 5),
+        "union_L0": round(union_l0(ev), 1),
+        "perc_dead": round(float(ev["perc_dead_units"]), 4),
+        "var_expl": round(float(ev["var_expl"]), 5),
+    } for lam, ev in zip(grid, evals)]
+    matched = min(rows, key=lambda r: abs(np.log10(max(r["union_L0"], 1e-3)
+                                                   / max(target_l0, 1e-3))))
+    out = {
+        "variant": "sae_mlp_mixed4a_control", "grid_rows": rows,
+        "latents": 512 * EF, "epochs": SWEEP_EPOCHS,
+        "tokens": int(SWEEP_EPOCHS * N_IMAGES * 196),
+        "crosscoder_union_L0": target_l0,
+        "matched_row": matched,
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "backend": jax.default_backend(), "input_norm": "rms",
+        "note": "single-layer dead-fraction control for the crosscoder row "
+                "(same anchor latent count / budget / rms basis; compare "
+                "matched_row at the crosscoder's union L0)",
+    }
+    with open(os.path.join(DOCS, "crosscoder_control_r5.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("control:", json.dumps(out))
+    return out
+
+
 def main() -> int:
     phase = os.environ.get("HEAL_PHASE", "all")
+    if os.environ.get("HEAL_SWEEP_CHILD"):
+        lo, hi = (int(x) for x in os.environ["HEAL_SWEEP_CHILD"].split(":"))
+        _sweep_child(lo, hi)
+        return 0
     if phase == "full" and os.environ.get("HEAL_CHILD"):
         phase_b_full(float(os.environ["HEAL_LAMBDA"]))
         return 0
@@ -310,8 +408,9 @@ def main() -> int:
         lam = phase_a_sweep()
     if phase == "sweep":
         return 0
-    phase_b_full(lam)
+    row_b = phase_b_full(lam)
     phase_c_diffing(lam)
+    phase_d_control(float(row_b.get("sparsity_L0") or 100.0))
     return 0
 
 

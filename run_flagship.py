@@ -54,7 +54,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 WORK = os.environ.get("NORTHSTAR_DIR", "/tmp/northstar")
 RUNS = os.path.join(WORK, "runs_flagship")
 EF = int(os.environ.get("FLAG_EF", "64"))
-EPOCHS = int(os.environ.get("FLAG_EPOCHS", "16"))
+# 8 epochs = 25.7M tokens — the r4 convergence-row protocol; chosen over the
+# 16-epoch/50M r3 north-star budget to fit the round-5 chip window (the 50M
+# trajectory itself is already committed in docs/NORTHSTAR.md)
+EPOCHS = int(os.environ.get("FLAG_EPOCHS", "8"))
 N_IMAGES = int(os.environ.get("FLAG_IMAGES", "4096"))
 TPS = int(os.environ.get("FLAG_TPS", "32768"))
 BATCH = int(os.environ.get("FLAG_BATCH", "256"))
@@ -176,12 +179,26 @@ def phase_registry():
 
 
 def phase_northstar():
+    import sparse_vision_tpu.train.pipeline as plmod
     from sparse_vision_tpu.train.pipeline import Pipeline
 
     cfg = base_cfg()
+    # per-epoch evals are backbone-forward heavy; the flagship needs the
+    # CHECKPOINTS (every phase restores epoch EPOCHS) and the final row
+    orig = plmod.Pipeline.eval_modified
+
+    def skipping(self, epoch, store=True, final=False, **kw):
+        if not final:
+            return None
+        return orig(self, epoch, store=store, final=final, **kw)
+
+    plmod.Pipeline.eval_modified = skipping
     t0 = time.perf_counter()
-    pipe = Pipeline(cfg)
-    res = pipe.run()
+    try:
+        pipe = Pipeline(cfg)
+        res = pipe.run()
+    finally:
+        plmod.Pipeline.eval_modified = orig
     finish("northstar", {
         "epochs": EPOCHS, "tokens": int(pipe.ts.step) * TPS,
         "rec_loss": round(float(res["sae_rec_loss"]), 5),
