@@ -28,34 +28,41 @@ from run_chip_queue import run_step
 # window). heal_sweep ran standalone (docs/crosscoder_lambda_sweep_r5.json;
 # chip record in the JSONL) and flagship_registry resumes for free via its
 # partial-rows file, so re-running the queue stays cheap.
+# Order = this session's value-per-chip-minute after the 2026-08-20 host
+# reboot wiped /tmp (caches/checkpoints/compile cache all regenerate): the
+# northstar checkpoint first (it unblocks mis/probing/report/viz/finetune/
+# steering — and MIS is VERDICT r4's only "Missing" item), then the crosscoder
+# heal full retrain (sweep artifact already committed), then the batch_topk
+# evidence pair, then the cheap flagship phases, then the long registry->ie
+# tail and the real-cache frontiers (first casualties if the window closes).
 STEPS = [
     ("probe", [sys.executable, "-c", "import jax; print(jax.devices())"], 360,
      None),
-    ("flagship_registry", [sys.executable, "run_flagship.py"], 10800,
-     {"FLAG_ONLY": "registry"}),
-    ("heal_full", [sys.executable, "run_crosscoder_heal.py"], 14400,
-     {"HEAL_PHASE": "full"}),
     ("flagship_northstar", [sys.executable, "run_flagship.py"], 7200,
      {"FLAG_ONLY": "northstar"}),
     ("flagship_mis", [sys.executable, "run_flagship.py"], 7200,
      {"FLAG_ONLY": "mis"}),  # also matches mis_orig: runs both MIS phases
+    ("heal_full", [sys.executable, "run_crosscoder_heal.py"], 10800,
+     {"HEAL_PHASE": "full"}),
+    ("diag_batch_topk", [sys.executable, "diag_batch_topk.py"], 5400, None),
     ("conv_batch_topk", [sys.executable, "bench_convergence_variants.py"],
      7200, {"CONV_ONLY": "batch_topk"}),
-    ("diag_batch_topk", [sys.executable, "diag_batch_topk.py"], 5400, None),
-    ("flagship_ie", [sys.executable, "run_flagship.py"], 7200,
-     {"FLAG_ONLY": "ie"}),
     ("flagship_probing", [sys.executable, "run_flagship.py"], 3600,
      {"FLAG_ONLY": "probing"}),
-    ("flagship_report", [sys.executable, "run_flagship.py"], 1800,
-     {"FLAG_ONLY": "report"}),
-    ("flagship_viz", [sys.executable, "run_flagship.py"], 3600,
-     {"FLAG_ONLY": "viz"}),
     ("flagship_finetune", [sys.executable, "run_flagship.py"], 3600,
      {"FLAG_ONLY": "finetune"}),
     ("flagship_steering", [sys.executable, "run_flagship.py"], 1800,
      {"FLAG_ONLY": "steering"}),
+    ("flagship_viz", [sys.executable, "run_flagship.py"], 3600,
+     {"FLAG_ONLY": "viz"}),
+    ("flagship_report", [sys.executable, "run_flagship.py"], 1800,
+     {"FLAG_ONLY": "report"}),
     ("sweep_real_sae_mlp", [sys.executable, "bench_sweep_real.py"], 7200,
      {"SWEEP_ONLY": "sae_mlp"}),
+    ("flagship_registry", [sys.executable, "run_flagship.py"], 10800,
+     {"FLAG_ONLY": "registry"}),
+    ("flagship_ie", [sys.executable, "run_flagship.py"], 7200,
+     {"FLAG_ONLY": "ie"}),
     ("sweep_real_transcoder_rms", [sys.executable, "bench_sweep_real.py"],
      7200, {"SWEEP_ONLY": "transcoder_rms"}),
     ("sweep_real_jumprelu", [sys.executable, "bench_sweep_real.py"], 7200,

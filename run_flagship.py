@@ -149,17 +149,34 @@ def phase_registry():
     loads). Rows accumulate in a partial file so re-runs skip finished layers."""
     import subprocess
 
-    from sparse_vision_tpu.interp.registry import CIRCUIT_LAYERS
+    from sparse_vision_tpu.interp.registry import (
+        CIRCUIT_LAYERS,
+        LAYER_SAE_CONFIGS,
+        layer_ckpt_dir,
+    )
+    from sparse_vision_tpu.train.checkpoint import latest_epoch
+    from sparse_vision_tpu.train.multilayer import layer_config
+    from sparse_vision_tpu.utils.paths import folder_paths
 
     partial = os.path.join(DOCS, "_registry.rows.json")
     rows = {}
     if os.path.exists(partial) and not os.environ.get("FLAG_FORCE"):
         with open(partial) as f:
             rows = json.load(f)
+
+    def ckpt_present(layer: str) -> bool:
+        # A partial row survives a host reboot (it lives in docs/) but the
+        # checkpoint in WORK does not — trust the row only if the checkpoint
+        # the ie phase will load is actually on disk at the target epoch.
+        tgt = 1 if _IS_SMOKE else LAYER_SAE_CONFIGS[layer].checkpoint_epoch
+        cfg = layer_config(base_cfg(sae_epochs=tgt), layer)
+        d = layer_ckpt_dir(folder_paths(cfg)["checkpoints"], layer)
+        return (latest_epoch(d) or 0) >= tgt
+
     t0 = time.perf_counter()
     for layer in CIRCUIT_LAYERS:
-        if layer in rows:
-            print(f"[registry] {layer} row present — skipping")
+        if layer in rows and ckpt_present(layer):
+            print(f"[registry] {layer} row + checkpoint present — skipping")
             continue
         env = dict(os.environ, FLAG_CHILD_REGISTRY=layer)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
