@@ -32,6 +32,13 @@ import json
 import os
 import time
 
+import os as _os
+import sys as _sys
+
+if _os.path.exists("/tmp/r5_stop"):  # session-end sentinel: skip cleanly so the
+    print("r5 stop sentinel present -- skipping this step")  # queue never kills a
+    _sys.exit(0)  # chip process mid-compile (tunnel-wedge prevention)
+
 from sparse_vision_tpu.utils.platform import pin_cpu_if_requested, probe_tpu_or_pin_cpu
 
 probe_tpu_or_pin_cpu("bench_convergence_variants")

@@ -41,6 +41,13 @@ import shutil
 import sys
 import time
 
+import os as _os
+import sys as _sys
+
+if _os.path.exists("/tmp/r5_stop"):  # session-end sentinel: skip cleanly so the
+    print("r5 stop sentinel present -- skipping this step")  # queue never kills a
+    _sys.exit(0)  # chip process mid-compile (tunnel-wedge prevention)
+
 from sparse_vision_tpu.utils.platform import pin_cpu_if_requested, probe_tpu_or_pin_cpu
 
 probe_tpu_or_pin_cpu("run_flagship")
@@ -279,18 +286,26 @@ def phase_mis():
     clip_params, clip_state = clip.init(jax.random.key(7), (224, 224, 3))
     stage = clip.stage_names[-2]
 
+    # weights as ARGUMENTS, not closure constants: constants are inlined into
+    # the HLO and the tunnel's remote_compile rejects the ~350MB payload with
+    # HTTP 413 (same failure mode as the r4 weights-as-args circuit fix)
     @jax.jit
-    def clip_embed(x):
+    def _clip_embed(params, state, x):
         x01 = jnp.clip((x + 117.0) / 255.0, 0.0, 1.0)
         x224 = jax.image.resize(
             x01, (x01.shape[0], 224, 224, 3), method="bilinear")
         mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
         std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
         xn = (x224 - mean) / std
-        _, taps, _ = clip.apply(clip_params, xn, state=clip_state,
-                                stop_at=stage)
+        _, taps, _ = clip.apply(params, xn, state=state, stop_at=stage)
         t = taps[stage]
         return t.mean(axis=1) if t.ndim == 3 else t
+
+    clip_params = jax.device_put(clip_params)
+    clip_state = jax.device_put(clip_state)
+
+    def clip_embed(x):
+        return _clip_embed(clip_params, clip_state, x)
 
     res_clip = compute_mis_for_run(pipe, n_mis=n_mis, k_mis=k_mis,
                                    embed_fn=clip_embed)
@@ -344,6 +359,23 @@ def phase_mis_orig():
 
 def phase_ie():
     from sparse_vision_tpu.train.pipeline import Pipeline
+
+    if not _IS_SMOKE:
+        # hard gate: committing circuit artifacts from randomly-initialized
+        # SAEs (build_engine's fallback) would be worse than no artifact —
+        # require every registry checkpoint before spending the chip window
+        from sparse_vision_tpu.interp.registry import CIRCUIT_LAYERS, layer_ckpt_dir
+        from sparse_vision_tpu.train.checkpoint import latest_epoch
+        from sparse_vision_tpu.utils.paths import folder_paths
+
+        roots = folder_paths(base_cfg())["checkpoints"]
+        absent = [l for l in CIRCUIT_LAYERS
+                  if not (latest_epoch(layer_ckpt_dir(roots, l)) or 0)]
+        if absent:
+            raise RuntimeError(
+                f"phase_ie: registry checkpoints missing for {absent} — run "
+                "the registry phase first (refusing to commit random-SAE "
+                "circuit artifacts)")
 
     t0 = time.perf_counter()
     faith_idx = [0, 3, 6, 9, 12, 15, 18, 19] if not _IS_SMOKE else [0, 19]

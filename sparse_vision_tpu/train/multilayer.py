@@ -43,6 +43,11 @@ def layer_config(base_cfg: RunConfig, layer: str, use_registry: bool = True) -> 
             dead_neurons_steps=reg.dead_neurons_steps,
             sae_learning_rate=reg.learning_rate,
             sae_optimizer_name=reg.optimizer,
+            # batch_size is part of the registry recipe AND of the checkpoint
+            # directory name layer_ckpt_dir reconstructs — leaving it at the
+            # base value desynchronizes the trained dir from the dir the
+            # circuit engine later loads (caught by the r5 flagship smoke)
+            sae_batch_size=reg.batch_size,
         )
     return dataclasses.replace(base_cfg, **overrides)
 
