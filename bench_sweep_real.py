@@ -39,9 +39,15 @@ import time
 import os as _os
 import sys as _sys
 
-if _os.path.exists("/tmp/r5_stop"):  # session-end sentinel: skip cleanly so the
-    print("r5 stop sentinel present -- skipping this step")  # queue never kills a
-    _sys.exit(0)  # chip process mid-compile (tunnel-wedge prevention)
+if _os.path.exists("/tmp/r5_stop") and not _os.environ.get("R5_STOP_IGNORE"):
+    # session-end sentinel: skip cleanly so the queue never kills a chip
+    # process mid-compile (tunnel-wedge prevention)
+    print("r5 stop sentinel present -- skipping this step")
+    _sys.exit(0)
+# once admitted, subprocess children of this step must run even if the
+# sentinel appears mid-step (it gates at STEP granularity; a child that
+# honors it mid-run crashes the parent's row parsing -- measured r5)
+_os.environ["R5_STOP_IGNORE"] = "1"
 
 from sparse_vision_tpu.utils.platform import pin_cpu_if_requested, probe_tpu_or_pin_cpu
 

@@ -25,6 +25,11 @@ from run_chip_queue import run_step
 STEPS = [
     ("flagship_mis", [sys.executable, "run_flagship.py"], 7200,
      {"FLAG_ONLY": "mis"}),  # substring also matches mis_orig
+    # resume the half-done full retrain (chunk 1 = epochs 0-6 completed before
+    # the sentinel broke chunk 2's child; checkpoint epoch_6 is on disk) and
+    # run the diffing + single-layer-control phases that never executed
+    ("heal_resume", [sys.executable, "run_crosscoder_heal.py"], 7200,
+     {"HEAL_PHASE": "full", "HEAL_START": "6", "HEAL_SKIP_SWEEP": "15"}),
     ("diag_batch_topk", [sys.executable, "diag_batch_topk.py"], 5400, None),
     ("conv_batch_topk", [sys.executable, "bench_convergence_variants.py"],
      7200, {"CONV_ONLY": "batch_topk"}),
