@@ -1,0 +1,67 @@
+"""Round-5 tail queue (final stretch of the session's chip window).
+
+Picks up the steps the r5b follow-up queue does not cover, in priority order:
+the flagship registry -> ie chain (the last missing pieces of the flagship
+artifact run — the HTML report's circuit section needs them), then the
+remaining real-cache lambda frontiers, then the headline bench re-confirm.
+
+Waits for the PID in /tmp/r5b_queue.pid to exit first (never two chip
+programs at once), then removes any stop sentinel so the runners execute.
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python run_chip_queue_r5c.py [--only s]
+"""
+
+import os
+import sys
+import time
+
+from run_chip_queue import run_step
+
+STEPS = [
+    ("flagship_registry", [sys.executable, "run_flagship.py"], 10800,
+     {"FLAG_ONLY": "registry"}),
+    ("flagship_ie", [sys.executable, "run_flagship.py"], 7200,
+     {"FLAG_ONLY": "ie"}),
+    # report re-run AFTER ie so the committed HTML gains the circuit section
+    ("flagship_report2", [sys.executable, "run_flagship.py"], 1800,
+     {"FLAG_ONLY": "report", "FLAG_FORCE": "1"}),
+    ("sweep_real_transcoder_rms", [sys.executable, "bench_sweep_real.py"],
+     7200, {"SWEEP_ONLY": "transcoder_rms"}),
+    ("sweep_real_jumprelu", [sys.executable, "bench_sweep_real.py"], 7200,
+     {"SWEEP_ONLY": "jumprelu"}),
+    ("sweep_real_transcoder_l1", [sys.executable, "bench_sweep_real.py"],
+     7200, {"SWEEP_ONLY": "transcoder_l1"}),
+    ("bench_headline", [sys.executable, "bench.py"], 1800, None),
+]
+
+
+def wait_for_prior_queue() -> None:
+    pid_file = "/tmp/r5b_queue.pid"
+    if not os.path.exists(pid_file):
+        return
+    pid = int(open(pid_file).read().strip())
+    while True:
+        try:
+            os.kill(pid, 0)
+        except OSError:
+            return
+        time.sleep(20)
+
+
+def main() -> int:
+    only = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = sys.argv[2]
+    wait_for_prior_queue()
+    if os.path.exists("/tmp/r5_stop"):
+        os.remove("/tmp/r5_stop")
+    for name, argv, timeout, extra in STEPS:
+        if only and only not in name:
+            continue
+        run_step(name, argv, timeout, extra)
+    print("round-5 tail queue done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
