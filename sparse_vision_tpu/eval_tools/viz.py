@@ -163,6 +163,35 @@ _COLOR_CORR_NORM = _COLOR_CORR_SVD_SQRT / np.max(
 )
 
 
+def _irfft2_dft_mats(h: int, w: int):
+    """DFT matrices for an explicit inverse real 2-D FFT (f32 numpy, so they
+    bake into the jitted render as constants).
+
+    ``jnp.fft`` has no lowering on this TPU runtime (UNIMPLEMENTED — measured,
+    round-5 flagship viz), and the render sizes are tiny (h, w <= ~300), so
+    the exact DFT-matrix contraction is both portable and MXU-friendly:
+    irfft2 = ifft over rows (complex matmul, split into real parts) then
+    irfft over columns (cos/sin matmuls with the Hermitian-fold weights —
+    a_f = 2/w for strictly-interior frequencies, 1/w at f=0 and the w-even
+    Nyquist bin, where sin == 0 also discards Im exactly like numpy does)."""
+    y = np.arange(h, dtype=np.float64)[:, None]
+    k = np.arange(h, dtype=np.float64)[None, :]
+    ang_h = 2.0 * np.pi * y * k / h
+    fr = (np.cos(ang_h) / h).astype(np.float32)  # [h(y), h(k)]
+    fi = (np.sin(ang_h) / h).astype(np.float32)
+    wf = w // 2 + 1
+    f = np.arange(wf, dtype=np.float64)[:, None]
+    x = np.arange(w, dtype=np.float64)[None, :]
+    a = np.full((wf, 1), 2.0 / w)
+    a[0, 0] = 1.0 / w
+    if w % 2 == 0:
+        a[-1, 0] = 1.0 / w
+    ang_w = 2.0 * np.pi * f * x / w
+    cw = (a * np.cos(ang_w)).astype(np.float32)  # [wf(f), w(x)]
+    sw = (a * np.sin(ang_w)).astype(np.float32)
+    return fr, fi, cw, sw
+
+
 def _fft_param_image(spectrum: jax.Array, scale: jax.Array,
                      h: int, w: int) -> jax.Array:
     """[2, C, h, w//2+1] real/imag spectrum params -> [h, w, C] image values.
@@ -170,8 +199,17 @@ def _fft_param_image(spectrum: jax.Array, scale: jax.Array,
     The per-frequency ``scale`` (~1/f) makes the optimizer's steps isotropic in
     IMAGE space rather than frequency space, which kills the checkerboard/
     high-frequency attractors of pixel ascent."""
-    spec = (spectrum[0] + 1j * spectrum[1]) * scale  # [C, h, w//2+1]
-    img = jnp.fft.irfft2(spec, s=(h, w))  # [C, h, w]
+    spec_r = spectrum[0] * scale  # [C, h, w//2+1]
+    spec_i = spectrum[1] * scale
+    fr, fi, cw, sw = _irfft2_dft_mats(h, w)
+    # ifft over the row axis: X = F @ S with F = fr + i*fi, S = spec_r + i*spec_i
+    x_r = jnp.einsum("yk,ckf->cyf", fr, spec_r) - jnp.einsum(
+        "yk,ckf->cyf", fi, spec_i)
+    x_i = jnp.einsum("yk,ckf->cyf", fr, spec_i) + jnp.einsum(
+        "yk,ckf->cyf", fi, spec_r)
+    # irfft over the column axis: out = Re(X) @ cw - Im(X) @ sw
+    img = jnp.einsum("cyf,fx->cyx", x_r, cw) - jnp.einsum(
+        "cyf,fx->cyx", x_i, sw)  # [C, h, w]
     return jnp.transpose(img, (1, 2, 0)) / 4.0  # lucid's magic display scale
 
 

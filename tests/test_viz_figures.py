@@ -64,6 +64,27 @@ def test_feature_visualization_increases_activation():
     assert _hf_energy_fraction(img_fft) < _hf_energy_fraction(img_px)
 
 
+def test_irfft2_dft_matmul_matches_numpy():
+    """The explicit DFT-matmul inverse real FFT (viz._fft_param_image — jnp.fft
+    has no lowering on the target TPU runtime) is numerically numpy's irfft2,
+    including the Hermitian handling at f=0 / Nyquist, for odd AND even sizes,
+    and stays differentiable."""
+    rng = np.random.default_rng(0)
+    for h, w in [(20, 20), (21, 21), (20, 21), (21, 20), (8, 3)]:
+        spec = rng.normal(size=(2, 3, h, w // 2 + 1)).astype(np.float32)
+        scale = rng.uniform(0.5, 2.0, (h, w // 2 + 1)).astype(np.float32)
+        got = np.asarray(
+            viz._fft_param_image(jnp.asarray(spec), jnp.asarray(scale), h, w))
+        want = np.fft.irfft2(
+            (spec[0] + 1j * spec[1]) * scale, s=(h, w)).transpose(1, 2, 0) / 4.0
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=2e-4, atol=2e-6)
+    g = jax.grad(lambda s: jnp.sum(
+        viz._fft_param_image(s, jnp.asarray(scale), h, w) ** 2))(
+        jnp.asarray(spec))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
 def test_grids_written(tmp_path, rng):
     imgs = rng.uniform(0, 1, (8, 10, 10, 1)).astype(np.float32)
     labels = rng.integers(0, 3, 8)
