@@ -25,6 +25,10 @@ from run_chip_queue import run_step
 
 # (name, argv, kill_bound_s, est_duration_s, extra_env)
 STEPS = [
+    # re-run after the DFT-matmul irfft2 fix (the r5b attempt failed with
+    # UNIMPLEMENTED: jnp.fft has no lowering on this TPU runtime)
+    ("flagship_viz2", [sys.executable, "run_flagship.py"], 3600, 1500,
+     {"FLAG_ONLY": "viz"}),
     ("flagship_registry", [sys.executable, "run_flagship.py"], 10800, 4200,
      {"FLAG_ONLY": "registry"}),
     ("flagship_ie", [sys.executable, "run_flagship.py"], 7200, 3600,
